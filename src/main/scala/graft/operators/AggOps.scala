@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.4 Aggregations. Reference analogue: fact building groups cube
+  * cells by (region, time) and collects measures per statistic
+  * [R: genesapi/facts.py, genesapi/schema.py — UNVERIFIED]. Spark's
+  * HashAggregateExec gives partial+final (map-side combine) for free;
+  * decimal inputs keep multi-partition sums exact (SURVEY.md §7.5).
+  *
+  * Scale notes: all groupings here are low-cardinality relative to the
+  * input → partial aggregation collapses almost everything map-side, so
+  * the shuffle is tiny at any scale. Rollup/cube expand rows only in
+  * the aggregation buffers, never on the wire pre-combine.
+  */
+object AggOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape: multi-measure hash aggregate.
+    "agg_group" -> ((s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(T.dec(col("l_quantity"))).as("sum_qty"),
+          sum(T.dec(col("l_extendedprice"))).as("sum_base"),
+          sum(T.dec(col("l_extendedprice")) * (lit(1) - T.dec(col("l_discount"))))
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_distinct" -> ((s, d) =>
+      T.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")),
+
+    // HLL-sketch distinct — no oracle (approx); ScalaTest checks ±5%
+    // vs exact. At 100 TB this is the only sane distinct-count: fixed
+    // memory per group, merges associatively across partitions.
+    "agg_approx" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+
+    // Hierarchical subtotals — the AGS prefix-rollup analogue (§1.1).
+    "agg_rollup" -> ((s, d) => {
+      val c = T.customer(s, d); val n = T.nation(s, d); val r = T.region(s, d)
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("n_cust"))
+        .orderBy("region_name", "nation_name")
+    }),
+
+    "agg_cube" -> ((s, d) =>
+      T.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(T.dec(col("l_quantity"))).as("sum_qty"),
+             count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")),
+
+    // Explicit grouping sets ((priority), (status)).
+    "agg_gsets" -> ((s, d) =>
+      T.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(T.dec(col("o_totalprice"))).as("sum_price"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          col("n"), col("sum_price"))
+        .orderBy("pri", "st")),
+
+    "agg_having" -> ((s, d) =>
+      T.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum(T.dec(col("l_quantity"))).as("sum_qty"))
+        .filter(col("sum_qty") > 800)
+        .orderBy("l_partkey")),
+
+    // argmax/argmin with an explicit (value, key) struct so ties break
+    // deterministically; oracle mirrors via a ranked window.
+    "agg_minmax_by" -> ((s, d) => {
+      val o = T.orders(s, d); val c = T.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("max_price_order"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("min_price_order"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Ordered list collection — the fact-doc measure-collection shape;
+    // sort_array pins element order (SURVEY.md §7.4.5).
+    "agg_collect" -> ((s, d) => {
+      val o = T.orders(s, d); val c = T.customer(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+        .orderBy("c_custkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |       coalesce(n_name, 'ALL') AS nation_name,
+        |       count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "agg_gsets" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+        |       coalesce(o_orderstatus, 'ALL') AS st,
+        |       count(*) AS n,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY pri, st""".stripMargin,
+    "agg_having" ->
+      """SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 800
+        |ORDER BY l_partkey""".stripMargin,
+    "agg_minmax_by" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, o_orderkey,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rd,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS ra
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT a.c_mktsegment,
+        |       a.o_orderkey AS max_price_order,
+        |       b.o_orderkey AS min_price_order
+        |FROM ranked a JOIN ranked b
+        |  ON a.c_mktsegment = b.c_mktsegment AND a.rd = 1 AND b.ra = 1
+        |ORDER BY a.c_mktsegment""".stripMargin,
+    "agg_collect" ->
+      """SELECT c_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.2 Projections / filters / predicates. Reference analogue: cube
+  * cells filtered by quality flag / time axis before fact emission
+  * [R: genesapi/facts.py — UNVERIFIED]. All predicates stay as Column
+  * expressions so Catalyst pushes them into the parquet scan.
+  */
+object FilterOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q6 shape: conjunctive range + between + inequality, then an
+    // exact decimal revenue sum (order-independent → hash-stable).
+    "filter_conj" -> ((s, d) =>
+      T.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") <  lit("1999-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(T.dec(col("l_extendedprice")) * T.dec(col("l_discount")))
+          .as("revenue"))),
+
+    "filter_in" -> ((s, d) =>
+      T.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    // Three-valued logic: derived nullable column, IS NULL and
+    // null-safe equality (<=>).
+    "filter_null" -> ((s, d) => {
+      val rf = nullif(col("l_returnflag"), lit("N"))
+      T.lineitem(s, d)
+        .withColumn("rf", rf)
+        .filter(col("rf").isNull || (col("rf") <=> lit("A")))
+        .select("l_orderkey", "l_linenumber", "rf")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Computed projection; per-row decimal arithmetic is exact in both
+    // engines so no rounding needed.
+    "project_expr" -> ((s, d) =>
+      T.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (T.dec(col("l_extendedprice")) * (lit(1) - T.dec(col("l_discount"))))
+            .as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "filter_conj" ->
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           CAST(l_discount AS DECIMAL(18,4))) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1999-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "filter_in" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |ORDER BY o_orderkey""".stripMargin,
+    "filter_null" ->
+      """SELECT l_orderkey, l_linenumber, nullif(l_returnflag, 'N') AS rf
+        |FROM lineitem
+        |WHERE nullif(l_returnflag, 'N') IS NULL
+        |   OR nullif(l_returnflag, 'N') IS NOT DISTINCT FROM 'A'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |       (1 - CAST(l_discount AS DECIMAL(18,4))) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.1 Scans / sources. The reference's source layer is a GENESIS
+  * webservice download + on-disk cube-file storage (SURVEY.md §2.1,
+  * [R: genesapi/fetch.py, genesapi/storage.py — UNVERIFIED]); here the
+  * scan surface is columnar parquet with Catalyst-driven projection and
+  * predicate pushdown, and the cube-flat-file analogue is a text parse
+  * (full parser lives in graft.plans.CubeParser).
+  */
+object ScanOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Columnar scan + projection; pushdown shows as ReadSchema pruning.
+    "scan_parquet" -> ((s, d) =>
+      T.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)),
+
+    // Filter pushed to the parquet row-group level (PushedFilters in
+    // explain — asserted in PlanSpec). Date emitted as a string so the
+    // ms-parquet / µs-Spark / DuckDB comparison is representation-free.
+    "scan_pruned" -> ((s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-06-01").cast("timestamp"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          T.dstr(col("l_shipdate")).as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Schema-from-text parse analogue: the reference derives each cube's
+    // layout from its header then splits delimited records
+    // [R: genesapi/cube.py — UNVERIFIED]; here: tokenize and project
+    // positional fields as typed columns.
+    "scan_text_parse" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      T.documents(s, d)
+        .select(
+          col("doc_id"),
+          element_at(toks, 1).as("tok0"),
+          element_at(toks, 2).as("tok1"),
+          element_at(toks, 3).as("tok2"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-06-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_text_parse" ->
+      """SELECT doc_id,
+        |       string_split(text, ' ')[1] AS tok0,
+        |       string_split(text, ' ')[2] AS tok1,
+        |       string_split(text, ' ')[3] AS tok2
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
