@@ -23,8 +23,8 @@ object SparkEntry {
               col("l_discount").between(0.01, 0.09))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(T.dec(col("l_quantity"))).as("sum_qty"),
-        sum(T.dec(col("l_extendedprice")) * (lit(1) - T.dec(col("l_discount"))))
+        T.money(sum(T.dec(col("l_quantity")))).as("sum_qty"),
+        T.money(sum(T.dec(col("l_extendedprice")) * (lit(1) - T.dec(col("l_discount")))))
           .as("revenue"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("n"))

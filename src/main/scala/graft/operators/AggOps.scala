@@ -3,6 +3,7 @@ package graft.operators
 import graft.T
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.Metadata
 
 /** §2.4 Aggregations. Reference analogue: fact building groups cube
   * cells by (region, time) and collects measures per statistic
@@ -25,9 +26,9 @@ object AggOps {
         .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(T.dec(col("l_quantity"))).as("sum_qty"),
-          sum(T.dec(col("l_extendedprice"))).as("sum_base"),
-          sum(T.dec(col("l_extendedprice")) * (lit(1) - T.dec(col("l_discount"))))
+          T.money(sum(T.dec(col("l_quantity")))).as("sum_qty"),
+          T.money(sum(T.dec(col("l_extendedprice")))).as("sum_base"),
+          T.money(sum(T.dec(col("l_extendedprice")) * (lit(1) - T.dec(col("l_discount")))))
             .as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -51,11 +52,19 @@ object AggOps {
         .orderBy("event_type")),
 
     // Hierarchical subtotals — the AGS prefix-rollup analogue (§1.1).
+    // Project down to the grouping columns BEFORE rollup: rollup on
+    // string names over a join output is ambiguous to the analyzer.
     "agg_rollup" -> ((s, d) => {
       val c = T.customer(s, d); val n = T.nation(s, d); val r = T.region(s, d)
-      c.join(n, c("c_nationkey") === n("n_nationkey"))
-        .join(r, n("n_regionkey") === r("r_regionkey"))
-        .rollup("r_name", "n_name")
+      // The explicit-Metadata alias strips the dataset-id tags that
+      // joined columns carry; without it the rollup's Expand duplicates
+      // those tagged attributes and DetectAmbiguousSelfJoin rejects the
+      // plan ("Column r_name, n_name are ambiguous").
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("r_name", Metadata.empty),
+                col("n_name").as("n_name", Metadata.empty))
+        .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"))
         .select(
           coalesce(col("r_name"), lit("ALL")).as("region_name"),
@@ -67,7 +76,7 @@ object AggOps {
     "agg_cube" -> ((s, d) =>
       T.lineitem(s, d)
         .cube("l_returnflag", "l_linestatus")
-        .agg(sum(T.dec(col("l_quantity"))).as("sum_qty"),
+        .agg(T.money(sum(T.dec(col("l_quantity")))).as("sum_qty"),
              count(lit(1)).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
@@ -82,7 +91,7 @@ object AggOps {
           Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
           col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-             sum(T.dec(col("o_totalprice"))).as("sum_price"))
+             T.money(sum(T.dec(col("o_totalprice")))).as("sum_price"))
         .select(
           coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
           coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
@@ -92,8 +101,9 @@ object AggOps {
     "agg_having" -> ((s, d) =>
       T.lineitem(s, d)
         .groupBy("l_partkey")
-        .agg(sum(T.dec(col("l_quantity"))).as("sum_qty"))
-        .filter(col("sum_qty") > 800)
+        .agg(sum(T.dec(col("l_quantity"))).as("sum_qty_d"))
+        .filter(col("sum_qty_d") > 800)
+        .select(col("l_partkey"), T.money(col("sum_qty_d")).as("sum_qty"))
         .orderBy("l_partkey")),
 
     // argmax/argmin with an explicit (value, key) struct so ties break
@@ -111,12 +121,15 @@ object AggOps {
     }),
 
     // Ordered list collection — the fact-doc measure-collection shape;
-    // sort_array pins element order (SURVEY.md §7.4.5).
+    // sort_array pins element order (SURVEY.md §7.4.5). Emitted as a
+    // joined string: the driver comparator cannot hash ARRAY cells
+    // (house rule: no array/map/struct/decimal in final projections).
     "agg_collect" -> ((s, d) => {
       val o = T.orders(s, d); val c = T.customer(s, d)
       c.join(o, c("c_custkey") === o("o_custkey"))
         .groupBy("c_custkey")
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+        .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+          .as("orderkeys"))
         .orderBy("c_custkey")
     })
   )
@@ -124,10 +137,10 @@ object AggOps {
   val oracle: Map[String, String] = Map(
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |      (1 - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS count_order
@@ -150,7 +163,7 @@ object AggOps {
     "agg_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
         |       count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
@@ -158,12 +171,13 @@ object AggOps {
       """SELECT coalesce(o_orderpriority, 'ALL') AS pri,
         |       coalesce(o_orderstatus, 'ALL') AS st,
         |       count(*) AS n,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
         |ORDER BY pri, st""".stripMargin,
     "agg_having" ->
-      """SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+      """SELECT l_partkey,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_partkey
         |HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 800
         |ORDER BY l_partkey""".stripMargin,
@@ -182,7 +196,9 @@ object AggOps {
         |  ON a.c_mktsegment = b.c_mktsegment AND a.rd = 1 AND b.ra = 1
         |ORDER BY a.c_mktsegment""".stripMargin,
     "agg_collect" ->
-      """SELECT c_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys
+      """SELECT c_custkey,
+        |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+        |         AS orderkeys
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
   )

@@ -22,7 +22,7 @@ object FilterOps {
           col("l_shipdate") <  lit("1999-01-01").cast("timestamp") &&
           col("l_discount").between(0.03, 0.07) &&
           col("l_quantity") < 24)
-        .agg(sum(T.dec(col("l_extendedprice")) * T.dec(col("l_discount")))
+        .agg(T.money(sum(T.dec(col("l_extendedprice")) * T.dec(col("l_discount"))))
           .as("revenue"))),
 
     "filter_in" -> ((s, d) =>
@@ -32,31 +32,33 @@ object FilterOps {
         .orderBy("o_orderkey")),
 
     // Three-valued logic: derived nullable column, IS NULL and
-    // null-safe equality (<=>).
+    // null-safe equality (<=>). Sort spans ALL projected columns:
+    // (l_orderkey, l_linenumber) is NOT unique in this testdata
+    // (~20% duplicate pairs), so a shorter sort isn't a total order.
     "filter_null" -> ((s, d) => {
       val rf = nullif(col("l_returnflag"), lit("N"))
       T.lineitem(s, d)
         .withColumn("rf", rf)
         .filter(col("rf").isNull || (col("rf") <=> lit("A")))
         .select("l_orderkey", "l_linenumber", "rf")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy(asc_nulls_first("rf"), asc("l_orderkey"), asc("l_linenumber"))
     }),
 
-    // Computed projection; per-row decimal arithmetic is exact in both
-    // engines so no rounding needed.
+    // Computed projection; decimal arithmetic is exact per-row, then
+    // rounded to double for the final projection (house rule, T.money).
     "project_expr" -> ((s, d) =>
       T.lineitem(s, d)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          (T.dec(col("l_extendedprice")) * (lit(1) - T.dec(col("l_discount"))))
+          T.money(T.dec(col("l_extendedprice")) * (lit(1) - T.dec(col("l_discount"))))
             .as("revenue"))
-        .orderBy("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber", "revenue"))
   )
 
   val oracle: Map[String, String] = Map(
     "filter_conj" ->
-      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |           CAST(l_discount AS DECIMAL(18,4))) AS revenue
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
         |  AND l_shipdate <  TIMESTAMP '1999-01-01'
@@ -71,11 +73,11 @@ object FilterOps {
         |FROM lineitem
         |WHERE nullif(l_returnflag, 'N') IS NULL
         |   OR nullif(l_returnflag, 'N') IS NOT DISTINCT FROM 'A'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY rf ASC NULLS FIRST, l_orderkey, l_linenumber""".stripMargin,
     "project_expr" ->
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |       (1 - CAST(l_discount AS DECIMAL(18,4))) AS revenue
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |       CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |            (1 - CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin
   )
 }

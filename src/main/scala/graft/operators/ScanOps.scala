@@ -16,10 +16,14 @@ object ScanOps {
 
   val queries: Map[String, Q] = Map(
     // Columnar scan + projection; pushdown shows as ReadSchema pruning.
+    // Sort covers EVERY projected column: (l_orderkey, l_linenumber) is
+    // not unique here, so a narrower sort would make the LIMIT cut line
+    // nondeterministic. With sort keys == projection, tied rows are
+    // identical, so the emitted multiset is stable.
     "scan_parquet" -> ((s, d) =>
       T.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .limit(100)),
 
     // Filter pushed to the parquet row-group level (PushedFilters in
@@ -31,7 +35,7 @@ object ScanOps {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           T.dstr(col("l_shipdate")).as("ship_date"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "ship_date")),
 
     // Schema-from-text parse analogue: the reference derives each cube's
     // layout from its header then splits delimited records
@@ -52,12 +56,12 @@ object ScanOps {
   val oracle: Map[String, String] = Map(
     "scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin,
     "scan_pruned" ->
       """SELECT l_orderkey, l_linenumber,
         |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-06-01'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, ship_date""".stripMargin,
     "scan_text_parse" ->
       """SELECT doc_id,
         |       string_split(text, ' ')[1] AS tok0,
