@@ -35,7 +35,8 @@ object SparkEntry {
     (ScanOps.queries, ScanOps.oracle),
     (FilterOps.queries, FilterOps.oracle),
     (AggOps.queries, AggOps.oracle),
-    (SortOps.queries, SortOps.oracle)
+    (SortOps.queries, SortOps.oracle),
+    (JoinOps.queries, JoinOps.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

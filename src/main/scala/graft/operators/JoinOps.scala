@@ -1,0 +1,238 @@
+package graft.operators
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.3 Joins. The reference joins implicitly — dict lookups attaching
+  * region/measure catalog metadata to cube cells while building facts
+  * [R: genesapi/facts.py, genesapi/schema.py — UNVERIFIED]; here the
+  * full relational join surface is explicit and planner-driven.
+  *
+  * Scale notes (100 TB):
+  *   - Dimension lookups (part, nation, region, catalogs) are always
+  *     [[functions.broadcast]] — no shuffle of the fact side.
+  *   - Big-big joins (lineitem ⋈ orders) shuffle both sides on the
+  *     key; `hint("merge")` pins sort-merge where we want spill-safe
+  *     behavior over hash memory pressure. AQE re-plans skew.
+  *   - Non-equi (theta/banded) joins compile to broadcast nested loop:
+  *     ONLY ever run them block-bounded (here: p_size blocks). An
+  *     unbounded theta join at 100 TB is a design bug, not a tuning
+  *     problem.
+  *   - as-of joins: equi-join on the entity key + time filter + one
+  *     row_number window. One shuffle on the key, no driver state.
+  *
+  * Testdata quirk: events.ts (2024) and orders.o_orderdate (1995-2001)
+  * do not overlap, so the as-of "latest order at/before event time"
+  * degenerates to "latest order per user" (still exercises the full
+  * operator); the interval join pairs orders with orders instead of
+  * events with orders (which would be empty).
+  */
+object JoinOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Equi inner join; planner picks the strategy (broadcast at this
+    // dim size; shuffle otherwise). o_orderkey is unique → total order.
+    "join_inner" -> ((s, d) =>
+      T.orders(s, d)
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+                col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    // Broadcast hash join pinned explicitly — the dim-table lookup
+    // shape (reference: metadata joins). Fact side never shuffles.
+    "join_broadcast" -> ((s, d) =>
+      T.lineitem(s, d)
+        .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+             T.money(sum(T.dec(col("l_extendedprice")) *
+                         (lit(1) - T.dec(col("l_discount"))))).as("revenue"))
+        .orderBy("p_brand")),
+
+    // Sort-merge pinned for the big-big join: spill-safe at any scale.
+    "join_smj" -> ((s, d) =>
+      T.lineitem(s, d)
+        .hint("merge")
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+             T.money(sum(T.dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy("o_orderpriority")),
+
+    // Left outer: keep customers with zero matches (count = 0).
+    "join_left" -> ((s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_urgent"))
+        .orderBy("c_custkey")),
+
+    // Full outer of two per-nation aggregates; the acctbal filters make
+    // both sides genuinely partial so left-only AND right-only rows
+    // survive. Pre-aggregating before the outer join keeps it
+    // broadcast-able at any scale (one row per nation).
+    "join_full" -> ((s, d) => {
+      val sup = T.supplier(s, d).filter(col("s_acctbal") > 9000)
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+      val cus = T.customer(s, d).filter(col("c_acctbal") < -900)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+      sup.join(cus, col("s_nationkey") === col("c_nationkey"), "full")
+        .select(
+          coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+          coalesce(col("n_supp"), lit(0)).as("n_supp"),
+          coalesce(col("n_cust"), lit(0)).as("n_cust"))
+        .orderBy("nationkey")
+    }),
+
+    // Left semi (EXISTS): customers with at least one urgent order.
+    "join_semi" -> ((s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Left anti (NOT EXISTS): customers with no urgent order.
+    "join_anti" -> ((s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Cartesian product — tiny dims only (5 × 25 here).
+    "join_cross" -> ((s, d) =>
+      T.region(s, d).crossJoin(T.nation(s, d))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")),
+
+    // Theta (banded) join: parts within ±10 retail price of each other,
+    // blocked to p_size <= 2 — a non-equi join compiles to broadcast
+    // nested loop, so the block bound is load-bearing (SURVEY.md §7.6).
+    "join_theta" -> ((s, d) => {
+      def side(n: Int) = T.part(s, d).filter(col("p_size") <= 2)
+        .select(col("p_partkey").as(s"p$n"), col("p_retailprice").as(s"price$n"))
+      side(1).join(side(2),
+          col("p1") < col("p2") &&
+          abs(col("price1") - col("price2")) <= 10)
+        .select("p1", "p2")
+        .orderBy("p1", "p2")
+    }),
+
+    // As-of join: latest order of the same customer at/before event
+    // time. Pinned semantics (SURVEY.md §7.4.3): strict <=, ties break
+    // to highest orderkey, inner (events with no prior order drop).
+    // Emulation: equi-join on the entity key + time predicate + one
+    // ranked window — one shuffle, no driver state.
+    "join_asof" -> ((s, d) => {
+      val e = T.events(s, d).select("event_id", "ts", "user_id")
+      val o = T.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+      val w = Window.partitionBy("event_id")
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      e.join(o, col("user_id") === col("o_custkey") &&
+                col("o_orderdate") <= col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), T.tstr(col("ts")).as("event_ts"),
+                col("o_orderkey"), T.dstr(col("o_orderdate")).as("order_date"))
+        .orderBy("event_id")
+    }),
+
+    // Interval overlap: orders of the same customer within ±3 days of
+    // each other. Equi key (custkey) + range residual → sort-merge with
+    // a post-filter, NOT a nested loop: scales like a normal join.
+    "join_interval" -> ((s, d) => {
+      def side(n: Int) = T.orders(s, d)
+        .select(col("o_orderkey").as(s"k$n"), col("o_custkey").as(s"c$n"),
+                col("o_orderdate").as(s"d$n"))
+      side(1).join(side(2),
+          col("c1") === col("c2") && col("k1") < col("k2") &&
+          col("d2").between(col("d1") - expr("INTERVAL 3 DAY"),
+                            col("d1") + expr("INTERVAL 3 DAY")))
+        .select("k1", "k2")
+        .orderBy("k1", "k2")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_smj" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_urgent
+        |FROM customer LEFT JOIN (
+        |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |  ON c_custkey = o.o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full" ->
+      """WITH sup AS (
+        |  SELECT s_nationkey, count(*) AS n_supp FROM supplier
+        |  WHERE s_acctbal > 9000 GROUP BY s_nationkey),
+        |cus AS (
+        |  SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |  WHERE c_acctbal < -900 GROUP BY c_nationkey)
+        |SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+        |       coalesce(n_supp, 0) AS n_supp,
+        |       coalesce(n_cust, 0) AS n_cust
+        |FROM sup FULL OUTER JOIN cus ON s_nationkey = c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_theta" ->
+      """SELECT a.p1, b.p2 FROM
+        |  (SELECT p_partkey AS p1, p_retailprice AS price1 FROM part
+        |   WHERE p_size <= 2) a
+        |JOIN
+        |  (SELECT p_partkey AS p2, p_retailprice AS price2 FROM part
+        |   WHERE p_size <= 2) b
+        |ON a.p1 < b.p2 AND abs(a.price1 - b.price2) <= 10
+        |ORDER BY p1, p2""".stripMargin,
+    "join_asof" ->
+      """WITH j AS (
+        |  SELECT event_id, ts, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM events JOIN orders
+        |    ON user_id = o_custkey AND o_orderdate <= ts)
+        |SELECT event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        |       o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_interval" ->
+      """SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        | AND b.o_orderdate BETWEEN a.o_orderdate - INTERVAL 3 DAY
+        |                       AND a.o_orderdate + INTERVAL 3 DAY
+        |ORDER BY k1, k2""".stripMargin
+  )
+}
