@@ -36,7 +36,9 @@ object SparkEntry {
     (FilterOps.queries, FilterOps.oracle),
     (AggOps.queries, AggOps.oracle),
     (SortOps.queries, SortOps.oracle),
-    (JoinOps.queries, JoinOps.oracle)
+    (JoinOps.queries, JoinOps.oracle),
+    (WindowOps.queries, WindowOps.oracle),
+    (SetOps.queries, SetOps.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.5 Window functions. The reference implements latest-revision-wins
+  * and top-k imperatively [R: genesapi/storage.py — UNVERIFIED]; the
+  * engine expresses them as ranked/framed windows: one shuffle on the
+  * partition key, in-partition sort only — the scalable shape.
+  *
+  * Determinism rules:
+  *   - every window ORDER BY ends in a unique tiebreak column, so
+  *     row_number/ntile/lag are well-defined;
+  *   - event-time ordering uses second-truncated ts + event_id — the
+  *     parquet stores ns, Spark truncates to µs, DuckDB keeps ns, so
+  *     ordering on raw ts could disagree between engines on sub-second
+  *     neighbors; second-grain + unique id is representation-free;
+  *   - running/framed SUMs aggregate DECIMAL (exact, association-free)
+  *     and emit rounded DOUBLE (T.money).
+  */
+object WindowOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Second-truncated event time: identical in both engines (§7.5).
+  private def tsec = date_trunc("second", col("ts"))
+
+  val queries: Map[String, Q] = Map(
+    // Ranking family. rank/dense_rank are tie-stable under any tie
+    // order; row_number gets a unique tiebreak.
+    "win_rank" -> ((s, d) => {
+      val byPrice = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"))
+      val unique = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      T.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(byPrice).as("rnk"),
+          dense_rank().over(byPrice).as("drnk"),
+          row_number().over(unique).as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Running aggregate, row frame pinned to a unique order.
+    "win_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          T.dstr(col("o_orderdate")).as("order_date"),
+          T.money(sum(T.dec(col("o_totalprice"))).over(w)).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // lag/lead analytics over event time.
+    "win_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(tsec.asc, col("event_id").asc)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), T.tstr(col("ts")).as("event_ts"),
+          round(col("value") - lag(col("value"), 1).over(w), 6).as("delta_prev"),
+          round(lead(col("value"), 1).over(w) - col("value"), 6).as("delta_next"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // RANGE frame over integer epoch seconds: 1-day trailing sum per
+    // user. Integer ordering keys → identical frame membership in both
+    // engines (DuckDB's epoch() is fractional, floored in the oracle).
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("epoch_s"))
+        .rangeBetween(-86400, 0)
+      T.events(s, d)
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          col("epoch_s"),
+          T.money(sum(T.dec(col("value"))).over(w)).as("trailing_1d"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Distribution family; ntile depends on row order → unique order.
+    "win_dist" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
+    // first/last/nth over the FULL partition frame (default frame stops
+    // at currentRow, which silently breaks last_value).
+    "win_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(tsec.asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.events(s, d)
+        .select(col("user_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"),
+          nth_value(col("event_type"), 2).over(w).as("second_type"))
+        .distinct()
+        .orderBy("user_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+    "win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_lag" ->
+      """SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        |  round(value - lag(value, 1) OVER w, 6) AS delta_prev,
+        |  round(lead(value, 1) OVER w - value, 6) AS delta_next
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY date_trunc('second', ts) ASC, event_id ASC)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "win_range_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS trailing_1d
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "win_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
+    "win_firstlast" ->
+      """SELECT DISTINCT user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY date_trunc('second', ts) ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin
+  )
+}
