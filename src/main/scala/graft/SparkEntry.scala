@@ -38,7 +38,8 @@ object SparkEntry {
     (SortOps.queries, SortOps.oracle),
     (JoinOps.queries, JoinOps.oracle),
     (WindowOps.queries, WindowOps.oracle),
-    (SetOps.queries, SetOps.oracle)
+    (SetOps.queries, SetOps.oracle),
+    (graft.functions.FnOps.queries, graft.functions.FnOps.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

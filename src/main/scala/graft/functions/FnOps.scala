@@ -1,0 +1,199 @@
+package graft.functions
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.8 Scalar function families — one query per family, each touching
+  * 5+ functions. Reference analogue: code/name cleanup, cube time-axis
+  * handling, unit scaling [R: genesapi/util.py — UNVERIFIED]. All are
+  * codegen'd Column expressions (no UDFs) so they stay inside
+  * WholeStageCodegen and push down where applicable.
+  *
+  * Dialect notes baked into the oracles (measured against DuckDB):
+  *   - DuckDB dayofweek() is 0-based Sunday; Spark is 1-based → +1.
+  *   - DuckDB CAST(double AS INT) rounds; Spark truncates → explicit
+  *     floor() on both sides.
+  *   - DuckDB to_json(struct_pack(...)) emits the same compact
+  *     `{"k":v}` form as Spark's to_json(struct(...)).
+  *   - IEEE sqrt is correctly rounded everywhere; pow/ln are not →
+  *     round transcendental outputs (§7.5).
+  */
+object FnOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, d) =>
+      T.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_type")).as("lo"),
+          substring(col("p_name"), 1, 4).as("sub"),
+          lpad(trim(col("p_brand")), 10, "0").as("pad"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          regexp_replace(col("p_name"), " ", "_").as("rep"),
+          length(col("p_name")).as("len"))
+        .orderBy("p_partkey")),
+
+    "fn_date" -> ((s, d) =>
+      T.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          T.dstr(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"),
+          date_add(to_date(col("o_orderdate")), 7).cast("string").as("plus7"),
+          last_day(col("o_orderdate")).cast("string").as("month_end"),
+          unix_timestamp(col("o_orderdate")).as("uts"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, d) =>
+      T.part(s, d)
+        .select(col("p_partkey"),
+          round(col("p_retailprice"), 1).as("r1"),
+          floor(col("p_retailprice")).as("fl"),
+          ceil(col("p_retailprice")).as("ce"),
+          abs(col("p_retailprice") - 950).as("ab"),
+          pow(col("p_size"), 2).cast("long").as("pw"),
+          round(sqrt(col("p_retailprice")), 6).as("sq"),
+          round(log(col("p_retailprice")), 6).as("lg"),
+          (col("p_partkey") % 7).as("md"),
+          signum(col("p_retailprice") - 950.0).cast("int").as("sg"))
+        .orderBy("p_partkey")),
+
+    "fn_cond" -> ((s, d) =>
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_discount") < 0.02, "low")
+            .when(col("l_discount") < 0.05, "mid")
+            .otherwise("high").as("disc_bucket"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("rf"),
+          least(col("l_tax"), col("l_discount")).as("lo"),
+          greatest(col("l_tax"), col("l_discount")).as("hi"))
+        .orderBy("l_orderkey", "l_linenumber", "disc_bucket", "rf", "lo", "hi")),
+
+    // Array family incl. higher-order transform+aggregate; scalars only
+    // in the final projection (comparator can't hash arrays).
+    "fn_array" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      T.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).as("n_toks"),
+          size(array_distinct(toks)).as("n_uniq"),
+          array_contains(toks, "the").as("has_the"),
+          array_join(slice(array_sort(array_distinct(toks)), 1, 3), ",")
+            .as("first3"),
+          aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+            .as("total_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Map family — no oracle (DuckDB map semantics differ); covered by
+    // FnSpec. Scalar lookups in the final projection.
+    "fn_map" -> ((s, d) => {
+      val perType = T.events(s, d).groupBy("user_id", "event_type").count()
+      perType.groupBy("user_id")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("count")))))
+          .as("m"))
+        .select(col("user_id"),
+          element_at(col("m"), "click").as("n_click"),
+          element_at(col("m"), "error").as("n_error"),
+          size(map_keys(col("m"))).as("n_types"),
+          aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("total"),
+          element_at(str_to_map(lit("a:1,b:2"), lit(","), lit(":")), "b").as("s2m"))
+        .orderBy("user_id")
+    }),
+
+    "fn_json" -> ((s, d) =>
+      T.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k_int"),
+          to_json(struct(col("event_id"), col("event_type"))).as("js"))
+        .orderBy("event_id")),
+
+    "fn_cast" -> ((s, d) =>
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).cast("int").as("qty_int"),
+          col("l_extendedprice").cast("decimal(12,2)").cast("string").as("price_str"),
+          col("l_orderkey").cast("double").as("key_dbl"),
+          concat(col("l_linenumber").cast("string"), lit("-"), col("l_returnflag"))
+            .as("ln_flag"),
+          col("l_shipdate").cast("date").cast("string").as("ship_str"))
+        .orderBy("l_orderkey", "l_linenumber", "qty_int", "price_str", "ship_str"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_type) AS lo,
+        |  substring(p_name, 1, 4) AS sub,
+        |  lpad(trim(p_brand), 10, '0') AS pad,
+        |  concat_ws('|', p_brand, p_type) AS cw,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS rep,
+        |  length(p_name) AS len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  CAST(CAST(o_orderdate AS DATE) + 7 AS VARCHAR) AS plus7,
+        |  CAST(CAST(last_day(o_orderdate) AS DATE) AS VARCHAR) AS month_end,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS uts
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT p_partkey,
+        |  round(p_retailprice, 1) AS r1,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        |  abs(p_retailprice - 950) AS ab,
+        |  CAST(pow(p_size, 2) AS BIGINT) AS pw,
+        |  round(sqrt(p_retailprice), 6) AS sq,
+        |  round(ln(p_retailprice), 6) AS lg,
+        |  p_partkey % 7 AS md,
+        |  CAST(sign(p_retailprice - 950.0) AS INT) AS sg
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_cond" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount < 0.02 THEN 'low'
+        |       WHEN l_discount < 0.05 THEN 'mid'
+        |       ELSE 'high' END AS disc_bucket,
+        |  coalesce(nullif(l_returnflag, 'N'), 'none') AS rf,
+        |  least(l_tax, l_discount) AS lo,
+        |  greatest(l_tax, l_discount) AS hi
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, disc_bucket, rf, lo, hi""".stripMargin,
+    "fn_array" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_toks,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |  list_contains(string_split(text, ' '), 'the') AS has_the,
+        |  array_to_string(list_slice(
+        |    list_sort(list_distinct(string_split(text, ' '))), 1, 3), ',') AS first3,
+        |  length(replace(text, ' ', '')) AS total_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_int,
+        |  CAST(to_json(struct_pack(event_id := event_id,
+        |                           event_type := event_type)) AS VARCHAR) AS js
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_quantity) AS INT) AS qty_int,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+        |  CAST(l_orderkey AS DOUBLE) AS key_dbl,
+        |  CAST(l_linenumber AS VARCHAR) || '-' || l_returnflag AS ln_flag,
+        |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, qty_int, price_str, ship_str""".stripMargin
+  )
+}
