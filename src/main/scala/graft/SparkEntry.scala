@@ -39,7 +39,8 @@ object SparkEntry {
     (JoinOps.queries, JoinOps.oracle),
     (WindowOps.queries, WindowOps.oracle),
     (SetOps.queries, SetOps.oracle),
-    (graft.functions.FnOps.queries, graft.functions.FnOps.oracle)
+    (graft.functions.FnOps.queries, graft.functions.FnOps.oracle),
+    (DomainOps.queries, DomainOps.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.Metadata
+
+/** §2.9 Domain operators — the reference's actual pipeline re-expressed
+  * relationally (SURVEY.md §1.1):
+  *   - fact building = pivot measures wide + nest to JSON docs
+  *     [R: genesapi/facts.py — UNVERIFIED];
+  *   - catalog/TOC = grouped distinct collection
+  *     [R: genesapi/schema.py — UNVERIFIED];
+  *   - storage latest-revision-wins = ranked-window dedup
+  *     [R: genesapi/storage.py — UNVERIFIED];
+  *   - AGS prefix hierarchy = multi-level rollup over the region tree.
+  *
+  * Scale notes: pivot uses an EXPLICIT value list (an inferred list
+  * collects distinct values to the driver first — fine at 5 event
+  * types, a full extra job at 100 TB); dedup-by-version is one shuffle
+  * on the entity key; facts_nest is groupBy + struct-pack, no driver
+  * state.
+  */
+object DomainOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val queries: Map[String, Q] = Map(
+    // Long→wide pivot: measures become columns (fact building).
+    "pivot_wide" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", eventTypes)
+        .agg(T.money(sum(T.dec(col("value")))))
+        .orderBy("user_id")),
+
+    // Nest + serialize fact documents: one JSON doc per customer with
+    // order stats and a per-status count map, entries sorted for
+    // determinism (SURVEY.md §7.4.5). No oracle: JSON golden-tested.
+    "facts_nest" -> ((s, d) => {
+      val perStatus = T.orders(s, d)
+        .groupBy("o_custkey", "o_orderstatus").agg(count(lit(1)).as("n"))
+      perStatus
+        .groupBy("o_custkey")
+        .agg(
+          sum(col("n")).as("n_orders"),
+          map_from_entries(sort_array(
+            collect_list(struct(col("o_orderstatus"), col("n"))))).as("by_status"))
+        .select(col("o_custkey").as("custkey"),
+          to_json(struct(col("o_custkey").as("customer"),
+                         col("n_orders"),
+                         col("by_status"))).as("doc"))
+        .orderBy("custkey")
+    }),
+
+    // Catalog/TOC build: distinct member codes per container, sorted.
+    "schema_catalog" -> ((s, d) =>
+      T.documents(s, d)
+        .groupBy("source")
+        .agg(
+          array_join(sort_array(collect_set(col("lang"))), ",").as("langs"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("source")),
+
+    // Latest-revision-wins: newest event per user (storage semantics).
+    // Second-truncated ts + event_id tiebreak — cross-engine safe.
+    "dedup_version" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(date_trunc("second", col("ts")).desc, col("event_id").desc)
+      T.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), T.tstr(col("ts")).as("event_ts"),
+                col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // 3-level hierarchical rollup over the joined region tree — the
+    // AGS Land→Kreis→Gemeinde prefix aggregation analogue.
+    "region_rollup" -> ((s, d) => {
+      val c = T.customer(s, d); val n = T.nation(s, d); val r = T.region(s, d)
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("r_name", Metadata.empty),
+                col("n_name").as("n_name", Metadata.empty),
+                col("c_mktsegment").as("c_mktsegment", Metadata.empty),
+                col("c_acctbal").as("c_acctbal", Metadata.empty))
+        .rollup(col("r_name"), col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+             T.money(sum(T.dec(col("c_acctbal")))).as("sum_bal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          col("n_cust"), col("sum_bal"))
+        .orderBy("region_name", "nation_name", "segment")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "pivot_wide" ->
+      """SELECT user_id,
+        |  CAST(round(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS click,
+        |  CAST(round(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS error,
+        |  CAST(round(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS purchase,
+        |  CAST(round(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS signup,
+        |  CAST(round(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "schema_catalog" ->
+      """SELECT source,
+        |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_version" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts, event_type
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "region_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |       coalesce(n_name, 'ALL') AS nation_name,
+        |       coalesce(c_mktsegment, 'ALL') AS segment,
+        |       count(*) AS n_cust,
+        |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name, c_mktsegment)
+        |ORDER BY region_name, nation_name, segment""".stripMargin
+  )
+}

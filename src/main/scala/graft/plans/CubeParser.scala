@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parser for the GENESIS cube flat-file format (FIXTURES.md §B — a
+  * format specification this engine pins itself to; the reference's
+  * parser is reconstructed from public knowledge of the ecosystem
+  * [R: genesapi/cube.py — UNVERIFIED]).
+  *
+  * File layout (semicolon-delimited):
+  *   - `K;DQ;…`   cube identity
+  *   - `K;DQA;…` + `D;DQA;<name>;…`  axis declarations
+  *   - `K;DQZ;…` + `D;DQZ;<name>;…`  time declaration
+  *   - `K;DQI;…` + `D;DQI;<name>;<unit>;…;<decimals>`  measures
+  *   - `D;QEI;<col>;<col>;…`          data-record column order
+  *   - `D;v1;v2;…`                    data records: axis codes, time,
+  *     then per measure (value, quality-flag) pairs. Values `-`, `…`,
+  *     `...`, `/`, `x` parse to NULL-with-flag.
+  *
+  * Architecture (Spark-first, 100 TB-ready): the header is a few dozen
+  * lines — parsed on the DRIVER from a `limit`ed read to derive the
+  * layout; the data records are parsed in EXECUTORS by Column
+  * expressions generated from that layout (split + element_at + cast —
+  * all codegen'd; no mapPartitions, no UDF). One measure per output
+  * row (long/normalized form, SURVEY.md §1.2). For a directory of many
+  * cubes, call once per cube and union — each cube has its own schema,
+  * which is the reference's own model (schema-from-header).
+  */
+object CubeParser {
+
+  /** Cube layout derived from header records. */
+  final case class Layout(
+      cube: String,
+      axes: Seq[String],        // axis (dimension) names, QEI order
+      timeAxis: String,         // e.g. JAHR
+      measures: Seq[String],    // measure names, QEI order
+      decimals: Map[String, Int])
+
+  private val headerTags = Set("DQ", "DQA", "DQZ", "DQI", "QEI")
+  private val nullValues = Seq("-", "...", "…", "/", "x", ".")
+
+  /** Parse the K/D header records (driver-side; header is O(10) lines). */
+  def readLayout(spark: SparkSession, path: String, cubeName: String): Layout = {
+    // Header records all sit in the K;/D;<TAG>; prefix space — filter
+    // THEN collect, so only tens of lines ever reach the driver even
+    // if the file is huge.
+    val hdr = spark.read.text(path)
+      .filter(col("value").rlike("^(K;|D;(DQA|DQZ|DQI|QEI);)"))
+      .collect().map(_.getString(0).split(";", -1).toSeq)
+    val axes = hdr.collect { case Seq("D", "DQA", name, _*) => name }.toSeq
+    val time = hdr.collectFirst { case Seq("D", "DQZ", name, _*) => name }
+      .getOrElse(sys.error(s"$path: no D;DQZ time record"))
+    val measures = hdr.collect { case Seq("D", "DQI", name, _*) => name }.toSeq
+    val decimals = hdr.collect {
+      case Seq("D", "DQI", name, _, _, _, dec, _*) => name -> dec.toInt
+    }.toMap
+    val order = hdr.collectFirst { case Seq("D", "QEI", cols @ _*) => cols }
+      .getOrElse(sys.error(s"$path: no D;QEI column-order record"))
+    // Respect QEI ordering for everything positional.
+    Layout(cubeName,
+      order.filter(axes.contains), time, order.filter(measures.contains),
+      decimals)
+  }
+
+  /** Distributed parse of the data records into the normalized long
+    * schema: (cube, region, dims map→here exploded as dim_<name> cols,
+    * time, measure, value, quality).
+    */
+  def parse(spark: SparkSession, path: String, cubeName: String): DataFrame = {
+    val lo = readLayout(spark, path, cubeName)
+    val toks = split(col("value"), ";", -1)
+    // Data records: "D;" prefix but NOT a header tag in slot 1.
+    val data = spark.read.text(path)
+      .filter(col("value").startsWith("D;") &&
+              !element_at(toks, 2).isin(headerTags.toSeq: _*))
+      .select(toks.as("t"))
+
+    // QEI order: D; axes… time measures… — each measure value is
+    // followed by its quality flag. element_at is 1-based; slot 1 = "D".
+    val nAxes = lo.axes.size
+    def slot(i: Int): Column = element_at(col("t"), i)
+    val axisCols = lo.axes.zipWithIndex.map { case (a, i) =>
+      slot(i + 2).as(s"dim_$a")
+    }
+    val timeCol = slot(nAxes + 2).cast("int").as("time")
+
+    val measureStructs = lo.measures.zipWithIndex.map { case (m, i) =>
+      val v = slot(nAxes + 3 + 2 * i)
+      val q = slot(nAxes + 4 + 2 * i)
+      struct(
+        lit(m).as("measure"),
+        when(v.isin(nullValues: _*), lit(null).cast("double"))
+          .otherwise(v.cast("double")).as("value"),
+        q.as("quality"))
+    }
+
+    // First axis is the regional code by GENESIS convention; the rest
+    // stay as dim_<name> columns.
+    val outCols = Seq(
+      col("cube"),
+      col(s"dim_${lo.axes.head}").as("region"),
+      col("time"), col("m.measure").as("measure"),
+      col("m.value").as("value"), col("m.quality").as("quality")) ++
+      lo.axes.tail.map(a => col(s"dim_$a"))
+    data
+      .select((lit(cubeName).as("cube") +: axisCols :+ timeCol :+
+        explode(array(measureStructs: _*)).as("m")): _*)
+      .select(outCols: _*)
+  }
+}

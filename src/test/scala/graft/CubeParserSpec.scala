@@ -1,0 +1,46 @@
+package graft
+
+import graft.plans.CubeParser
+import org.apache.spark.sql.Row
+
+/** Golden-fixture test for the GENESIS cube parser (FIXTURES.md §B). */
+class CubeParserSpec extends SparkSpec {
+
+  private val fixture = getClass.getResource("/cube_12411_mini.csv").getPath
+
+  test("layout derives from K/D header records") {
+    val lo = CubeParser.readLayout(spark, fixture, "12411_mini")
+    assert(lo.axes == Seq("DINSG", "GES"))
+    assert(lo.timeAxis == "JAHR")
+    assert(lo.measures == Seq("BEVSTD"))
+    assert(lo.decimals == Map("BEVSTD" -> 0))
+  }
+
+  test("data records parse to the normalized long form") {
+    val rows = CubeParser.parse(spark, fixture, "12411_mini")
+      .orderBy("region", "dim_GES", "time")
+      .collect()
+    assert(rows.length == 6)
+    // FIXTURES.md §B expected parse table:
+    assert(rows.head == Row("12411_mini", "02", 2019, "BEVSTD", 934846.0, "e", "GESM"))
+    assert(rows.last == Row("12411_mini", "11", 2020, "BEVSTD", 1874432.0, "p", "GESW"))
+  }
+
+  test("nil/secret value codes parse to NULL with the flag kept") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("cube").resolve("c.csv")
+    Files.writeString(tmp, Seq(
+      "K;DQ;X",
+      "D;DQA;DINSG;1;1",
+      "D;DQZ;JAHR;2",
+      "D;DQI;M1;ANZ;FEST;GANZ;0",
+      "D;QEI;DINSG;JAHR;M1",
+      "D;01;2020;-;-",
+      "D;02;2020;...;x",
+      "D;03;2020;42;e").mkString("\n"))
+    val rows = CubeParser.parse(spark, tmp.toString, "nulls")
+      .orderBy("region").collect()
+    assert(rows.map(_.get(4)).toSeq == Seq(null, null, 42.0))
+    assert(rows.map(_.getString(5)).toSeq == Seq("-", "x", "e"))
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local-session base for all suites. One session per suite,
+  * config mirroring Verify/Bench (UTC, nanosAsLong, small shuffle).
+  */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName(getClass.getSimpleName)
+    .getOrCreate()
+
+  /** sf0.001 testdata — the smallest scale; specs assert semantics. */
+  val sf: String = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    // Session is shared across suites in one JVM (getOrCreate); don't stop.
+    super.afterAll()
+  }
+}
