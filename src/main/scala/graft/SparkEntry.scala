@@ -40,7 +40,8 @@ object SparkEntry {
     (WindowOps.queries, WindowOps.oracle),
     (SetOps.queries, SetOps.oracle),
     (graft.functions.FnOps.queries, graft.functions.FnOps.oracle),
-    (DomainOps.queries, DomainOps.oracle)
+    (DomainOps.queries, DomainOps.oracle),
+    (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2.10 Streaming operators. The reference is batch-only CLI; these
+  * extend the engine to the streaming surface the north star demands.
+  *
+  * Strategy (SURVEY.md §2.10): `window()` / `session_window()` are
+  * plain expressions that behave identically over batch and streaming
+  * DataFrames, so the t2 keys run in batch against the static events
+  * table (oracle-checkable), while TRUE streaming behavior — watermark
+  * late-data drop, cross-micro-batch state — is exercised in
+  * StreamingSpec via MemoryStream. The exact same aggregation code
+  * runs `readStream`-ed at scale: one shuffle per window agg, state
+  * store bounded by the watermark.
+  *
+  * All event-time logic uses second-truncated ts (ns parquet / µs
+  * Spark / ns DuckDB — §7.5).
+  */
+object StreamOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tsec = date_trunc("second", col("ts"))
+
+  /** Typed rows for the stateful op. */
+  final case class UserCount(user_id: Long, n_events: Long)
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-hour windows: identical in readStream mode.
+    "stream_tumbling" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy(window(tsec, "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             T.money(sum(T.dec(col("value")))).as("sum_value"))
+        .select(T.tstr(col("w.start")).as("win_start"), col("event_type"),
+                col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")),
+
+    // Sliding 1-hour windows every 15 min — rows belong to 4 windows.
+    // No oracle (DuckDB needs generate_series gymnastics); SlidingSpec
+    // asserts window membership counts.
+    "stream_sliding" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy(window(tsec, "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(T.tstr(col("w.start")).as("win_start"), col("n"))
+        .orderBy("win_start")),
+
+    // Session windows, 30-min gap. Spark's session interval is CLOSED
+    // on the right: a gap of exactly 30 min still merges; only gap >
+    // 30 min starts a new session (pinned in SURVEY.md §7.4.4, asserted
+    // in StreamingSpec) — the oracle's gaps-and-islands uses > to match.
+    "stream_session" -> ((s, d) =>
+      T.events(s, d)
+        .withColumn("tss", tsec)
+        .groupBy(session_window(col("tss"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("tss")).as("t0"), max(col("tss")).as("t1"))
+        .select(col("user_id"), T.tstr(col("t0")).as("session_start"),
+                col("n_events"),
+                (unix_timestamp(col("t1")) - unix_timestamp(col("t0")))
+                  .as("span_sec"))
+        .orderBy("user_id", "session_start")),
+
+    // Exact dedup — in readStream mode the same call maintains a
+    // watermark-bounded state store of seen keys.
+    "stream_dedup" -> ((s, d) =>
+      T.events(s, d)
+        .dropDuplicates("event_id")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")),
+
+    // Watermark + tumbling agg: batch mode ignores the watermark (this
+    // oracle-checks the aggregation); late-data drop is asserted in
+    // StreamingSpec over MemoryStream.
+    "stream_watermark" -> ((s, d) =>
+      T.events(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(tsec, "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(T.tstr(col("w.start")).as("win_start"), col("n"))
+        .orderBy("win_start")),
+
+    // Arbitrary stateful processing: running per-user event count via
+    // flatMapGroupsWithState — the API that carries custom state across
+    // micro-batches (cross-batch behavior in StreamingSpec).
+    "stream_stateful" -> ((s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Long, UserCount](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (uid, rows, state: GroupState[Long]) =>
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            Iterator(UserCount(uid, n))
+        }
+        .toDF()
+        .orderBy("user_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "stream_session" ->
+      """WITH t AS (
+        |  SELECT user_id, date_trunc('second', ts) AS tss FROM events),
+        |m AS (
+        |  SELECT user_id, tss,
+        |    CASE WHEN lag(tss) OVER w IS NULL
+        |           OR tss - lag(tss) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tss)),
+        |g AS (
+        |  SELECT user_id, tss,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tss
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |       strftime(min(tss), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events,
+        |       CAST(floor(epoch(max(tss))) AS BIGINT)
+        |         - CAST(floor(epoch(min(tss))) AS BIGINT) AS span_sec
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+    "stream_watermark" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes',
+        |         date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY win_start""".stripMargin,
+    "stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** True-streaming behavior over MemoryStream (FIXTURES.md §C): the
+  * parts a batch oracle cannot check — watermark late-data drop and
+  * cross-micro-batch state.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermark drops late rows once it has passed their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val agg = in.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // Two on-time rows in the 10:00-10:10 window.
+      in.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // Advance the watermark past 10:10 (10:25 - 10min = 10:15).
+      in.addData((3L, ts("2024-01-01 10:25:00")))
+      q.processAllAvailable()
+      // Late row into the closed 10:00 window: must be dropped.
+      in.addData((4L, ts("2024-01-01 10:04:00")))
+      q.processAllAvailable()
+      val counts = spark.table("wm_sink")
+        .groupBy("ws").agg(max("n").as("n"))
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(counts("2024-01-01 10:00:00.0") == 2L,
+        s"late row must not bump the closed window: $counts")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState carries running counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (user_id, event_id)
+    val out = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, StreamOps.UserCount](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator(StreamOps.UserCount(uid, n))
+      }
+    val q = out.writeStream.format("memory").queryName("st_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((7L, 1L), (7L, 2L), (8L, 3L))
+      q.processAllAvailable()
+      in.addData((7L, 4L))
+      q.processAllAvailable()
+      val last = spark.table("st_sink")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last == Map(7L -> 3L, 8L -> 1L),
+        s"state must accumulate across batches: $last")
+    } finally q.stop()
+  }
+
+  test("session_window: only a gap STRICTLY over 30 min starts a new session") {
+    // FIXTURES.md §C: events 00:00, 00:20, 00:49, 01:30 with 30-min gap
+    // → sessions {00:00..00:49 (3)}, {01:30 (1)}. A gap of exactly
+    // 30 min merges (Spark's session interval is right-closed).
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:20:00")),
+      (1L, ts("2024-01-01 00:49:00")), (1L, ts("2024-01-01 01:30:00")),
+      (2L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:30:00")))
+      .toDF("user_id", "ts")
+    val sess = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select("user_id", "n").orderBy("user_id", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // user 1: sessions of 3 and 1 (00:49→01:30 gap is 41 min > 30);
+    // user 2: exactly-30-min gap merges into one session of 2.
+    assert(sess == Seq((1L, 1L), (1L, 3L), (2L, 2L)), sess.toString)
+  }
+}
