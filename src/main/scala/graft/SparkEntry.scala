@@ -40,6 +40,7 @@ object SparkEntry {
     (WindowOps.queries, WindowOps.oracle),
     (SetOps.queries, SetOps.oracle),
     (graft.functions.FnOps.queries, graft.functions.FnOps.oracle),
+    (graft.functions.UdfOps.queries, graft.functions.UdfOps.oracle),
     (DomainOps.queries, DomainOps.oracle),
     (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle)
   )
