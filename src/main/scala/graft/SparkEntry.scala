@@ -42,7 +42,11 @@ object SparkEntry {
     (graft.functions.FnOps.queries, graft.functions.FnOps.oracle),
     (graft.functions.UdfOps.queries, graft.functions.UdfOps.oracle),
     (DomainOps.queries, DomainOps.oracle),
-    (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle)
+    (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle),
+    (graft.llm.LlmDedup.queries, graft.llm.LlmDedup.oracle),
+    (graft.llm.LlmText.queries, graft.llm.LlmText.oracle),
+    (graft.llm.LlmVector.queries, graft.llm.LlmVector.oracle),
+    (graft.llm.Multimodal.queries, graft.llm.Multimodal.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

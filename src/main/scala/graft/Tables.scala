@@ -46,6 +46,16 @@ object T {
   /** Exact-arithmetic cast for money-scale aggregation inputs. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Fan a small single-file table out across the cluster before
+    * per-row-expensive work (shingling, hashing, dot products). The
+    * testdata tables arrive as ONE parquet file → one input partition
+    * → the whole map stage runs on one core; at real scale inputs span
+    * many files and `spark.sql.files.maxPartitionBytes` does this job,
+    * so the repartition is a no-op-equivalent there, not a crutch.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Final-projection form of a decimal aggregate: rounded, cast to
     * double. The driver's pandas-based comparator canonicalizes DECIMAL
     * inconsistently between Spark and DuckDB outputs (round-1 verdict:

@@ -1,0 +1,192 @@
+package graft.llm
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.12 Text analysis for training-data pipelines: tf-idf, corpus
+  * stats, quality scoring, n-gram language ID, and content
+  * fingerprinting. All pure relational/column pipelines — explode +
+  * groupBy + window — so every one of them is a shuffle-bounded
+  * map-reduce at 100 TB, no driver state, no UDFs.
+  */
+object LlmText {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val queries: Map[String, Q] = Map(
+    // tf-idf with top-5 terms per doc (deterministic tiebreak on term).
+    "text_tfidf" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("tfidf"), asc("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf", round(col("tf") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", "term")
+    }),
+
+    // Corpus stats per language.
+    "text_stats" -> ((s, d) =>
+      T.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          round(avg(col("n_tok")), 2).as("avg_toks"),
+          max(col("n_tok")).as("max_toks"))
+        .orderBy("lang")),
+
+    // Per-document quality scoring: token counts, mean token length,
+    // stopword ratio, type-token ratio, composite score.
+    "text_quality" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val totalChars = length(regexp_replace(col("text"), " ", ""))
+      val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+      val ttr = size(array_distinct(toks)).cast("double") / nTok
+      val stopRatio = nStop.cast("double") / nTok
+      T.documents(s, d)
+        .select(col("doc_id"),
+          nTok.as("n_tok"),
+          round(totalChars.cast("double") / nTok, 4).as("mean_tok_len"),
+          round(stopRatio, 4).as("stop_ratio"),
+          round(ttr, 4).as("ttr"),
+          round(log(nTok + 1) * (lit(1) - stopRatio) * ttr, 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID via character-trigram profiles LEARNED FROM THE
+    // CORPUS (top-50 trigrams per language by frequency), then
+    // presence-scored per doc. Train + score are both relational.
+    "text_langid" -> ((s, d) => {
+      val docs = T.documents(s, d).filter(length(col("text")) >= 3)
+      // explode_outer: avoids InferFiltersFromGenerate duplicating the
+      // trigram transform below the exchange (see LlmDedup note).
+      val grams = T.spread(docs).select(col("doc_id"), col("lang"),
+        explode_outer(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("g"))
+      val wp = Window.partitionBy("lang").orderBy(desc("cnt"), asc("g"))
+      val profile = grams.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 50)
+        .select(col("lang").as("plang"), col("g"), col("cnt"))
+      val wd = Window.partitionBy("doc_id").orderBy(desc("score"), asc("plang"))
+      val best = grams.select("doc_id", "g").distinct()
+        .join(broadcast(profile), "g")
+        .groupBy("doc_id", "plang").agg(sum(col("cnt")).as("score"))
+        .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang"))
+      docs.select("doc_id", "lang").join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("plang"), lit("unknown")).as("predicted"))
+        .orderBy("doc_id")
+    }),
+
+    // Content fingerprints: order-insensitive content hash + an
+    // order-sensitive prefix hash (both md5 — portable).
+    "text_fingerprint" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      T.documents(s, d)
+        .select(col("doc_id"),
+          md5(array_join(sort_array(array_distinct(toks)), " ")).as("content_fp"),
+          md5(array_join(slice(toks, 1, 3), " ")).as("prefix_fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tfc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+        |dfc AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln((n_docs + 1)::DOUBLE / (df + 1)), 6) AS tfidf
+        |  FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, term ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5
+        |ORDER BY doc_id, term""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(n_chars) AS sum_chars,
+        |  round(avg(n_chars), 2) AS avg_chars,
+        |  round(avg(len(string_split(text, ' '))), 2) AS avg_toks,
+        |  max(len(string_split(text, ' '))) AS max_toks
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    length(replace(text, ' ', '')) AS total_chars
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_tok,
+        |  round(total_chars::DOUBLE / len(toks), 4) AS mean_tok_len,
+        |  round(len(list_filter(toks, t -> t IN
+        |    ('the', 'a', 'of', 'and', 'to', 'in')))::DOUBLE / len(toks), 4)
+        |    AS stop_ratio,
+        |  round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS ttr,
+        |  round(ln(len(toks) + 1)
+        |    * (1 - len(list_filter(toks, t -> t IN
+        |        ('the', 'a', 'of', 'and', 'to', 'in')))::DOUBLE / len(toks))
+        |    * (len(list_distinct(toks))::DOUBLE / len(toks)), 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+        |grams AS (
+        |  SELECT doc_id, lang,
+        |    unnest([substring(text, i, 3)
+        |            for i in range(1, length(text) - 1)]) AS g
+        |  FROM docs),
+        |profile AS (
+        |  SELECT lang AS plang, g, cnt FROM (
+        |    SELECT lang, g, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY lang
+        |                         ORDER BY count(*) DESC, g ASC) AS rn
+        |    FROM grams GROUP BY lang, g)
+        |  WHERE rn <= 50),
+        |dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        |scores AS (
+        |  SELECT doc_id, plang, sum(cnt) AS score
+        |  FROM dg JOIN profile USING (g) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, plang FROM (
+        |    SELECT doc_id, plang,
+        |      row_number() OVER (PARTITION BY doc_id
+        |                         ORDER BY score DESC, plang ASC) AS rn
+        |    FROM scores)
+        |  WHERE rn = 1)
+        |SELECT d.doc_id, d.lang, coalesce(b.plang, 'unknown') AS predicted
+        |FROM docs d LEFT JOIN best b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+        |      ' ')) AS content_fp,
+        |  md5(array_to_string(list_slice(string_split(text, ' '), 1, 3),
+        |      ' ')) AS prefix_fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

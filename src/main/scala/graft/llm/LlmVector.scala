@@ -1,0 +1,105 @@
+package graft.llm
+
+import graft.T
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.12 Similarity search over embedding columns (Array[Float]).
+  *
+  * Two tiers, same output shape:
+  *   - `knn_cosine`: exact brute-force top-k, label-blocked. The
+  *     quadratic-per-block baseline; dot products are higher-order
+  *     column expressions (zip_with + aggregate), fully codegen'd.
+  *   - `knn_ann`: sign-LSH (axis hyperplanes over the leading dims)
+  *     bucketing, then exact scoring within buckets — the scale path:
+  *     candidate generation is an equi-join on the bucket code, never
+  *     all-pairs. Identical vectors always share a bucket, so
+  *     exact-duplicate retrieval has recall 1 by construction
+  *     (asserted in LlmSpec).
+  *
+  * At 100 TB: block/bucket cardinality is the tuning knob; both plans
+  * are (read → narrow map → one equi-join shuffle → window) with no
+  * driver-side state.
+  */
+object LlmVector {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Exact top-k cosine neighbors within same-`block` groups. */
+  def knnBrute(emb: DataFrame, k: Int, block: String): DataFrame = {
+    val withNorm = graft.T.spread(emb).withColumn("nrm", norm(col("embedding")))
+    val l = withNorm.select(col(block).as("blk"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val r = withNorm.select(col(block).as("blk"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val w = Window.partitionBy("v1").orderBy(desc("cos"), asc("v2"))
+    l.join(r, Seq("blk")).filter(col("v1") =!= col("v2"))
+      .withColumn("cos",
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("v1", "v2", "cos", "rank")
+      .orderBy("v1", "rank")
+  }
+
+  /** Sign-LSH bucket code over the first `nBits` dimensions. */
+  private def signCode(e: Column, nBits: Int): Column =
+    (0 until nBits).map { i =>
+      when(element_at(e, i + 1) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Approximate top-k: exact scoring restricted to shared-bucket pairs. */
+  def knnLsh(emb: DataFrame, k: Int, nBits: Int): DataFrame = {
+    val coded = graft.T.spread(emb)
+      .withColumn("bucket", signCode(col("embedding"), nBits))
+      .withColumn("nrm", norm(col("embedding")))
+    val l = coded.select(col("bucket"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val r = coded.select(col("bucket"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val w = Window.partitionBy("v1").orderBy(desc("cos"), asc("v2"))
+    l.join(r, Seq("bucket")).filter(col("v1") =!= col("v2"))
+      .withColumn("cos",
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("v1", "v2", "cos", "rank")
+      .orderBy("v1", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "knn_cosine" -> ((s, d) =>
+      knnBrute(T.embeddings(s, d), k = 3, block = "label")),
+
+    "knn_ann" -> ((s, d) =>
+      knnLsh(T.embeddings(s, d), k = 3, nBits = 4)),
+
+    // Multimodal row: text + vector + metadata joined into one frame,
+    // projecting typed stats from each modality.
+    "multimodal_join" -> ((s, d) =>
+      T.documents(s, d)
+        .join(T.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(col("embedding")).as("dim"),
+          round(norm(col("embedding")), 4).as("emb_norm"))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_join" ->
+      """SELECT doc_id, lang, n_chars,
+        |  len(embedding) AS dim,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> x::DOUBLE * x::DOUBLE))), 4) AS emb_norm
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin
+  )
+}

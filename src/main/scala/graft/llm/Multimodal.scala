@@ -1,0 +1,81 @@
+package graft.llm
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media payloads as opaque BINARY columns
+  * with typed metadata, processed in partition-sized batches.
+  *
+  * The actual image/audio decoders are NOT in this container, so the
+  * decode step is a clearly-marked deterministic STUB (a byte-histogram
+  * "feature extractor"); everything around it — the binary column
+  * schema, the typed batch boundary (mapPartitions over a Dataset), the
+  * fixed-width feature vector contract, the metadata struct — is the
+  * real plumbing a decoder plugs into. At 100 TB the same shape holds:
+  * payload bytes never leave the executor, features are narrow
+  * columns, and the expensive step is batched per partition.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Decoded-media feature row (fixed-width contract). */
+  final case class MediaFeatures(
+      doc_id: Long, mime: String, n_bytes: Int, features: Array[Float])
+
+  val featureDim = 16
+
+  /** STUB decoder: deterministic byte-bucket histogram, normalized.
+    * Replace with a real image/audio decode when the codec libraries
+    * are present — the signature (bytes in, fixed-width floats out) is
+    * the contract the pipeline depends on.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](featureDim)
+    payload.foreach(b => hist((b & 0xFF) % featureDim) += 1f)
+    val n = math.max(payload.length, 1)
+    hist.map(_ / n)
+  }
+
+  /** Binary-payload frame: (doc_id, payload BINARY, meta STRUCT). In a
+    * real pipeline the payload arrives from the source as bytes; here
+    * the text corpus stands in.
+    */
+  def packed(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(lit("text/plain").as("mime"),
+          length(col("text")).as("n_chars"),
+          col("lang").as("lang")).as("meta"))
+
+  /** Batched decode: typed mapPartitions over the binary column — one
+    * decoder instance per partition, rows streamed through it.
+    */
+  def decoded(s: SparkSession, d: String): DataFrame = {
+    val enc = Encoders.product[MediaFeatures]
+    packed(s, d)
+      .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+      .map { row =>
+        val bytes = row.getAs[Array[Byte]]("payload")
+        MediaFeatures(row.getAs[Long]("doc_id"), row.getAs[String]("mime"),
+          bytes.length, decodeStub(bytes))
+      }(enc)
+      .toDF()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Decode + feature-stat projection; scalar finals only. No oracle
+    // (binary + stub features) — LlmSpec asserts schema, determinism,
+    // and byte accounting.
+    "multimodal_decode" -> ((s, d) =>
+      decoded(s, d)
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          round(sqrt(aggregate(transform(col("features"),
+            x => x.cast("double") * x), lit(0.0), (a, v) => a + v)), 4)
+            .as("feat_norm"))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.llm.{LlmDedup, LlmVector, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** §2.12 operators without a DuckDB oracle: planted-duplicate recall
+  * for the sketch dedups, exact-duplicate retrieval for ANN, stub
+  * plumbing for multimodal.
+  */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+  private def plantedDocs = Seq(
+    (1L, base, "en"),
+    (2L, base + " nu", "en"), // near-dup of 1: J = 10/11
+    (3L, "one two three four five six seven eight nine ten", "en"),
+    (4L, "uno dos tres cuatro cinco seis siete ocho nueve diez", "es"))
+    .toDF("doc_id", "text", "lang")
+
+  test("minhash LSH finds planted near-dups, no false merges") {
+    val pairs = LlmDedup.minhashPairs(plantedDocs, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("minhash recall on the real corpus matches exact ngram jaccard >= 0.35") {
+    val exact = LlmDedup.queries("dedup_ngram")(spark, sf)
+      .filter(col("j") >= 0.5) // well above the LSH design threshold
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sketch = LlmDedup.queries("dedup_minhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(exact.subsetOf(sketch),
+      s"high-jaccard pairs missed by LSH: ${exact -- sketch}")
+  }
+
+  test("simhash: near-dup fingerprints closer than disjoint; exact dup paired") {
+    // Deterministic properties: identical text → identical fingerprint
+    // (band blocking then guarantees candidacy); near-dup hamming is
+    // strictly below any disjoint pair's.
+    val fps = LlmDedup.simhashFingerprints(
+      plantedDocs.unionByName(Seq((5L, base, "en")).toDF("doc_id", "text", "lang")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(fps(1L) == fps(5L), "identical docs must share a fingerprint")
+    assert(ham(1L, 2L) < ham(1L, 3L), s"${ham(1L, 2L)} vs ${ham(1L, 3L)}")
+    assert(ham(1L, 2L) < ham(1L, 4L))
+    val pairs = LlmDedup.simhashPairs(
+      plantedDocs.unionByName(Seq((5L, base, "en")).toDF("doc_id", "text", "lang")),
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)), s"exact dup not paired: $pairs")
+    assert(!pairs.contains((3L, 4L)), s"disjoint docs merged: $pairs")
+  }
+
+  test("ANN retrieves exact duplicates with recall 1 (shared bucket)") {
+    val emb = T.embeddings(spark, sf)
+    val dup = emb.limit(5)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+        col("label"))
+    val ann = LlmVector.knnLsh(emb.unionByName(dup), k = 3, nBits = 4)
+    val top1 = ann.filter(col("rank") === 1 && col("v1") >= 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top1.length == 5)
+    top1.foreach { case (v1, v2, cos) =>
+      assert(v2 == v1 - 100000 && cos == 1.0, s"($v1, $v2, $cos)")
+    }
+  }
+
+  test("brute-force knn: cosine bounds and deterministic ranking") {
+    val out = LlmVector.knnBrute(T.embeddings(spark, sf), 3, "label")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) <= 1.000001 && r.getDouble(2) >= -1.000001))
+    val again = LlmVector.knnBrute(T.embeddings(spark, sf), 3, "label").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("multimodal stub decode: schema, byte accounting, determinism") {
+    val out = Multimodal.decoded(spark, sf)
+    assert(out.columns.toSeq == Seq("doc_id", "mime", "n_bytes", "features"))
+    // payload is utf-8 text here, so n_bytes == length(text)
+    val joined = out.join(T.documents(spark, sf), Seq("doc_id"))
+      .filter(col("n_bytes") =!= length(col("text")))
+    assert(joined.count() == 0)
+    val f1 = out.orderBy("doc_id").limit(3).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("features"))
+    f1.foreach(f => assert(f.length == Multimodal.featureDim))
+    // histogram is normalized: sums to ~1
+    f1.foreach(f => assert(math.abs(f.sum - 1f) < 1e-3))
+  }
+}
