@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators._
+
+/** Physical-plan audits (SURVEY.md §4): the optimizations the engine
+  * relies on must actually appear in the plans — pushdown reaching the
+  * parquet scan, pinned join strategies, top-k compiling to
+  * TakeOrderedAndProject, partial aggregation. Guards against silent
+  * plan regressions that correctness tests can't see.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(key: String, ops: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]): String =
+    ops(key)(spark, sf).queryExecution.executedPlan.toString
+
+  test("scan_pruned pushes the shipdate filter into the parquet scan") {
+    val p = plan("scan_pruned", ScanOps.queries)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("scan_parquet prunes columns at the reader") {
+    val p = plan("scan_parquet", ScanOps.queries)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("join_broadcast compiles to a broadcast hash join") {
+    assert(plan("join_broadcast", JoinOps.queries).contains("BroadcastHashJoin"))
+  }
+
+  test("join_smj honors the merge hint") {
+    assert(plan("join_smj", JoinOps.queries).contains("SortMergeJoin"))
+  }
+
+  test("topk_global compiles to TakeOrderedAndProject (no full sort)") {
+    assert(plan("topk_global", SortOps.queries).contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_group runs partial+final hash aggregation") {
+    val p = plan("agg_group", AggOps.queries)
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final pair")
+  }
+
+  test("join_interval is an equi sort-merge with range residual, not a nested loop") {
+    val p = plan("join_interval", JoinOps.queries)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), "interval join must not be cartesian")
+  }
+
+  test("no accidental cartesian products in equi-join queries") {
+    for (k <- Seq("join_inner", "join_left", "join_semi", "join_anti", "join_asof")) {
+      val p = plan(k, JoinOps.queries)
+      assert(!p.contains("CartesianProduct"), s"$k: $p")
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.plans.CubeParser
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck properties (SURVEY.md §5.3): invariants that hold for
+  * ANY input, not just fixtures — parser roundtrip, dedup latest-wins
+  * + idempotence, windowed top-k ≡ brute force. Generators are driven
+  * directly with fixed seeds (the scalatest-scalacheck bridge isn't in
+  * the offline dependency cache) — deterministic AND property-shaped.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run `body` over `n` seeded samples of `gen`. */
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      val sample = gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"generator exhausted at seed $i"))
+      body(sample)
+    }
+
+  private val code = Gen.choose(0, 99).map(i => f"C$i%02d")
+
+  test("cube parser roundtrip: serialize random cube → parse → same cells") {
+    val cells = Gen.nonEmptyListOf(for {
+      region <- Gen.choose(1, 16).map(i => f"$i%02d")
+      dim    <- code
+      year   <- Gen.choose(1990, 2030)
+      value  <- Gen.choose(0, 9999999)
+      flag   <- Gen.oneOf("e", "p", "r")
+    } yield (region, dim, year, value.toDouble, flag))
+    forAllSeeded(cells) { cs0 =>
+      // one record per (region, dim, year): last write wins in the gen
+      val cs = cs0.groupBy(c => (c._1, c._2, c._3)).map(_._2.head).toSeq
+      val file = java.nio.file.Files.createTempDirectory("cube").resolve("c.csv")
+      val lines = Seq("K;DQ;PROP", "D;DQA;DINSG;1;1", "D;DQA;DIM;2;2",
+        "D;DQZ;JAHR;3", "D;DQI;M;ANZ;FEST;GANZ;0", "D;QEI;DINSG;DIM;JAHR;M") ++
+        cs.map { case (r, dm, y, v, f) => s"D;$r;$dm;$y;${v.toLong};$f" }
+      java.nio.file.Files.writeString(file, lines.mkString("\n"))
+      val parsed = CubeParser.parse(spark, file.toString, "prop")
+        .select("region", "dim_DIM", "time", "value", "quality")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          r.getDouble(3), r.getString(4))).toSet
+      assert(parsed == cs.map(c => (c._1, c._2, c._3, c._4, c._5)).toSet)
+    }
+  }
+
+  test("dedup-latest-wins: one survivor per key, and it IS the max version") {
+    val rows = Gen.nonEmptyListOf(for {
+      key <- Gen.choose(0L, 8L); ver <- Gen.choose(0L, 100L)
+    } yield (key, ver))
+    forAllSeeded(rows) { rs =>
+      val df = rs.toDF("key", "ver")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy(desc("ver"))
+      val dedup = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("key", "ver")
+      val got = dedup.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = rs.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(got == want)
+      // idempotence: dedup of the deduped frame is itself
+      val again = dedup.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("key", "ver")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(again == got)
+    }
+  }
+
+  test("windowed per-group top-k ≡ brute-force group-sort-take") {
+    val rows = Gen.nonEmptyListOf(for {
+      g <- Gen.choose(0, 5); v <- Gen.choose(0, 1000); id <- Gen.choose(0L, 999999L)
+    } yield (g, v, id))
+    forAllSeeded(rows) { rs0 =>
+      val rs = rs0.distinct
+      val df = rs.toDF("g", "v", "id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(desc("v"), asc("id"))
+      val got = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select("g", "v", "id")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      val want = rs.groupBy(_._1).values.flatMap(
+        _.sortBy(t => (-t._2, t._3)).take(3)).toSet
+      assert(got == want)
+    }
+  }
+}
