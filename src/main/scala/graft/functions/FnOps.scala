@@ -33,17 +33,17 @@ object FnOps {
           concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
           regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
           regexp_replace(col("p_name"), " ", "_").as("rep"),
-          length(col("p_name")).as("len"))
+          length(col("p_name")).cast("long").as("len"))
         .orderBy("p_partkey")),
 
     "fn_date" -> ((s, d) =>
       T.orders(s, d)
         .select(col("o_orderkey"),
-          year(col("o_orderdate")).as("yr"),
-          month(col("o_orderdate")).as("mo"),
-          dayofweek(col("o_orderdate")).as("dow"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
           T.dstr(date_trunc("month", col("o_orderdate"))).as("month_start"),
-          datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"),
           date_add(to_date(col("o_orderdate")), 7).cast("string").as("plus7"),
           last_day(col("o_orderdate")).cast("string").as("month_end"),
           unix_timestamp(col("o_orderdate")).as("uts"))
@@ -80,13 +80,13 @@ object FnOps {
       val toks = split(col("text"), " ")
       T.documents(s, d)
         .select(col("doc_id"),
-          size(toks).as("n_toks"),
-          size(array_distinct(toks)).as("n_uniq"),
+          size(toks).cast("long").as("n_toks"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"),
           array_contains(toks, "the").as("has_the"),
           array_join(slice(array_sort(array_distinct(toks)), 1, 3), ",")
             .as("first3"),
           aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
-            .as("total_chars"))
+            .cast("long").as("total_chars"))
         .orderBy("doc_id")
     }),
 

@@ -69,7 +69,7 @@ object UdfOps {
       T.documents(s, d)
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos0", "token")))
-        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("token"))
         .orderBy("doc_id", "pos"))
   )
 

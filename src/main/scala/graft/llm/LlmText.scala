@@ -43,7 +43,7 @@ object LlmText {
         .withColumn("n_tok", size(split(col("text"), " ")))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
           round(avg(col("n_chars")), 2).as("avg_chars"),
           round(avg(col("n_tok")), 2).as("avg_toks"),
           max(col("n_tok")).as("max_toks"))
@@ -60,7 +60,7 @@ object LlmText {
       val stopRatio = nStop.cast("double") / nTok
       T.documents(s, d)
         .select(col("doc_id"),
-          nTok.as("n_tok"),
+          nTok.cast("long").as("n_tok"),
           round(totalChars.cast("double") / nTok, 4).as("mean_tok_len"),
           round(stopRatio, 4).as("stop_ratio"),
           round(ttr, 4).as("ttr"),
@@ -130,7 +130,7 @@ object LlmText {
         |ORDER BY doc_id, term""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(n_chars) AS sum_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  round(avg(n_chars), 2) AS avg_chars,
         |  round(avg(len(string_split(text, ' '))), 2) AS avg_toks,
         |  max(len(string_split(text, ' '))) AS max_toks

@@ -88,7 +88,7 @@ object LlmVector {
       T.documents(s, d)
         .join(T.embeddings(s, d), col("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          size(col("embedding")).as("dim"),
+          size(col("embedding")).cast("long").as("dim"),
           round(norm(col("embedding")), 4).as("emb_norm"))
         .orderBy("doc_id"))
   )

@@ -35,9 +35,9 @@ object WindowOps {
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       T.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          rank().over(byPrice).as("rnk"),
-          dense_rank().over(byPrice).as("drnk"),
-          row_number().over(unique).as("rn"))
+          rank().over(byPrice).cast("long").as("rnk"),
+          dense_rank().over(byPrice).cast("long").as("drnk"),
+          row_number().over(unique).cast("long").as("rn"))
         .orderBy("o_custkey", "rn")
     }),
 
@@ -83,7 +83,7 @@ object WindowOps {
         .orderBy(asc("o_totalprice"), asc("o_orderkey"))
       T.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),
-          ntile(4).over(w).as("quartile"),
+          ntile(4).over(w).cast("long").as("quartile"),
           round(percent_rank().over(w), 6).as("pr"),
           round(cume_dist().over(w), 6).as("cd"))
         .orderBy("o_orderkey")
