@@ -26,6 +26,30 @@ class CubeParserSpec extends SparkSpec {
     assert(rows.last == Row("12411_mini", "11", 2020, "BEVSTD", 1874432.0, "p", "GESW"))
   }
 
+  test("multi-measure cubes explode to one row per measure with paired flags") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("cube").resolve("mm.csv")
+    // Two measures: D;<region>;<year>;<m1>;<q1>;<m2>;<q2>
+    Files.writeString(tmp, Seq(
+      "K;DQ;X",
+      "D;DQA;DINSG;1;1",
+      "D;DQZ;JAHR;2",
+      "D;DQI;BEVSTD;ANZ;FEST;GANZ;0",
+      "D;DQI;FLAECHE;QKM;FEST;DEZ;2",
+      "D;QEI;DINSG;JAHR;BEVSTD;FLAECHE",
+      "D;01;2020;1000;e;34.25;p",
+      "D;02;2020;2000;r;-;x").mkString("\n"))
+    val rows = CubeParser.parse(spark, tmp.toString, "mm")
+      .orderBy("region", "measure").collect()
+    assert(rows.length == 4)
+    val byKey = rows.map(r =>
+      (r.getString(1), r.getString(3)) -> (r.get(4), r.getString(5))).toMap
+    assert(byKey(("01", "BEVSTD")) == (1000.0, "e"))
+    assert(byKey(("01", "FLAECHE")) == (34.25, "p"))
+    assert(byKey(("02", "BEVSTD")) == (2000.0, "r"))
+    assert(byKey(("02", "FLAECHE")) == (null, "x"))
+  }
+
   test("nil/secret value codes parse to NULL with the flag kept") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("cube").resolve("c.csv")

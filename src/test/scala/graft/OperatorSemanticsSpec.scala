@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Per-category edge-case semantics over crafted micro-inputs — the
+  * corners the sf-scale oracle can't isolate: as-of tie-breaks, outer
+  * join null columns, rollup level structure, frame defaults.
+  */
+class OperatorSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of semantics: strict <=, ties to highest key, no-match drops") {
+    val events = Seq((1L, "2020-01-10"), (2L, "2020-01-01"))
+      .toDF("event_id", "ets").withColumn("ets", col("ets").cast("timestamp"))
+    val orders = Seq(
+      (10L, 1L, "2020-01-10"), // equal ts: <= keeps it
+      (11L, 1L, "2020-01-10"), // tie on date: higher key wins
+      (12L, 1L, "2020-01-05"),
+      (13L, 2L, "2020-01-05")) // after event 2: dropped → event 2 no match
+      .toDF("okey", "ouser", "odate").withColumn("odate", col("odate").cast("timestamp"))
+    val out = events.join(orders,
+        col("event_id") === col("ouser") && col("odate") <= col("ets"))
+      .groupBy("event_id")
+      .agg(max(struct(col("odate"), col("okey"))).as("best"))
+      .select(col("event_id"), col("best.okey"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 11L)) // equal-date tie → key 11; event 2 dropped
+  }
+
+  test("left join keeps unmatched rows with null-derived zero counts") {
+    val c = Seq((1L, "a"), (2L, "b")).toDF("ck", "nm")
+    val o = Seq((1L, 100L)).toDF("ok_ck", "ok")
+    val out = c.join(o, col("ck") === col("ok_ck"), "left")
+      .groupBy("ck").agg(count(col("ok")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L))
+  }
+
+  test("rollup emits every prefix level exactly once") {
+    val df = Seq(("r1", "n1"), ("r1", "n2"), ("r2", "n1"))
+      .toDF("r", "n")
+    val out = df.rollup(col("r"), col("n")).agg(count(lit(1)).as("c"))
+      .select(coalesce(col("r"), lit("ALL")), coalesce(col("n"), lit("ALL")), col("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("r1", "n1", 1L), ("r1", "n2", 1L), ("r2", "n1", 1L), // leaves
+      ("r1", "ALL", 2L), ("r2", "ALL", 1L),                 // per-r subtotals
+      ("ALL", "ALL", 3L)))                                  // grand total
+  }
+
+  test("default window frame truncates last_value at current row — ours must not") {
+    val df = Seq((1, 10), (1, 20), (1, 30)).toDF("g", "v")
+    val defaultFrame = Window.partitionBy("g").orderBy("v")
+    val fullFrame = defaultFrame
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rows = df.select(
+        last(col("v")).over(defaultFrame).as("broken"),
+        last(col("v")).over(fullFrame).as("correct"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.map(_._1).toSet == Set(10, 20, 30), "default frame is running")
+    assert(rows.map(_._2).toSet == Set(30), "full frame sees the true last")
+  }
+
+  test("except is set semantics (dedup), union preserves then distinct dedups") {
+    val a = Seq(1, 1, 2, 3).toDF("x")
+    val b = Seq(3).toDF("x")
+    assert(a.except(b).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(a.union(b).count() == 5)
+    assert(a.union(b).distinct().count() == 3)
+  }
+
+  test("weighted-mean Aggregator matches hand computation incl. empty group guard") {
+    val df = Seq(("g", 2.0, 1.0), ("g", 4.0, 3.0)).toDF("k", "x", "w")
+    val wmean = udaf(graft.functions.UdfOps.weightedMean)
+    val got = df.groupBy("k").agg(wmean(col("x"), col("w"))).collect()(0).getDouble(1)
+    assert(got == 3.5) // (2*1 + 4*3) / 4
+  }
+}
