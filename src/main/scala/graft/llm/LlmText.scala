@@ -75,16 +75,20 @@ object LlmText {
       val docs = T.documents(s, d).filter(length(col("text")) >= 3)
       // explode_outer: avoids InferFiltersFromGenerate duplicating the
       // trigram transform below the exchange (see LlmDedup note).
+      // Document-frequency profiles (distinct doc-gram pairs) let ONE
+      // deduplicated frame feed both the profile build and the scoring
+      // join — by-occurrence profiles would need a second full explode.
       val grams = T.spread(docs).select(col("doc_id"), col("lang"),
         explode_outer(expr(
           "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
           .as("g"))
+        .distinct()
       val wp = Window.partitionBy("lang").orderBy(desc("cnt"), asc("g"))
       val profile = grams.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 50)
         .select(col("lang").as("plang"), col("g"), col("cnt"))
       val wd = Window.partitionBy("doc_id").orderBy(desc("score"), asc("plang"))
-      val best = grams.select("doc_id", "g").distinct()
+      val best = grams.select("doc_id", "g")
         .join(broadcast(profile), "g")
         .groupBy("doc_id", "plang").agg(sum(col("cnt")).as("score"))
         .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
@@ -156,10 +160,11 @@ object LlmText {
       """WITH docs AS (
         |  SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
         |grams AS (
-        |  SELECT doc_id, lang,
-        |    unnest([substring(text, i, 3)
-        |            for i in range(1, length(text) - 1)]) AS g
-        |  FROM docs),
+        |  SELECT DISTINCT doc_id, lang, g FROM (
+        |    SELECT doc_id, lang,
+        |      unnest([substring(text, i, 3)
+        |              for i in range(1, length(text) - 1)]) AS g
+        |    FROM docs)),
         |profile AS (
         |  SELECT lang AS plang, g, cnt FROM (
         |    SELECT lang, g, count(*) AS cnt,
@@ -167,7 +172,7 @@ object LlmText {
         |                         ORDER BY count(*) DESC, g ASC) AS rn
         |    FROM grams GROUP BY lang, g)
         |  WHERE rn <= 50),
-        |dg AS (SELECT DISTINCT doc_id, g FROM grams),
+        |dg AS (SELECT doc_id, g FROM grams),
         |scores AS (
         |  SELECT doc_id, plang, sum(cnt) AS score
         |  FROM dg JOIN profile USING (g) GROUP BY 1, 2),

@@ -70,6 +70,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState (Spark 4 API) keeps RocksDB-backed state across batches") {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig}
+    import org.apache.spark.sql.streaming.ValueState
+    import org.apache.spark.sql.Encoders
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      class Counter extends StatefulProcessor[Long, (Long, Long), StreamOps.UserCount] {
+        @transient private var st: ValueState[Long] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+        override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+            timers: org.apache.spark.sql.streaming.TimerValues): Iterator[StreamOps.UserCount] = {
+          val n = Option(st.get()).getOrElse(0L) + rows.size
+          st.update(n)
+          Iterator(StreamOps.UserCount(key, n))
+        }
+      }
+      val in = MemoryStream[(Long, Long)]
+      val out = in.toDS().groupByKey(_._1)
+        .transformWithState(new Counter, TimeMode.None(), OutputMode.Update())
+      val q = out.writeStream.format("memory").queryName("tws_sink")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        in.addData((1L, 10L), (1L, 11L))
+        q.processAllAvailable()
+        in.addData((1L, 12L), (2L, 13L))
+        q.processAllAvailable()
+        val last = spark.table("tws_sink")
+          .groupBy("user_id").agg(max("n_events").as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(last == Map(1L -> 3L, 2L -> 1L), last.toString)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session_window: only a gap STRICTLY over 30 min starts a new session") {
     // FIXTURES.md §C: events 00:00, 00:20, 00:49, 01:30 with 30-min gap
     // → sessions {00:00..00:49 (3)}, {01:30 (1)}. A gap of exactly
