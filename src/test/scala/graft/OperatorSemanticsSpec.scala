@@ -70,6 +70,38 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(a.union(b).distinct().count() == 3)
   }
 
+  test("agg_approx HLL distinct is within ±5% of exact per group") {
+    val approx = graft.operators.AggOps.queries("agg_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = T.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) <= math.max(1L, (e * 0.05).toLong),
+        s"$k: approx ${approx(k)} vs exact $e")
+    }
+  }
+
+  test("fn_map: per-user totals equal raw event counts; str_to_map lookup") {
+    val out = graft.functions.FnOps.queries("fn_map")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getString(5)))
+    val counts = T.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (uid, total, s2m) =>
+      assert(total == counts(uid), s"user $uid")
+      assert(s2m == "2")
+    }
+  }
+
+  test("stream_sliding: every event lands in exactly 4 of the 1h/15min windows") {
+    val windows = graft.streaming.StreamOps.queries("stream_sliding")(spark, sf)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val events = T.events(spark, sf).count()
+    assert(windows == 4 * events, s"$windows window-memberships for $events events")
+  }
+
   test("weighted-mean Aggregator matches hand computation incl. empty group guard") {
     val df = Seq(("g", 2.0, 1.0), ("g", 4.0, 3.0)).toDF("k", "x", "w")
     val wmean = udaf(graft.functions.UdfOps.weightedMean)
