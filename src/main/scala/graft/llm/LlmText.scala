@@ -99,6 +99,22 @@ object LlmText {
         .orderBy("doc_id")
     }),
 
+    // Token counting under two tokenizers: whitespace and a BPE-ish
+    // pre-tokenizer regex (letter runs / digits / punctuation runs —
+    // the shape subword tokenizers pre-split on). Ratio ≈ tokens per
+    // word, a standard cost estimate for LLM training data.
+    "text_tokens" -> ((s, d) => {
+      val bpeish = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+"
+      T.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(bpeish), lit(0)))
+            .cast("long").as("bpeish_tokens"))
+        .withColumn("ratio", round(col("bpeish_tokens").cast("double") /
+          col("ws_tokens"), 4))
+        .orderBy("doc_id")
+    }),
+
     // Content fingerprints: order-insensitive content hash + an
     // order-sensitive prefix hash (both md5 — portable).
     "text_fingerprint" -> ((s, d) => {
@@ -186,6 +202,14 @@ object LlmText {
         |SELECT d.doc_id, d.lang, coalesce(b.plang, 'unknown') AS predicted
         |FROM docs d LEFT JOIN best b ON d.doc_id = b.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+'))
+        |    AS bpeish_tokens,
+        |  round(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+'))::DOUBLE
+        |        / len(string_split(text, ' ')), 4) AS ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),

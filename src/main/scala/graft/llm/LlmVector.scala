@@ -75,12 +75,37 @@ object LlmVector {
       .orderBy("v1", "rank")
   }
 
+  /** Near-duplicate vector pairs: shared-bucket candidates, exact
+    * cosine verification at `threshold`.
+    */
+  def embedDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val coded = graft.T.spread(emb)
+      .withColumn("bucket", signCode(col("embedding"), 4))
+      .withColumn("nrm", norm(col("embedding")))
+    val l = coded.select(col("bucket"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val r = coded.select(col("bucket"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    l.join(r, Seq("bucket")).filter(col("v1") < col("v2"))
+      .withColumn("cos",
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cos") >= threshold)
+      .select("v1", "v2", "cos")
+      .orderBy("v1", "v2")
+  }
+
   val queries: Map[String, Q] = Map(
     "knn_cosine" -> ((s, d) =>
       knnBrute(T.embeddings(s, d), k = 3, block = "label")),
 
     "knn_ann" -> ((s, d) =>
       knnLsh(T.embeddings(s, d), k = 3, nBits = 4)),
+
+    // Embedding-cosine near-dup: vector pairs above a cosine threshold,
+    // via the same sign-LSH candidate path (identical/near-identical
+    // vectors share buckets; never all-pairs). Planted-dup recall is
+    // asserted in LlmSpec — no oracle (FP + no planted dups at rest).
+    "dedup_embed" -> ((s, d) => embedDupPairs(T.embeddings(s, d), 0.95)),
 
     // Multimodal row: text + vector + metadata joined into one frame,
     // projecting typed stats from each modality.

@@ -70,6 +70,20 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("embedding-cosine dedup finds planted duplicate vectors") {
+    val emb = T.embeddings(spark, sf)
+    val dup = emb.limit(3)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+        col("label"))
+    val pairs = LlmVector.embedDupPairs(emb.unionByName(dup), 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = pairs.filter(_._2 >= 100000)
+    assert(planted.length >= 3, s"planted dups not all found: ${planted.toSeq}")
+    planted.foreach { case (v1, v2, cos) =>
+      assert(v2 - 100000 == v1 && cos == 1.0, s"($v1, $v2, $cos)")
+    }
+  }
+
   test("brute-force knn: cosine bounds and deterministic ranking") {
     val out = LlmVector.knnBrute(T.embeddings(spark, sf), 3, "label")
     val rows = out.collect()
