@@ -18,10 +18,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     // Sorted order: stable round-over-round per-query comparisons.
+    // Two timed runs, min reported: single-run times are bimodal under
+    // ambient load (same query measured 3 s and 10.7 s minutes apart);
+    // min-of-2 is the standard noise-robust point estimate.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -8,9 +8,9 @@ import org.apache.spark.sql.expressions.Window
 /** §2.12 Similarity search over embedding columns (Array[Float]).
   *
   * Two tiers, same output shape:
-  *   - `knn_cosine`: exact brute-force top-k, label-blocked. The
-  *     quadratic-per-block baseline; dot products are higher-order
-  *     column expressions (zip_with + aggregate), fully codegen'd.
+  *   - `knn_cosine`: exact brute-force top-k, label-blocked — the
+  *     quadratic-per-block baseline; dot products use the native
+  *     codegen'd [[graft.functions.DotProduct]] expression.
   *   - `knn_ann`: sign-LSH (axis hyperplanes over the leading dims)
   *     bucketing, then exact scoring within buckets — the scale path:
   *     candidate generation is an equi-join on the bucket code, never
@@ -25,16 +25,20 @@ import org.apache.spark.sql.expressions.Window
 object LlmVector {
   type Q = (SparkSession, String) => DataFrame
 
+  // Codegen'd native expression (graft.functions.DotProduct): the dot
+  // product is the innermost per-candidate-pair loop — the one place a
+  // higher-order `aggregate(zip_with(...))` (interpreted, per-lambda
+  // dispatch) measurably hurts. Same left-to-right double accumulation
+  // → bit-identical results to the higher-order form (asserted in
+  // VectorExprSpec).
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x),
-      lit(0.0), (acc, v) => acc + v))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Exact top-k cosine neighbors within same-`block` groups. */
   def knnBrute(emb: DataFrame, k: Int, block: String): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
     val withNorm = graft.T.spread(emb).withColumn("nrm", norm(col("embedding")))
     val l = withNorm.select(col(block).as("blk"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
@@ -58,6 +62,7 @@ object LlmVector {
 
   /** Approximate top-k: exact scoring restricted to shared-bucket pairs. */
   def knnLsh(emb: DataFrame, k: Int, nBits: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
     val coded = graft.T.spread(emb)
       .withColumn("bucket", signCode(col("embedding"), nBits))
       .withColumn("nrm", norm(col("embedding")))
@@ -79,6 +84,7 @@ object LlmVector {
     * cosine verification at `threshold`.
     */
   def embedDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
     val coded = graft.T.spread(emb)
       .withColumn("bucket", signCode(col("embedding"), 4))
       .withColumn("nrm", norm(col("embedding")))
@@ -109,13 +115,15 @@ object LlmVector {
 
     // Multimodal row: text + vector + metadata joined into one frame,
     // projecting typed stats from each modality.
-    "multimodal_join" -> ((s, d) =>
+    "multimodal_join" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
       T.documents(s, d)
         .join(T.embeddings(s, d), col("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           size(col("embedding")).cast("long").as("dim"),
           round(norm(col("embedding")), 4).as("emb_norm"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(

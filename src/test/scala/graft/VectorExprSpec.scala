@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.functions._
+
+/** Native DotProduct expression: bit-identical to the higher-order
+  * formulation, null-element handling, and actually codegen'd.
+  */
+class VectorExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hoDot = (a: String, b: String) =>
+    aggregate(zip_with(col(a), col(b), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("graft_dot ≡ higher-order aggregate(zip_with) bit-for-bit") {
+    val emb = T.embeddings(spark, sf)
+    val paired = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      .crossJoin(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")))
+      .filter(col("v1") < col("v2")).limit(500)
+    val diff = paired
+      .withColumn("a", VectorExpressions.dotProduct(spark, col("e1"), col("e2")))
+      .withColumn("b", hoDot("e1", "e2"))
+      .filter(col("a") =!= col("b")) // exact double comparison
+      .count()
+    assert(diff == 0)
+  }
+
+  test("null elements contribute zero") {
+    VectorExpressions.register(spark)
+    val df = Seq((Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](2f, 5f, 4f)))
+      .toDF("a", "b")
+    val got = df.select(call_function("graft_dot", col("a"), col("b")))
+      .collect()(0).getDouble(0)
+    assert(got == 1.0 * 2 + 3.0 * 4)
+  }
+
+  test("null array input yields null, and codegen path is exercised") {
+    VectorExpressions.register(spark)
+    val df = Seq((Option.empty[Seq[Float]], Some(Seq(1f, 2f)))).toDF("a", "b")
+    val row = df.select(call_function("graft_dot", col("a"), col("b"))).collect()(0)
+    assert(row.isNullAt(0))
+    // whole-stage codegen must not fall back for a simple projection —
+    // the `*(n)` prefix marks a WholeStageCodegen span in simpleString
+    val plan = T.embeddings(spark, sf)
+      .select(call_function("graft_dot", col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_dot"), plan)
+  }
+}
