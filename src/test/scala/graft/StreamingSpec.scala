@@ -111,6 +111,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("file-source readStream over the events parquet matches the batch read") {
+    // The real source surface: readStream over a parquet directory with
+    // AvailableNow, same transforms as batch (window agg), memory sink.
+    // the file source requires a DIRECTORY; stage the single file
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(src, dir.resolve("part-0.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema // ts LONG under nanosAsLong
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(date_trunc("second", col("ts")), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("fs_sink")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val streamed = spark.table("fs_sink").agg(sum("n")).collect()(0).getLong(0)
+      val batch = T.events(spark, sf).count()
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("session_window: only a gap STRICTLY over 30 min starts a new session") {
     // FIXTURES.md §C: events 00:00, 00:20, 00:49, 01:30 with 30-min gap
     // → sessions {00:00..00:49 (3)}, {01:30 (1)}. A gap of exactly
