@@ -80,6 +80,40 @@ object LlmVector {
       .orderBy("v1", "rank")
   }
 
+  /** IVF-style approximate top-k: coarse-quantize every vector to its
+    * nearest of `nCells` centroid vectors (here: deterministically the
+    * lowest-id vectors — at scale, k-means centroids slot in without
+    * changing the plan), then score exactly within cells (nprobe = 1).
+    * The centroid table broadcasts; assignment is a linear pass; the
+    * candidate join is an equi-join on cell id — never all-pairs.
+    */
+  def knnIvf(emb: DataFrame, k: Int, nCells: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val spreadEmb = graft.T.spread(emb).withColumn("nrm", norm(col("embedding")))
+    val centroids = emb.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .withColumn("cnrm", norm(col("ce")))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+    val assigned = spreadEmb.crossJoin(broadcast(centroids))
+      .withColumn("csim", dot(col("embedding"), col("ce")) /
+        (col("nrm") * col("cnrm")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("cid").as("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    val l = assigned.select(col("cell"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val r = assigned.select(col("cell"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val w = Window.partitionBy("v1").orderBy(desc("cos"), asc("v2"))
+    l.join(r, Seq("cell")).filter(col("v1") =!= col("v2"))
+      .withColumn("cos",
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("v1", "v2", "cos", "rank")
+      .orderBy("v1", "rank")
+  }
+
   /** Near-duplicate vector pairs: shared-bucket candidates, exact
     * cosine verification at `threshold`.
     */
@@ -106,6 +140,10 @@ object LlmVector {
 
     "knn_ann" -> ((s, d) =>
       knnLsh(T.embeddings(s, d), k = 3, nBits = 4)),
+
+    // IVF coarse-quantization variant of ANN (nprobe=1, 16 cells).
+    "knn_ivf" -> ((s, d) =>
+      knnIvf(T.embeddings(s, d), k = 3, nCells = 16)),
 
     // Embedding-cosine near-dup: vector pairs above a cosine threshold,
     // via the same sign-LSH candidate path (identical/near-identical

@@ -84,6 +84,19 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: duplicates land in the same cell and are retrieved at cos 1") {
+    val emb = T.embeddings(spark, sf)
+    val dup = emb.orderBy("vec_id").limit(100).orderBy(desc("vec_id")).limit(5)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val ivf = LlmVector.knnIvf(emb.unionByName(dup), k = 3, nCells = 16)
+    val top1 = ivf.filter(col("rank") === 1 && col("v1") >= 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top1.length == 5)
+    top1.foreach { case (v1, v2, cos) =>
+      assert(v2 == v1 - 100000 && cos == 1.0, s"($v1, $v2, $cos)")
+    }
+  }
+
   test("brute-force knn: cosine bounds and deterministic ranking") {
     val out = LlmVector.knnBrute(T.embeddings(spark, sf), 3, "label")
     val rows = out.collect()

@@ -69,6 +69,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("session_window ≡ gaps-and-islands brute force on random event times") {
+    val gapSec = 1800L
+    val rows = Gen.nonEmptyListOf(for {
+      u <- Gen.choose(0L, 3L)
+      t <- Gen.choose(0L, 4L * 3600) // seconds over a 4h span
+    } yield (u, t))
+    forAllSeeded(rows) { rs0 =>
+      val rs = rs0.distinct
+      val df = rs.toDF("u", "sec")
+        .withColumn("ts", expr("timestamp_seconds(sec)"))
+      val got = df.groupBy(session_window(col("ts"), "30 minutes"), col("u"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      // brute force: sort per user, break when gap > 30 min (Spark's
+      // session interval is right-closed — equality merges)
+      val want = rs.groupBy(_._1).view.mapValues { es =>
+        val ts = es.map(_._2).sorted
+        val (counts, _) = ts.tail.foldLeft((List(1L), ts.head)) {
+          case ((c :: rest, prev), t) =>
+            if (t - prev > gapSec) (1L :: c :: rest, t) else ((c + 1) :: rest, t)
+          case ((Nil, _), t) => (List(1L), t)
+        }
+        counts.sorted
+      }.toMap
+      assert(got == want.map { case (k, v) => k -> v.toSeq },
+        s"got $got want $want")
+    }
+  }
+
   test("windowed per-group top-k ≡ brute-force group-sort-take") {
     val rows = Gen.nonEmptyListOf(for {
       g <- Gen.choose(0, 5); v <- Gen.choose(0, 1000); id <- Gen.choose(0L, 999999L)
