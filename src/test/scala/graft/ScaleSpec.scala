@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanics evidence: bucketed co-located joins eliminate the
+  * join shuffle, and salted aggregation matches the plain aggregate
+  * under skew.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with NO shuffle exchange on either side") {
+    // warehouse dir is a temp dir set at session build (SparkSpec)
+    val o = T.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = T.customer(spark, sf).select("c_custkey", "c_name")
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_b")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_b")
+    // disable broadcast so the join strategy must exploit bucketing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == T.orders(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted aggregation equals the plain aggregate under heavy skew") {
+    // 90% of rows share one key — the salted path must still agree.
+    val rows = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i.toDouble))
+    val df = rows.toDF("k", "v").repartition(8)
+    val got = Skew.saltedSumCount(df, "k", col("v"), salt = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val want = df.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    // compare with FP tolerance on the sums (different add order)
+    val gm = got.map(t => t._1 -> t).toMap; val wm = want.map(t => t._1 -> t).toMap
+    assert(gm.keySet == wm.keySet)
+    gm.keySet.foreach { k =>
+      assert(math.abs(gm(k)._2 - wm(k)._2) < 1e-6 && gm(k)._3 == wm(k)._3)
+    }
+  }
+}
