@@ -14,14 +14,22 @@ object Skew {
 
   /** Salted equivalent of `df.groupBy(key).agg(sum(value) as "sum_v",
     * count(*) as "n")`, safe under arbitrary key skew.
+    *
+    * Helper columns live in a fresh 2-column projection, so they can
+    * never collide with caller columns regardless of the input schema;
+    * only the output names (key, "sum_v", "n") are claimed.
     */
   def saltedSumCount(df: DataFrame, key: String, value: Column,
       salt: Int): DataFrame = {
-    val salted = df
-      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
-      .groupBy(col(key), col("__salt"))
-      .agg(sum(value).as("__s"), count(lit(1)).as("__n"))
-    salted.groupBy(col(key))
-      .agg(sum(col("__s")).as("sum_v"), sum(col("__n")).as("n"))
+    require(key != "sum_v" && key != "n",
+      s"key '$key' collides with an output column name")
+    val kv = df.select(col(key).as("k"), value.as("v"))
+    val salted = kv
+      .withColumn("s", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+      .groupBy(col("k"), col("s"))
+      .agg(sum(col("v")).as("ps"), count(lit(1)).as("pn"))
+    salted.groupBy(col("k"))
+      .agg(sum(col("ps")).as("sum_v"), sum(col("pn")).as("n"))
+      .withColumnRenamed("k", key)
   }
 }

@@ -57,6 +57,13 @@ object CubeParser {
     }.toMap
     val order = hdr.collectFirst { case Seq("D", "QEI", cols @ _*) => cols }
       .getOrElse(sys.error(s"$path: no D;QEI column-order record"))
+    // QEI must mention only declared columns: silently filtering an
+    // undeclared name would shift every positional slot after it and
+    // misparse the whole file — fail loudly instead.
+    val undeclared = order.filterNot((axes.toSet + time ++ measures).contains)
+    if (undeclared.nonEmpty)
+      sys.error(s"$path: QEI references undeclared columns: " +
+        undeclared.mkString(", "))
     // Respect QEI ordering for everything positional.
     Layout(cubeName,
       order.filter(axes.contains), time, order.filter(measures.contains),
@@ -70,15 +77,23 @@ object CubeParser {
   def parse(spark: SparkSession, path: String, cubeName: String): DataFrame = {
     val lo = readLayout(spark, path, cubeName)
     val toks = split(col("value"), ";", -1)
-    // Data records: "D;" prefix but NOT a header tag in slot 1.
+    val nAxes = lo.axes.size
+    // Data records: "D;" prefix and not a header. A tag in slot 2 alone
+    // does NOT make a row a header — a data record whose first axis
+    // value collides with a tag is still data when it has the layout's
+    // exact record shape (token count AND an integer in the time slot;
+    // header D-rows carry a column NAME there). rlike, not cast: ANSI
+    // mode throws on a malformed cast instead of nulling.
+    val expectedLen = 2 + nAxes + 2 * lo.measures.size
     val data = spark.read.text(path)
       .filter(col("value").startsWith("D;") &&
-              !element_at(toks, 2).isin(headerTags.toSeq: _*))
+              (!element_at(toks, 2).isin(headerTags.toSeq: _*) ||
+               (size(toks) === expectedLen &&
+                element_at(toks, nAxes + 2).rlike("^-?[0-9]+$"))))
       .select(toks.as("t"))
 
     // QEI order: D; axes… time measures… — each measure value is
     // followed by its quality flag. element_at is 1-based; slot 1 = "D".
-    val nAxes = lo.axes.size
     def slot(i: Int): Column = element_at(col("t"), i)
     val axisCols = lo.axes.zipWithIndex.map { case (a, i) =>
       slot(i + 2).as(s"dim_$a")

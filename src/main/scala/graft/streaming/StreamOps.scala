@@ -66,12 +66,15 @@ object StreamOps {
         .orderBy("user_id", "session_start")),
 
     // Exact dedup — in readStream mode the same call maintains a
-    // watermark-bounded state store of seen keys.
+    // watermark-bounded state store of seen keys. Dedup on ALL emitted
+    // columns: dropDuplicates("event_id") alone keeps an arbitrary
+    // (user_id, event_type) per key, which only matches the DISTINCT
+    // oracle while event_id happens to be unique in the testdata.
     "stream_dedup" -> ((s, d) =>
       T.events(s, d)
-        .dropDuplicates("event_id")
         .select("event_id", "user_id", "event_type")
-        .orderBy("event_id")),
+        .dropDuplicates("event_id", "user_id", "event_type")
+        .orderBy("event_id", "user_id", "event_type")),
 
     // Watermark + tumbling agg: batch mode ignores the watermark (this
     // oracle-checks the aggregation); late-data drop is asserted in
@@ -134,7 +137,7 @@ object StreamOps {
         |ORDER BY user_id, session_start""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type FROM events
-        |ORDER BY event_id""".stripMargin,
+        |ORDER BY event_id, user_id, event_type""".stripMargin,
     "stream_watermark" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes',
         |         date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS win_start,

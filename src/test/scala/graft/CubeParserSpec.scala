@@ -50,6 +50,43 @@ class CubeParserSpec extends SparkSpec {
     assert(byKey(("02", "FLAECHE")) == (null, "x"))
   }
 
+  test("data record whose first axis value collides with a header tag survives") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("cube").resolve("tag.csv")
+    // Region code literally "DQA": header-tag collision in slot 2. The
+    // record has the layout's exact data shape (5 tokens, int time), so
+    // the parser must keep it.
+    Files.writeString(tmp, Seq(
+      "K;DQ;X",
+      "D;DQA;DINSG;1;1",
+      "D;DQZ;JAHR;2",
+      "D;DQI;M1;ANZ;FEST;GANZ;0",
+      "D;QEI;DINSG;JAHR;M1",
+      "D;DQA;2020;7;e",
+      "D;01;2020;42;e").mkString("\n"))
+    val rows = CubeParser.parse(spark, tmp.toString, "tagclash")
+      .orderBy("region").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(1)).toSeq == Seq("01", "DQA"))
+    assert(rows.map(_.get(4)).toSeq == Seq(42.0, 7.0))
+  }
+
+  test("QEI naming an undeclared column fails loudly, not silently") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("cube").resolve("bad.csv")
+    Files.writeString(tmp, Seq(
+      "K;DQ;X",
+      "D;DQA;DINSG;1;1",
+      "D;DQZ;JAHR;2",
+      "D;DQI;M1;ANZ;FEST;GANZ;0",
+      "D;QEI;DINSG;JAHR;GHOST;M1",
+      "D;01;2020;42;e").mkString("\n"))
+    val e = intercept[RuntimeException] {
+      CubeParser.readLayout(spark, tmp.toString, "bad")
+    }
+    assert(e.getMessage.contains("GHOST"))
+  }
+
   test("nil/secret value codes parse to NULL with the flag kept") {
     import java.nio.file.{Files, Paths}
     val tmp = Files.createTempDirectory("cube").resolve("c.csv")

@@ -31,6 +31,19 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("salted aggregation tolerates caller columns named like its helpers") {
+    // Input already has columns "s", "ps", "pn" — the helper must not care.
+    val df = (1L to 100L).map(i => (i % 3, i.toDouble, "x", 1, 2))
+      .toDF("k2", "val", "s", "ps", "pn")
+    val got = Skew.saltedSumCount(df, "k2", col("val"), salt = 4)
+      .orderBy("k2").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val want = df.groupBy("k2").agg(sum("val").as("sum_v"), count(lit(1)).as("n"))
+      .orderBy("k2").collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && math.abs(g._2 - w._2) < 1e-6 && g._3 == w._3)
+    }
+  }
+
   test("salted aggregation equals the plain aggregate under heavy skew") {
     // 90% of rows share one key — the salted path must still agree.
     val rows = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i.toDouble))
