@@ -90,8 +90,8 @@ object FnOps {
         .orderBy("doc_id")
     }),
 
-    // Map family — no oracle (DuckDB map semantics differ); covered by
-    // FnSpec. Scalar lookups in the final projection.
+    // Map family — map lives only mid-plan; the final projection is all
+    // scalars, so the per-type pivot CTE oracle below checks it.
     "fn_map" -> ((s, d) => {
       val perType = T.events(s, d).groupBy("user_id", "event_type").count()
       perType.groupBy("user_id")
@@ -101,7 +101,7 @@ object FnOps {
         .select(col("user_id"),
           element_at(col("m"), "click").as("n_click"),
           element_at(col("m"), "error").as("n_error"),
-          size(map_keys(col("m"))).as("n_types"),
+          size(map_keys(col("m"))).cast("long").as("n_types"),
           aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("total"),
           element_at(str_to_map(lit("a:1,b:2"), lit(","), lit(":")), "b").as("s2m"))
         .orderBy("user_id")
@@ -179,6 +179,17 @@ object FnOps {
         |    list_sort(list_distinct(string_split(text, ' '))), 1, 3), ',') AS first3,
         |  length(replace(text, ' ', '')) AS total_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_map" ->
+      """WITH pt AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  max(CASE WHEN event_type = 'click' THEN n END) AS n_click,
+        |  max(CASE WHEN event_type = 'error' THEN n END) AS n_error,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(n) AS BIGINT) AS total,
+        |  '2' AS s2m
+        |FROM pt GROUP BY user_id ORDER BY user_id""".stripMargin,
     "fn_json" ->
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,

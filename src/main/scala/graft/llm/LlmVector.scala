@@ -148,7 +148,7 @@ object LlmVector {
     // Embedding-cosine near-dup: vector pairs above a cosine threshold,
     // via the same sign-LSH candidate path (identical/near-identical
     // vectors share buckets; never all-pairs). Planted-dup recall is
-    // asserted in LlmSpec — no oracle (FP + no planted dups at rest).
+    // asserted in LlmSpec; the oracle replays bucket+threshold in SQL.
     "dedup_embed" -> ((s, d) => embedDupPairs(T.embeddings(s, d), 0.95)),
 
     // Multimodal row: text + vector + metadata joined into one frame,
@@ -164,7 +164,80 @@ object LlmVector {
     })
   )
 
+  // Oracle dialect note: `list_reduce(list, (a,b) -> a+b)` folds LEFT
+  // TO RIGHT, exactly like [[graft.functions.DotProduct]]'s accumulator
+  // (and list_reduce's no-init fold starts at x1 = 0.0 + x1) — so the
+  // doubles are bit-identical between engines and round(·, 6) agrees.
+  // A list_sum / list_cosine_similarity formulation would NOT carry
+  // that guarantee (unspecified summation order/precision).
+  private val duckNorm =
+    "sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (a,b) -> a+b))"
+  private def duckDot(l: String, r: String) =
+    s"list_reduce(list_transform(list_zip($l.embedding, $r.embedding), " +
+      "z -> z[1]::DOUBLE * z[2]::DOUBLE), (x,y) -> x+y)"
+  // Sign-LSH bucket over the first 4 dims — mirrors signCode(e, 4).
+  private val duckBucket =
+    """(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+      | + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+      | + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+      | + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "knn_cosine" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding, $duckNorm AS nrm FROM embeddings),
+        |p AS (
+        |  SELECT l.vec_id AS v1, r.vec_id AS v2,
+        |    round(${duckDot("l", "r")} / (l.nrm * r.nrm), 6) AS cos
+        |  FROM e l JOIN e r ON l.label = r.label AND l.vec_id <> r.vec_id),
+        |rk AS (
+        |  SELECT v1, v2, cos, row_number() OVER (
+        |    PARTITION BY v1 ORDER BY cos DESC, v2) AS "rank" FROM p)
+        |SELECT v1, v2, cos, "rank" FROM rk WHERE "rank" <= 3
+        |ORDER BY v1, "rank"""".stripMargin,
+    "knn_ann" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, $duckBucket AS bucket, embedding, $duckNorm AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT l.vec_id AS v1, r.vec_id AS v2,
+        |    round(${duckDot("l", "r")} / (l.nrm * r.nrm), 6) AS cos
+        |  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+        |rk AS (
+        |  SELECT v1, v2, cos, row_number() OVER (
+        |    PARTITION BY v1 ORDER BY cos DESC, v2) AS "rank" FROM p)
+        |SELECT v1, v2, cos, "rank" FROM rk WHERE "rank" <= 3
+        |ORDER BY v1, "rank"""".stripMargin,
+    "knn_ivf" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        |c AS (
+        |  SELECT vec_id AS cid, embedding, nrm AS cnrm FROM e
+        |  ORDER BY vec_id LIMIT 16),
+        |a AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      (${duckDot("e", "c")} / (e.nrm * c.cnrm)) DESC, c.cid) AS crn
+        |  FROM e CROSS JOIN c),
+        |asg AS (SELECT cid AS cell, vec_id, embedding, nrm FROM a WHERE crn = 1),
+        |p AS (
+        |  SELECT l.vec_id AS v1, r.vec_id AS v2,
+        |    round(${duckDot("l", "r")} / (l.nrm * r.nrm), 6) AS cos
+        |  FROM asg l JOIN asg r ON l.cell = r.cell AND l.vec_id <> r.vec_id),
+        |rk AS (
+        |  SELECT v1, v2, cos, row_number() OVER (
+        |    PARTITION BY v1 ORDER BY cos DESC, v2) AS "rank" FROM p)
+        |SELECT v1, v2, cos, "rank" FROM rk WHERE "rank" <= 3
+        |ORDER BY v1, "rank"""".stripMargin,
+    "dedup_embed" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, $duckBucket AS bucket, embedding, $duckNorm AS nrm
+        |  FROM embeddings)
+        |SELECT l.vec_id AS v1, r.vec_id AS v2,
+        |  round(${duckDot("l", "r")} / (l.nrm * r.nrm), 6) AS cos
+        |FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        |WHERE cos >= 0.95
+        |ORDER BY v1, v2""".stripMargin,
     "multimodal_join" ->
       """SELECT doc_id, lang, n_chars,
         |  len(embedding) AS dim,

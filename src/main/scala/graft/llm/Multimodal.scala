@@ -65,9 +65,11 @@ object Multimodal {
   }
 
   val queries: Map[String, Q] = Map(
-    // Decode + feature-stat projection; scalar finals only. No oracle
-    // (binary + stub features) — LlmSpec asserts schema, determinism,
-    // and byte accounting.
+    // Decode + feature-stat projection; scalar finals only. LlmSpec
+    // asserts schema, determinism, and byte accounting; the oracle
+    // replays the stub histogram in SQL (texts are ASCII, so DuckDB's
+    // per-char codepoints equal the payload bytes, and FLOAT casts
+    // reproduce the stub's float32 divisions bit-for-bit).
     "multimodal_decode" -> ((s, d) =>
       decoded(s, d)
         .select(col("doc_id"), col("mime"), col("n_bytes"),
@@ -77,5 +79,31 @@ object Multimodal {
         .orderBy("doc_id"))
   )
 
-  val oracle: Map[String, String] = Map.empty
+  // Zero-count histogram buckets contribute exactly 0.0 to the
+  // sum-of-squares, so summing only occupied buckets in index order
+  // matches the stub's full 16-slot loop.
+  val oracle: Map[String, String] = Map(
+    "multimodal_decode" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ascii(c) % 16 AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |        FROM documents)),
+        |bc AS (
+        |  SELECT c.doc_id, c.b, count(*) AS cnt FROM chars c GROUP BY 1, 2),
+        |f AS (
+        |  SELECT bc.doc_id,
+        |    list_reduce(
+        |      list_transform(
+        |        list(CAST(bc.cnt AS FLOAT) / CAST(d.n AS FLOAT) ORDER BY bc.b),
+        |        x -> x::DOUBLE * x::DOUBLE),
+        |      (x, y) -> x + y) AS ss
+        |  FROM bc JOIN (SELECT doc_id, strlen(text) AS n FROM documents) d
+        |    USING (doc_id)
+        |  GROUP BY bc.doc_id, d.n)
+        |SELECT d.doc_id, 'text/plain' AS mime, CAST(d.n AS INT) AS n_bytes,
+        |  round(sqrt(f.ss), 4) AS feat_norm
+        |FROM (SELECT doc_id, strlen(text) AS n FROM documents) d
+        |JOIN f USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+  )
 }

@@ -38,7 +38,9 @@ object DomainOps {
 
     // Nest + serialize fact documents: one JSON doc per customer with
     // order stats and a per-status count map, entries sorted for
-    // determinism (SURVEY.md §7.4.5). No oracle: JSON golden-tested.
+    // determinism (SURVEY.md §7.4.5). JSON golden-tested in
+    // DomainOpsSpec AND oracle-checked: DuckDB's to_json(struct_pack)
+    // emits the same compact form, with MAP rendering as an object.
     "facts_nest" -> ((s, d) => {
       val perStatus = T.orders(s, d)
         .groupBy("o_custkey", "o_orderstatus").agg(count(lit(1)).as("n"))
@@ -100,6 +102,19 @@ object DomainOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "facts_nest" ->
+      """WITH ps AS (
+        |  SELECT o_custkey, o_orderstatus, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT o_custkey, CAST(sum(n) AS BIGINT) AS n_orders,
+        |    map_from_entries(list_sort(list(row(o_orderstatus, n))))
+        |      AS by_status
+        |  FROM ps GROUP BY o_custkey)
+        |SELECT o_custkey AS custkey,
+        |  CAST(to_json(struct_pack(customer := o_custkey,
+        |    n_orders := n_orders, by_status := by_status)) AS VARCHAR) AS doc
+        |FROM agg ORDER BY custkey""".stripMargin,
     "pivot_wide" ->
       """SELECT user_id,
         |  CAST(round(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS click,

@@ -40,8 +40,8 @@ object StreamOps {
         .orderBy("win_start", "event_type")),
 
     // Sliding 1-hour windows every 15 min — rows belong to 4 windows.
-    // No oracle (DuckDB needs generate_series gymnastics); SlidingSpec
-    // asserts window membership counts.
+    // Oracle mirrors the membership rule directly: each event lands in
+    // the 4 epoch-aligned 15-min buckets at/preceding it.
     "stream_sliding" -> ((s, d) =>
       T.events(s, d)
         .groupBy(window(tsec, "1 hour", "15 minutes").as("w"))
@@ -135,6 +135,13 @@ object StreamOps {
         |         - CAST(floor(epoch(min(tss))) AS BIGINT) AS span_sec
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "stream_sliding" ->
+      """WITH e AS (SELECT date_trunc('second', ts) AS tss FROM events),
+        |w AS (SELECT time_bucket(INTERVAL '15 minutes', tss)
+        |             - k.k * INTERVAL '15 minutes' AS ws
+        |      FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) k)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, count(*) AS n
+        |FROM w GROUP BY 1 ORDER BY win_start""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type FROM events
         |ORDER BY event_id, user_id, event_type""".stripMargin,
