@@ -54,4 +54,31 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$k: $p")
     }
   }
+
+  test("similarity/dedup candidate generation is equi-join, never all-pairs") {
+    // The load-bearing scale property of every sketch/LSH pipeline:
+    // candidates come from an equi-join on a blocking key (shingle,
+    // band hash, sign bucket, IVF cell) — a cartesian/nested-loop here
+    // would be O(n²) at corpus scale.
+    for ((k, ops) <- Seq(
+        "dedup_ngram" -> graft.llm.LlmDedup.queries,
+        "dedup_minhash" -> graft.llm.LlmDedup.queries,
+        "dedup_simhash" -> graft.llm.LlmDedup.queries,
+        "knn_cosine" -> graft.llm.LlmVector.queries,
+        "knn_ann" -> graft.llm.LlmVector.queries,
+        "dedup_embed" -> graft.llm.LlmVector.queries)) {
+      val p = plan(k, ops)
+      assert(!p.contains("CartesianProduct"), s"$k must not be cartesian: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$k must not be a nested loop: $p")
+    }
+  }
+
+  test("knn_ivf broadcasts the centroid table for assignment") {
+    // The ONE intentional non-equi step: every vector scores against 16
+    // broadcast centroids. The broadcast is the point — the big side
+    // never shuffles for assignment.
+    val p = plan("knn_ivf", graft.llm.LlmVector.queries)
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }
