@@ -56,4 +56,24 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partCols: _*)
       .json(path)
+
+  /** Latest-revision-wins storage refresh (the reference's re-download
+    * semantics [R: genesapi/storage.py — UNVERIFIED]): overwrite ONLY
+    * the partitions present in `df`, leave every other partition
+    * untouched. Dynamic partition-overwrite does this natively — no
+    * read-modify-write of the whole table, so a 100 TB store refreshes
+    * one cube's directory in O(new data).
+    */
+  def replacePartitions(df: DataFrame, path: String,
+      partCols: Seq[String]): Unit = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.get(key, "STATIC")
+    conf.set(key, "dynamic")
+    try df.repartition(partCols.map(df.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+    finally conf.set(key, prev)
+  }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.plans.CubeParser
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The reference's whole ETL composed end-to-end on the golden fixture:
+  * GENESIS cube flat file → distributed parse → nested fact documents →
+  * partitioned JSON export → read-back (SURVEY.md §1.1: cube → facts →
+  * index). Each stage is an operator tested elsewhere; this asserts the
+  * composition.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("cube file parses, nests to fact docs, exports, and reads back") {
+    val fixture = getClass.getResource("/cube_12411_mini.csv").getPath
+    val out = Files.createTempDirectory("pipeline").resolve("facts").toString
+
+    val parsed = CubeParser.parse(spark, fixture, "12411_mini")
+    // Fact doc per (region, time, sex-dim): measures as a sorted map of
+    // {value, quality} — the reference's nested fact shape.
+    val facts = parsed
+      .groupBy("cube", "region", "time", "dim_GES")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("measure"), struct(col("value"), col("quality"))))))
+        .as("measures"))
+      .select(col("cube"), col("region"), col("time"),
+        to_json(struct(col("region"), col("time").as("year"),
+          col("dim_GES").as("GES"), col("measures"))).as("doc"))
+
+    Sinks.writeJsonDocs(facts, out, Seq("cube"))
+    val back = spark.read.json(out)
+    assert(back.count() == 6) // 2 regions × 2 sexes × varying years
+
+    val doc = back
+      .filter(col("doc").contains("\"region\":\"02\"") &&
+              col("doc").contains("\"year\":2019") &&
+              col("doc").contains("\"GES\":\"GESM\""))
+      .collect()
+    assert(doc.length == 1, back.select("doc").collect().mkString("\n"))
+    // FIXTURES.md §B golden value for (02, 2019, GESM)
+    assert(doc(0).getAs[String]("doc")
+      .contains("\"BEVSTD\":{\"value\":934846.0,\"quality\":\"e\"}"),
+      doc(0).getAs[String]("doc"))
+  }
+}

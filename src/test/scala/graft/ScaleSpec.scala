@@ -31,6 +31,45 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // The runtime half of the skew story (Skew.saltedSumCount is the
+    // aggregation half): a hot join key concentrates one shuffle
+    // partition; AQE must split it into parallel sub-partitions rather
+    // than leave one straggler task. Thresholds are lowered so the
+    // ~5 MB hot partition in this miniature qualifies.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // pad must be NON-foldable (a literal pad is projected above the
+      // join, leaving bare longs in the shuffle) and INCOMPRESSIBLE
+      // (repetitive pads lz4-compress below the skew threshold —
+      // AQE sees compressed map-output sizes).
+      val big = spark.range(50000).select(
+        when(col("id") % 100 === 0, col("id")).otherwise(0L).as("k"),
+        concat(md5(col("id").cast("string")),
+               md5((col("id") + 1).cast("string")),
+               md5((col("id") + 2).cast("string"))).as("pad"))
+      val small = spark.range(200).select(col("id").as("k"), lit(1).as("v"))
+      val j = big.join(small, "k")
+      // collect() (not count()) so THIS queryExecution runs and its
+      // adaptive plan finalizes — count() executes a derived plan.
+      // k=0 rows (49500 non-multiples + id=0) match small's k=0; of the
+      // remaining distinct keys (100, 200, …) only k=100 is in small.
+      assert(j.collect().length == 49502)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE skew split did not fire:\n$p")
+    } finally prev.foreach { case (k, vOpt) => vOpt match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }}
+  }
+
   test("salted aggregation tolerates caller columns named like its helpers") {
     // Input already has columns "s", "ps", "pn" — the helper must not care.
     val df = (1L to 100L).map(i => (i % 3, i.toDouble, "x", 1, 2))

@@ -39,6 +39,23 @@ class SinkSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 10000)
   }
 
+  test("replacePartitions refreshes only the partitions present in the new data") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("sink").resolve("store").toString
+    val v1 = Seq(("A", 1L, "old"), ("A", 2L, "old"), ("B", 3L, "old"))
+      .toDF("cube", "id", "rev")
+    Sinks.writePartitioned(v1, out, Seq("cube"))
+    // Re-download of cube B only: its partition is replaced wholesale,
+    // cube A must be byte-untouched.
+    val v2 = Seq(("B", 9L, "new")).toDF("cube", "id", "rev")
+    Sinks.replacePartitions(v2, out, Seq("cube"))
+    val back = spark.read.parquet(out)
+      .select("cube", "id", "rev").orderBy("cube", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(back == Seq(("A", 1L, "old"), ("A", 2L, "old"), ("B", 9L, "new")),
+      back.toString)
+  }
+
   test("JSON fact-doc export round-trips the nested documents") {
     val out = Files.createTempDirectory("sink").resolve("facts").toString
     val facts = graft.operators.DomainOps.queries("facts_nest")(spark, sf)
