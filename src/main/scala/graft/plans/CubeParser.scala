@@ -51,9 +51,17 @@ object CubeParser {
     val axes = hdr.collect { case Seq("D", "DQA", name, _*) => name }.toSeq
     val time = hdr.collectFirst { case Seq("D", "DQZ", name, _*) => name }
       .getOrElse(sys.error(s"$path: no D;DQZ time record"))
+    // Header-candidate rows can include DATA records whose first axis
+    // value collides with a tag (e.g. region literally "DQI") — found
+    // by the roundtrip property. Such rows can't be excluded by prefix
+    // alone, so extraction is shape-aware: a DQI *declaration* carries
+    // an integer decimals slot; a colliding data row carries a quality
+    // flag there (and its fake "measure name" is later dropped by the
+    // QEI-order filter below). toIntOption, NOT toInt: crash-free.
     val measures = hdr.collect { case Seq("D", "DQI", name, _*) => name }.toSeq
     val decimals = hdr.collect {
-      case Seq("D", "DQI", name, _, _, _, dec, _*) => name -> dec.toInt
+      case Seq("D", "DQI", name, _, _, _, dec, _*)
+          if dec.toIntOption.isDefined => name -> dec.toInt
     }.toMap
     val order = hdr.collectFirst { case Seq("D", "QEI", cols @ _*) => cols }
       .getOrElse(sys.error(s"$path: no D;QEI column-order record"))

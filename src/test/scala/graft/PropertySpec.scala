@@ -25,26 +25,41 @@ class PropertySpec extends SparkSpec {
   private val code = Gen.choose(0, 99).map(i => f"C$i%02d")
 
   test("cube parser roundtrip: serialize random cube → parse → same cells") {
+    // Region gen includes header-tag collisions ("DQA"/"DQI" as region
+    // codes) — the shape-anchored header filter must keep those rows.
+    // Measure 2 is nullable via the GENESIS nil/secret codes.
     val cells = Gen.nonEmptyListOf(for {
-      region <- Gen.choose(1, 16).map(i => f"$i%02d")
+      region <- Gen.oneOf(Gen.choose(1, 16).map(i => f"$i%02d"),
+                          Gen.oneOf("DQA", "DQI"))
       dim    <- code
       year   <- Gen.choose(1990, 2030)
       value  <- Gen.choose(0, 9999999)
       flag   <- Gen.oneOf("e", "p", "r")
-    } yield (region, dim, year, value.toDouble, flag))
+      m2     <- Gen.oneOf(Gen.choose(0, 999).map(v => (Some(v.toDouble), "e")),
+                          Gen.oneOf(("-", "-"), ("...", "x"))
+                            .map { case (_, f2) => (None, f2) })
+    } yield (region, dim, year, value.toDouble, flag, m2._1, m2._2))
     forAllSeeded(cells) { cs0 =>
       // one record per (region, dim, year): last write wins in the gen
       val cs = cs0.groupBy(c => (c._1, c._2, c._3)).map(_._2.head).toSeq
       val file = java.nio.file.Files.createTempDirectory("cube").resolve("c.csv")
       val lines = Seq("K;DQ;PROP", "D;DQA;DINSG;1;1", "D;DQA;DIM;2;2",
-        "D;DQZ;JAHR;3", "D;DQI;M;ANZ;FEST;GANZ;0", "D;QEI;DINSG;DIM;JAHR;M") ++
-        cs.map { case (r, dm, y, v, f) => s"D;$r;$dm;$y;${v.toLong};$f" }
+        "D;DQZ;JAHR;3", "D;DQI;M;ANZ;FEST;GANZ;0",
+        "D;DQI;M2;QKM;FEST;DEZ;2", "D;QEI;DINSG;DIM;JAHR;M;M2") ++
+        cs.map { case (r, dm, y, v, f, m2v, m2f) =>
+          val m2s = m2v.map(_.toLong.toString).getOrElse(if (m2f == "x") "..." else "-")
+          s"D;$r;$dm;$y;${v.toLong};$f;$m2s;$m2f"
+        }
       java.nio.file.Files.writeString(file, lines.mkString("\n"))
       val parsed = CubeParser.parse(spark, file.toString, "prop")
-        .select("region", "dim_DIM", "time", "value", "quality")
+        .select("region", "dim_DIM", "time", "measure", "value", "quality")
         .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
-          r.getDouble(3), r.getString(4))).toSet
-      assert(parsed == cs.map(c => (c._1, c._2, c._3, c._4, c._5)).toSet)
+          r.getString(3), Option(r.get(4)).map(_.asInstanceOf[Double]),
+          r.getString(5))).toSet
+      val want = cs.flatMap { case (r, dm, y, v, f, m2v, m2f) =>
+        Seq((r, dm, y, "M", Some(v), f), (r, dm, y, "M2", m2v, m2f))
+      }.toSet
+      assert(parsed == want)
     }
   }
 

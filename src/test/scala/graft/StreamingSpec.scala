@@ -135,6 +135,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact-dedup keeps first-seen doc per digest across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = graft.llm.LlmDedup.streamingExactDedup(
+      in.toDF().toDF("doc_id", "text", "ts"), "1 hour")
+    val q = out.writeStream.format("memory").queryName("dd_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, "alpha beta", ts("2024-01-01 10:00:00")),
+                 (2L, "gamma delta", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // batch 2: re-sends doc 1's content (new id + normalization noise)
+      // plus one genuinely new doc — only the new doc may pass.
+      in.addData((3L, "  ALPHA BETA ", ts("2024-01-01 10:02:00")),
+                 (4L, "epsilon", ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dd_sink").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 4L),
+        s"duplicate content must not re-emit across batches: $ids")
+    } finally q.stop()
+  }
+
   test("session_window: only a gap STRICTLY over 30 min starts a new session") {
     // FIXTURES.md §C: events 00:00, 00:20, 00:49, 01:30 with 30-min gap
     // → sessions {00:00..00:49 (3)}, {01:30 (1)}. A gap of exactly
