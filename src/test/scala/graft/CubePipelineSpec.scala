@@ -1,0 +1,70 @@
+package graft
+
+import graft.plans.CubePipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Multi-cube corpus pipeline: heterogeneous cube schemas union into
+  * the shared long form, nest into fact docs, and inventory into a
+  * catalog.
+  */
+class CubePipelineSpec extends SparkSpec {
+
+  // Two cubes with DIFFERENT schemas: the fixture (axes DINSG+GES, one
+  // measure) and a generated one (single axis, two measures).
+  private lazy val cubes: Seq[(String, String)] = {
+    val fx = getClass.getResource("/cube_12411_mini.csv").getPath
+    val tmp = Files.createTempDirectory("cube").resolve("area.csv")
+    Files.writeString(tmp, Seq(
+      "K;DQ;AREA",
+      "D;DQA;DINSG;1;1",
+      "D;DQZ;JAHR;2",
+      "D;DQI;FLAECHE;QKM;FEST;DEZ;2",
+      "D;DQI;BEVDICHTE;ANZ;FEST;DEZ;1",
+      "D;QEI;DINSG;JAHR;FLAECHE;BEVDICHTE",
+      "D;02;2020;755.09;e;2480.3;e",
+      "D;11;2020;891.12;e;4090.6;p").mkString("\n"))
+    Seq((fx, "12411_mini"), (tmp.toString, "area"))
+  }
+
+  test("heterogeneous cubes union into one normalized frame with a dims map") {
+    val all = CubePipeline.parseAll(spark, cubes)
+    assert(all.columns.toSeq ==
+      Seq("cube", "region", "time", "measure", "value", "quality", "dims"))
+    // 6 fixture cells (1 measure) + 2 records × 2 measures
+    assert(all.count() == 10)
+    // fixture rows carry the GES dim; area rows have an empty dim map
+    val g = all.filter(col("cube") === "12411_mini")
+      .select(element_at(col("dims"), "GES")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(g == Seq("GESM", "GESW"))
+    assert(all.filter(col("cube") === "area")
+      .filter(size(map_keys(col("dims"))) =!= 0).count() == 0)
+  }
+
+  test("facts nest measures per (cube, region, time, dims) cell") {
+    val f = CubePipeline.facts(CubePipeline.parseAll(spark, cubes))
+    // area: 2 docs (one per region) each holding BOTH measures
+    val area = f.filter(col("cube") === "area").collect()
+    assert(area.length == 2)
+    val doc02 = area.find(_.getString(1) == "02").get.getAs[String]("doc")
+    assert(doc02.contains("\"FLAECHE\":{\"value\":755.09,\"quality\":\"e\"}"), doc02)
+    assert(doc02.contains("\"BEVDICHTE\":{\"value\":2480.3,\"quality\":\"e\"}"), doc02)
+    // fixture: one doc per (region, year, GES) = 6
+    assert(f.filter(col("cube") === "12411_mini").count() == 6)
+  }
+
+  test("catalog inventories axes, measures, time span, and cell counts per cube") {
+    val c = CubePipeline.catalog(CubePipeline.parseAll(spark, cubes))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val mini = c("12411_mini")
+    assert(mini.getAs[String]("axes") == "GES")
+    assert(mini.getAs[String]("measures") == "BEVSTD")
+    assert(mini.getAs[Int]("time_min") == 2019 && mini.getAs[Int]("time_max") == 2020)
+    assert(mini.getAs[Long]("n_cells") == 6L)
+    val area = c("area")
+    assert(area.getAs[String]("axes") == "")
+    assert(area.getAs[String]("measures") == "BEVDICHTE,FLAECHE")
+    assert(area.getAs[Long]("n_cells") == 2L)
+  }
+}
