@@ -16,6 +16,20 @@ object LlmText {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Composite quality score over a text column (higher = better):
+    * log-length × (1 − stopword ratio) × type-token ratio. Pure column
+    * expression — reused by `text_quality` and the corpus curation
+    * pipeline ([[CorpusPipeline]]).
+    */
+  def qualityScore(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks)
+    val stopRatio = size(filter(toks, t => t.isin(stopwords: _*)))
+      .cast("double") / nTok
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    log(nTok + 1) * (lit(1) - stopRatio) * ttr
+  }
+
   val queries: Map[String, Q] = Map(
     // tf-idf with top-5 terms per doc (deterministic tiebreak on term).
     "text_tfidf" -> ((s, d) => {
@@ -64,7 +78,7 @@ object LlmText {
           round(totalChars.cast("double") / nTok, 4).as("mean_tok_len"),
           round(stopRatio, 4).as("stop_ratio"),
           round(ttr, 4).as("ttr"),
-          round(log(nTok + 1) * (lit(1) - stopRatio) * ttr, 4).as("quality"))
+          round(qualityScore(col("text")), 4).as("quality"))
         .orderBy("doc_id")
     }),
 

@@ -106,6 +106,24 @@ class LlmSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("corpus curation drops low-quality, exact-dup, and near-dup docs") {
+    import graft.llm.CorpusPipeline
+    val corpus = Seq(
+      (1L, base, "en"),                 // keeper
+      (2L, base + " nu", "en"),         // near-dup of 1 (J = 10/11) → drop
+      (5L, "  " + base.toUpperCase + " ", "en"), // exact dup of 1 mod norm → drop
+      (7L, "the the the the the the the the", "en"), // stopword soup → drop
+      (9L, "one two three four five six seven eight nine ten", "en")) // keeper
+      .toDF("doc_id", "text", "lang")
+    val kept = CorpusPipeline.curate(corpus, minQuality = 1.0,
+      nearDupJaccard = 0.5)
+    assert(kept.collect().map(_.getLong(0)).toSeq == Seq(1L, 9L))
+    val r = CorpusPipeline.report(corpus, 1.0, 0.5).collect()(0)
+    assert(r.getLong(0) == 5 && r.getLong(1) == 2)
+    assert(r.getLong(2) == 22) // 12 + 10 tokens survive
+    assert(r.getDouble(3) == 0.4)
+  }
+
   test("multimodal stub decode: schema, byte accounting, determinism") {
     val out = Multimodal.decoded(spark, sf)
     assert(out.columns.toSeq == Seq("doc_id", "mime", "n_bytes", "features"))
