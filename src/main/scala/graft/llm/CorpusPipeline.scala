@@ -49,6 +49,55 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sample — training-mix weights per
+    * stratum (e.g. per language). Content-hash Bernoulli: a row is
+    * kept iff hash(id, seed) mod 1e6 falls under its stratum's
+    * fraction, so its fate depends only on its own values — same seed
+    * → same sample on ANY partitioning or cluster size. (Spark's
+    * `df.stat.sampleBy` does NOT have this property: it seeds an RNG
+    * per partition, so the sample changes with the partitioning —
+    * measured, not assumed.) Strata absent from `fractions` drop.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, idCol: String,
+      fractions: Map[String, Double], seed: Long): DataFrame = {
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(
+      pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double")
+        / 1000000.0 < frac)
+  }
+
+  /** Greedy sequence packing: group documents into fixed-token-budget
+    * training sequences. Distributed form: shard by doc-id hash, pack
+    * greedily within each shard by cumulative token count (one window
+    * per shard — no global sort, no driver state). A document whose
+    * start offset falls in bin k joins sequence k, so a bin can
+    * overrun `maxTokens` by at most one document's tokens — the
+    * standard pack-then-truncate tradeoff; exact capacity packing is
+    * inherently sequential and doesn't distribute.
+    *
+    * Output: one row per packed sequence — (seq_id, doc_ids sorted,
+    * n_docs, n_tokens).
+    */
+  def packSequences(docs: DataFrame, maxTokens: Int,
+      nShards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(nShards)))
+      .withColumn("start", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", (col("start") / maxTokens).cast("long"))
+      .groupBy("shard", "bin")
+      .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"))
+      .select((col("shard") * 1000000L + col("bin")).as("seq_id"),
+        col("doc_ids"), col("n_docs"), col("n_tokens"))
+      .orderBy("seq_id")
+  }
+
   /** Per-stage retention report for a curation run (one row). */
   def report(docs: DataFrame, minQuality: Double,
       nearDupJaccard: Double): DataFrame = {

@@ -124,6 +124,45 @@ class LlmSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.4)
   }
 
+  test("stratified sample is seeded-deterministic and respects the mix") {
+    import graft.llm.CorpusPipeline
+    val docs = T.documents(spark, sf)
+    val fr = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.0)
+    val a = CorpusPipeline.stratifiedSample(docs, "lang", "doc_id", fr, 42L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = CorpusPipeline.stratifiedSample(
+      docs.repartition(7), "lang", "doc_id", fr, 42L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "same seed must sample the same rows on any partitioning")
+    val byLang = CorpusPipeline.stratifiedSample(docs, "lang", "doc_id", fr, 42L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("fr"), s"fraction 0 stratum must vanish: $byLang")
+    val nEn = docs.filter(col("lang") === "en").count()
+    assert(byLang.getOrElse("en", 0L) > nEn * 0.25 &&
+           byLang.getOrElse("en", 0L) < nEn * 0.75, byLang.toString)
+  }
+
+  test("sequence packing assigns every doc once, bins bounded by budget + one doc") {
+    import graft.llm.CorpusPipeline
+    val docs = T.documents(spark, sf)
+    val maxTok = 200
+    val packed = CorpusPipeline.packSequences(docs, maxTok, nShards = 8)
+    val allDocs = packed.select(explode(col("doc_ids")).as("doc_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val orig = docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(allDocs == orig, "every doc exactly once across sequences")
+    val maxDocTok = docs.select(max(size(split(col("text"), " "))))
+      .collect()(0).getInt(0)
+    val worst = packed.select(max(col("n_tokens"))).collect()(0).getLong(0)
+    assert(worst < maxTok + maxDocTok,
+      s"bin overran budget+one-doc: $worst >= $maxTok + $maxDocTok")
+    // deterministic under different partitioning
+    val again = CorpusPipeline.packSequences(docs.repartition(5), maxTok, 8)
+      .collect().map(_.toString).toSeq
+    assert(packed.collect().map(_.toString).toSeq == again)
+  }
+
   test("multimodal stub decode: schema, byte accounting, determinism") {
     val out = Multimodal.decoded(spark, sf)
     assert(out.columns.toSeq == Seq("doc_id", "mime", "n_bytes", "features"))
