@@ -98,6 +98,33 @@ object CorpusPipeline {
       .orderBy("seq_id")
   }
 
+  /** PII scrubbing: replace emails, phone numbers, IPv4 addresses, and
+    * URLs with typed placeholder tokens — the redaction stage a
+    * pretraining corpus passes before packing. Chained
+    * `regexp_replace` column expressions: codegen'd, streaming-safe,
+    * no UDF. Order matters: URLs first (an email-looking userinfo
+    * inside a URL should redact as part of the URL), then emails, then
+    * phones/IPs.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "(?<!\\d)(?:\\+?\\d{1,2}[ .-]?)?(?:\\(\\d{3}\\)|\\d{3})[ .-]?\\d{3}[ .-]?\\d{4}(?!\\d)" -> "<PHONE>")
+
+  def scrubPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+
+  /** Corpus-wide scrub: replaces `textCol` in place, adds a flag. */
+  def scrub(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("__scrubbed", scrubPii(col(textCol)))
+      .withColumn("pii_found", col("__scrubbed") =!= col(textCol))
+      .withColumn(textCol, col("__scrubbed"))
+      .drop("__scrubbed")
+
   /** Per-stage retention report for a curation run (one row). */
   def report(docs: DataFrame, minQuality: Double,
       nearDupJaccard: Double): DataFrame = {

@@ -163,6 +163,24 @@ class LlmSpec extends SparkSpec {
     assert(packed.collect().map(_.toString).toSeq == again)
   }
 
+  test("PII scrub redacts urls, emails, phones, IPs and flags touched docs") {
+    import graft.llm.CorpusPipeline
+    val docs = Seq(
+      (1L, "contact me at jane.doe@example.com or +1 (555) 123-4567 ok"),
+      (2L, "see https://user@example.com/path?q=1 and 10.0.0.1 now"),
+      (3L, "clean text with nothing sensitive at all"),
+      (4L, "served 1234567 requests in 2024")) // big number: NOT a phone
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.scrub(docs, "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(out(0)._2 == "contact me at <EMAIL> or <PHONE> ok", out(0)._2)
+    // the email-shaped userinfo redacts as part of the URL, not separately
+    assert(out(1)._2 == "see <URL> and <IP> now", out(1)._2)
+    assert(out(2)._2 == "clean text with nothing sensitive at all")
+    assert(out(3)._2 == "served 1234567 requests in 2024")
+    assert(out.map(_._3).toSeq == Seq(true, true, false, false))
+  }
+
   test("multimodal stub decode: schema, byte accounting, determinism") {
     val out = Multimodal.decoded(spark, sf)
     assert(out.columns.toSeq == Seq("doc_id", "mime", "n_bytes", "features"))
