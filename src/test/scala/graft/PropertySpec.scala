@@ -114,6 +114,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash LSH ≡ exact pairwise on random corpora with planted near-dups") {
+    // Random base docs are token-disjoint-ish (numbered vocab per doc);
+    // each corpus plants near-dups by appending one token to a copy —
+    // J ≥ 0.85, where 8 bands × 2 rows gives miss probability < 1e-5.
+    // Assert EXACT equivalence: verified-LSH pairs == brute-force pairs
+    // at the threshold (precision from the verify step, recall from
+    // banding).
+    val corpus = Gen.nonEmptyListOf(Gen.choose(8, 20)).map(_.take(6))
+    forAllSeeded(corpus) { sizes =>
+      val docs = sizes.zipWithIndex.flatMap { case (n, i) =>
+        val base = (0 until n).map(t => s"w${i}_$t").mkString(" ")
+        Seq((i * 2L, base), (i * 2L + 1, base + s" extra$i"))
+      }.toDF("doc_id", "text")
+      val got = graft.llm.LlmDedup.minhashPairs(docs, 0.5)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force over token-shingle sets (3-gram, same as impl)
+      val sets = docs.collect().map { r =>
+        val toks = r.getString(1).split(" ")
+        r.getLong(0) -> toks.sliding(3).map(_.mkString(" ")).toSet
+      }.toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = sets(a).intersect(sets(b)).size
+        j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+        if j >= 0.5
+      } yield (a, b)).toSet
+      assert(got == want, s"lsh=$got brute=$want")
+    }
+  }
+
+  test("sequence packing: every doc exactly once, bins bounded, any input") {
+    val corpus = Gen.nonEmptyListOf(Gen.choose(1, 60))
+    forAllSeeded(corpus) { sizes =>
+      val docs = sizes.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(t => s"t$t").mkString(" "))
+      }.toDF("doc_id", "text")
+      val maxTok = 40
+      val packed = graft.llm.CorpusPipeline.packSequences(docs, maxTok, 4)
+      val assigned = packed
+        .select(explode(col("doc_ids")).as("doc_id"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(assigned == sizes.indices.map(_.toLong),
+        "every doc in exactly one sequence")
+      val worst = packed.agg(max(col("n_tokens"))).collect()(0).getLong(0)
+      assert(worst < maxTok + sizes.max,
+        s"bin $worst exceeds budget $maxTok + max-doc ${sizes.max}")
+    }
+  }
+
   test("windowed per-group top-k ≡ brute-force group-sort-take") {
     val rows = Gen.nonEmptyListOf(for {
       g <- Gen.choose(0, 5); v <- Gen.choose(0, 1000); id <- Gen.choose(0L, 999999L)
