@@ -56,6 +56,27 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)), s"disjoint docs merged: $pairs")
   }
 
+  test("ngram df-cap kills boilerplate-only pairs, keeps genuine near-dups") {
+    // Docs 1/2: genuine near-dups. Docs 3/4: disjoint content but both
+    // end with the same boilerplate footer — with no cap they pair at
+    // J > 0 via footer shingles alone; the cap (footer shingles appear
+    // in all 4 docs > cap 2) removes those candidates.
+    val footer = "subscribe to our newsletter for updates every single day"
+    val docs = Seq(
+      (1L, base + " " + footer),
+      (2L, base + " nu " + footer),
+      (3L, "one two three four five six seven eight nine ten " + footer),
+      (4L, "uno dos tres cuatro cinco seis siete ocho nueve diez " + footer))
+      .toDF("doc_id", "text")
+    val uncapped = LlmDedup.ngramPairs(docs, 0.1, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((3L, 4L)), s"boilerplate should pair w/o cap: $uncapped")
+    val capped = LlmDedup.ngramPairs(docs, 0.1, Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)), s"genuine near-dup must survive: $capped")
+    assert(!capped.contains((3L, 4L)), s"boilerplate-only pair must die: $capped")
+  }
+
   test("ANN retrieves exact duplicates with recall 1 (shared bucket)") {
     val emb = T.embeddings(spark, sf)
     val dup = emb.limit(5)
