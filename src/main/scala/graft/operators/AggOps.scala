@@ -51,6 +51,32 @@ object AggOps {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")),
 
+    // Exact percentiles (sort-based interpolation, same definition as
+    // SQL quantile_cont). At 100 TB prefer approx_percentile (t-digest
+    // sketch, fixed memory); exact percentile is the oracle-able
+    // baseline and the correctness reference for it.
+    "agg_percentile" -> ((s, d) =>
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .orderBy("l_returnflag")),
+
+    // Second-moment statistics: correlation, sample covariance/stddev/
+    // variance — streaming co-moment aggregates, partial+final like any
+    // hash agg (fixed-size buffers, merge-associative at any scale).
+    "agg_stats" -> ((s, d) =>
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("covar_pq"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"))
+        .orderBy("l_returnflag")),
+
     // Hierarchical subtotals — the AGS prefix-rollup analogue (§1.1).
     // Project down to the grouping columns BEFORE rollup: rollup on
     // string names over a join output is ambiguous to the analyzer.
@@ -135,6 +161,19 @@ object AggOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_pq,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(var_samp(l_discount), 6) AS var_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
