@@ -27,6 +27,18 @@ object WindowOps {
   private def tsec = date_trunc("second", col("ts"))
 
   val queries: Map[String, Q] = Map(
+    // Equal-depth bucketing (quartiles within each priority class) —
+    // ntile's definition (first buckets take the remainder) is
+    // identical in DuckDB; the unique tiebreak makes assignment total.
+    "win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("int").as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
     // Ranking family. rank/dense_rank are tie-stable under any tie
     // order; row_number gets a unique tiebreak.
     "win_rank" -> ((s, d) => {
@@ -105,6 +117,11 @@ object WindowOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice, o_orderkey) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "win_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,

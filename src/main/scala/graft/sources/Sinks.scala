@@ -57,6 +57,32 @@ object Sinks {
       .partitionBy(partCols: _*)
       .json(path)
 
+  /** Small-file compaction for one partition directory: rewrite its
+    * many files (streaming micro-batches, skew splits, repeated
+    * appends all produce them) into `targetFiles`. Files-per-partition
+    * is the other half of the layout story: thousands of 1 MB files
+    * cost a metadata round-trip each at plan time and starve the scan
+    * of full-size reads.
+    *
+    * In-place rewrite requires breaking lineage first — Spark refuses
+    * to overwrite a path its own plan reads from — so the partition is
+    * materialized via eager `localCheckpoint` before the dynamic
+    * overwrite replaces just that directory.
+    */
+  def compactPartition(spark: org.apache.spark.sql.SparkSession,
+      path: String, partCol: String, partValue: String,
+      targetFiles: Int): Unit = {
+    val part = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col(partCol) === partValue)
+      .localCheckpoint(true)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try part.repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+    finally spark.conf.set(key, prev)
+  }
+
   /** Latest-revision-wins storage refresh (the reference's re-download
     * semantics [R: genesapi/storage.py — UNVERIFIED]): overwrite ONLY
     * the partitions present in `df`, leave every other partition

@@ -56,6 +56,23 @@ class SinkSpec extends SparkSpec {
       back.toString)
   }
 
+  test("compaction rewrites a many-file partition to few files, same data") {
+    val out = Files.createTempDirectory("sink").resolve("frag").toString
+    val df = spark.range(5000).withColumn("p", lit("hot"))
+    // fragment: 1000-row file cap → ≥5 files
+    Sinks.writePartitioned(df.toDF(), out, Seq("p"), maxRecordsPerFile = 1000L)
+    def files() = new java.io.File(s"$out/p=hot").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files().length >= 5)
+    val before = spark.read.parquet(out).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    Sinks.compactPartition(spark, out, "p", "hot", targetFiles = 2)
+    assert(files().length == 2, s"expected 2 files, got ${files().length}")
+    val after = spark.read.parquet(out).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before, "compaction must not change the data")
+  }
+
   test("JSON fact-doc export round-trips the nested documents") {
     val out = Files.createTempDirectory("sink").resolve("facts").toString
     val facts = graft.operators.DomainOps.queries("facts_nest")(spark, sf)
