@@ -1,13 +1,49 @@
 package graft
 object Bench {
+
+  /** Per-query minima across committed BENCH_r*.json rounds — the
+    * noise floor each new measurement is sanity-checked against.
+    * Minimal JSON scrape (no parser deps): every `"name":number` pair
+    * inside each file; non-query fields ("value") match no query name
+    * and -1 error sentinels are skipped.
+    */
+  private def crossRoundMins(): Map[String, Double] = {
+    val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
+    val files = dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json")).distinct
+    val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
+    files.flatMap { f =>
+      val txt = try scala.io.Source.fromFile(f).mkString catch { case _: Throwable => "" }
+      pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+    }.filter(_._2 >= 0)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+  }
+
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt)
+    val loadBefore = loadavg()
     // Untimed warm-up pass: JVM/codegen/session init otherwise lands on
     // whichever query happens to run first (~10 s of noise in round 1).
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
+    var errors = List.empty[String]
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch {
+        case _: Throwable =>
+          if (!errors.contains(name)) errors ::= name
+          return -1.0 // broken ≠ fast: never report time-to-throw
+      }
+      (System.nanoTime() - t0) / 1e9
     }
     // Sorted order: stable round-over-round per-query comparisons.
     // Two timed runs, min reported: single-run times are bimodal under
@@ -16,24 +52,31 @@ object Bench {
     // two runs still disagree >2× (ambient spike hit both), one extra
     // run arbitrates — bounded cost, and it stops a 48 s noise spike
     // masquerading as a 1.7 s query's time (measured on this box).
-    var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case _: Throwable =>
-            if (!errors.contains(name)) errors ::= name
-            return -1.0 // broken ≠ fast: never report time-to-throw
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val two = Seq(once(), once()).filter(_ >= 0)
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val two = Seq(once(name, fn), once(name, fn)).filter(_ >= 0)
       val best =
         if (two.isEmpty) -1.0
         else if (two.size == 2 && two.max > 2 * two.min && two.max > 1.0)
-          (once() +: two).filter(_ >= 0).min
+          (once(name, fn) +: two).filter(_ >= 0).min
         else two.min
       name -> best
+    }
+    // End-of-sweep outlier retry (round-3 verdict): a multi-minute
+    // ambient spike can swallow all three attempts of a whole
+    // alphabetical band (r3: join_* band measured 24-27 s vs 0.3-0.8 s
+    // cross-round minima). One extra attempt AFTER the full sweep —
+    // minutes later, when the spike has likely moved — for any query
+    // measured above 3× its own committed cross-round minimum.
+    val mins = crossRoundMins()
+    var retried = List.empty[String]
+    val results = firstPass.map { case (name, best) =>
+      val floor = mins.getOrElse(name, Double.MaxValue)
+      if (best >= 0 && floor != Double.MaxValue &&
+          best > 3 * floor && best > 0.5) {
+        retried ::= name
+        val again = once(name, SparkEntry.queries(name))
+        name -> (if (again >= 0) math.min(best, again) else best)
+      } else name -> best
     }
     // 4-decimal times: sub-0.1 ms precision is noise, and the shorter
     // line keeps the full JSON inside log-tail captures.
@@ -42,8 +85,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retr = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // loadavg before/after make a loaded run self-describing: a high
+    // pair says "numbers include ambient noise", without guessing.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"retried":$retr,"loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg())},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
