@@ -92,11 +92,20 @@ object LlmText {
       // Document-frequency profiles (distinct doc-gram pairs) let ONE
       // deduplicated frame feed both the profile build and the scoring
       // join — by-occurrence profiles would need a second full explode.
+      // localCheckpoint: this frame feeds BOTH the profile build and the
+      // scoring join, and Spark does not reuse a repartition exchange
+      // between two sides of a self-join — without materialization the
+      // explode+distinct (the query's dominant cost) evaluates twice
+      // (measured ~2× every comparable text op). Local checkpoint pins
+      // the computed blocks on executors; at a real 100 TB scale the
+      // same role is played by persist(DISK_ONLY) or a write-and-reread
+      // of this narrow (doc_id, lang, gram) frame.
       val grams = T.spread(docs).select(col("doc_id"), col("lang"),
         explode_outer(expr(
           "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
           .as("g"))
         .distinct()
+        .localCheckpoint()
       val wp = Window.partitionBy("lang").orderBy(desc("cnt"), asc("g"))
       val profile = grams.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 50)

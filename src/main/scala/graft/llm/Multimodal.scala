@@ -26,16 +26,25 @@ object Multimodal {
   val featureDim = 16
 
   /** STUB decoder: deterministic byte-bucket histogram, normalized.
-    * Replace with a real image/audio decode when the codec libraries
-    * are present — the signature (bytes in, fixed-width floats out) is
-    * the contract the pipeline depends on.
+    * Replace with a real image/audio codec when the libraries are
+    * present — the shape (construct once, then bytes in / fixed-width
+    * floats out per call) is the contract the pipeline depends on: a
+    * real codec holds buffers/handles whose setup cost must amortize
+    * across a partition, which is why [[decoded]] instantiates one of
+    * these per partition, never per row.
     */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](featureDim)
-    payload.foreach(b => hist((b & 0xFF) % featureDim) += 1f)
-    val n = math.max(payload.length, 1)
-    hist.map(_ / n)
+  final class StubDecoder {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](featureDim)
+      payload.foreach(b => hist((b & 0xFF) % featureDim) += 1f)
+      val n = math.max(payload.length, 1)
+      hist.map(_ / n)
+    }
   }
+
+  /** Per-row convenience form (specs, property tests). */
+  def decodeStub(payload: Array[Byte]): Array[Float] =
+    new StubDecoder().decode(payload)
 
   /** Binary-payload frame: (doc_id, payload BINARY, meta STRUCT). In a
     * real pipeline the payload arrives from the source as bytes; here
@@ -49,17 +58,22 @@ object Multimodal {
           length(col("text")).as("n_chars"),
           col("lang").as("lang")).as("meta"))
 
-  /** Batched decode: typed mapPartitions over the binary column — one
-    * decoder instance per partition, rows streamed through it.
+  /** Batched decode: typed mapPartitions over the binary column — ONE
+    * decoder instance per partition, rows streamed through it lazily
+    * (the iterator is mapped, never materialized, so partition memory
+    * stays one row + one feature vector regardless of partition size).
     */
   def decoded(s: SparkSession, d: String): DataFrame = {
     val enc = Encoders.product[MediaFeatures]
     packed(s, d)
       .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
-      .map { row =>
-        val bytes = row.getAs[Array[Byte]]("payload")
-        MediaFeatures(row.getAs[Long]("doc_id"), row.getAs[String]("mime"),
-          bytes.length, decodeStub(bytes))
+      .mapPartitions { rows =>
+        val decoder = new StubDecoder
+        rows.map { row =>
+          val bytes = row.getAs[Array[Byte]]("payload")
+          MediaFeatures(row.getAs[Long]("doc_id"), row.getAs[String]("mime"),
+            bytes.length, decoder.decode(bytes))
+        }
       }(enc)
       .toDF()
   }
