@@ -42,6 +42,7 @@ object SparkEntry {
     (graft.functions.FnOps.queries, graft.functions.FnOps.oracle),
     (graft.functions.UdfOps.queries, graft.functions.UdfOps.oracle),
     (DomainOps.queries, DomainOps.oracle),
+    (graft.plans.CubeOps.queries, graft.plans.CubeOps.oracle),
     (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle),
     (graft.llm.LlmDedup.queries, graft.llm.LlmDedup.oracle),
     (graft.llm.LlmText.queries, graft.llm.LlmText.oracle),

@@ -1,0 +1,135 @@
+package graft.plans
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-facing cube-ingestion keys (SURVEY.md §2.9): the GENESIS
+  * flat-file parse and the quality-flag-aware aggregation, both
+  * oracle-checked against DuckDB reading THE SAME flat file.
+  *
+  * The input is the FIXTURES.md §B miniature cube, materialized once
+  * under /tmp (deterministic content, idempotent write) — the driver's
+  * sf parquet dirs don't carry a cube file, and the parse path itself
+  * (schema-from-header → positional Column extraction in executors) is
+  * what these keys put under the oracle gate. Scale is exercised
+  * elsewhere: the parser's data pass is a distributed text scan whose
+  * cost grows only with data records (ScaleSpec), and the header
+  * collect is O(10) rows by construction.
+  */
+object CubeOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** FIXTURES.md §B content, pinned here so runtime keys don't depend
+    * on test resources. Kept byte-identical with
+    * src/test/resources/cube_12411_mini.csv (asserted in CubeParserSpec).
+    */
+  val fixtureContent: String = Seq(
+    "K;DQ;FACH-SCHL;GHH-ART;TS;\"GENESAPI MINI FIXTURE\"",
+    "K;DQA;NAME;RHF-BSR;RHF-ACHSE",
+    "D;DQA;DINSG;1;1",
+    "D;DQA;GES;2;2",
+    "K;DQZ;NAME;ZI-RHF-BSR",
+    "D;DQZ;JAHR;3",
+    "K;DQI;NAME;ME-NAME;DST;TYP;NKM-STELLEN",
+    "D;DQI;BEVSTD;ANZ;FEST;GANZ;0",
+    "D;QEI;DINSG;GES;JAHR;BEVSTD",
+    "D;11;GESM;2019;1793847;e",
+    "D;11;GESW;2019;1875217;e",
+    "D;11;GESM;2020;1790658;p",
+    "D;11;GESW;2020;1874432;p",
+    "D;02;GESM;2019;934846;e",
+    "D;02;GESW;2019;912384;e").mkString("\n")
+
+  val fixturePath = "/tmp/graft_cube_12411_mini.csv"
+
+  /** Write-once (content-checked) so both Spark and the driver's later
+    * DuckDB pass read the identical file.
+    */
+  def ensureFixture(): String = {
+    val p = java.nio.file.Paths.get(fixturePath)
+    val current =
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      else ""
+    if (current != fixtureContent)
+      java.nio.file.Files.write(p, fixtureContent.getBytes("UTF-8"))
+    fixturePath
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Schema-from-header ingestion: the reference's single most-used
+    // capability, end-to-end — header drives layout, executors parse
+    // data records positionally, one output row per (cell, measure).
+    // value is DECIMAL(18,0) inside (declared 0 decimals) and cast to
+    // double only here, in the driver-facing final projection.
+    "cube_parse" -> ((s, _) => {
+      val path = ensureFixture()
+      CubeParser.parse(s, path, "12411_mini")
+        .select(col("cube"), col("region"), col("dim_GES"), col("time"),
+          col("measure"), col("value").cast("double").as("value"),
+          col("quality"))
+        .orderBy("region", "dim_GES", "time")
+    }),
+
+    // Flag-aware aggregation: sum excluding provisional (`p`) cells,
+    // with per-flag cell counts as explicit columns.
+    "cube_agg_flags" -> ((s, _) => {
+      val path = ensureFixture()
+      val normalized = CubePipeline.normalized(
+        CubeParser.parse(s, path, "12411_mini"))
+      val flagCols = CubePipeline.knownFlags.map(f => col(s"n_$f"))
+      CubePipeline.aggFlags(normalized, exclude = Set("p"))
+        .select(Seq(col("cube"), col("measure"), col("time"),
+          T.money(col("sum_ok")).as("sum_ok"),
+          col("n_used"), col("n_excluded")) ++ flagCols: _*)
+        .orderBy("cube", "measure", "time")
+    })
+  )
+
+  // Oracle side reads the SAME /tmp file: ragged semicolon rows via
+  // null_padding, then the same shape-anchored data filter and
+  // positional extraction the Spark parser generates.
+  private val duckRead =
+    s"""read_csv('$fixturePath', delim=';', header=false, quote='"',
+       |  null_padding=true, auto_detect=false,
+       |  columns={'c0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR',
+       |  'c3':'VARCHAR','c4':'VARCHAR','c5':'VARCHAR',
+       |  'c6':'VARCHAR'})""".stripMargin
+  private val duckData =
+    s"""SELECT * FROM $duckRead
+       |WHERE c0 = 'D' AND c1 NOT IN ('DQA','DQZ','DQI','QEI')""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "cube_parse" ->
+      s"""WITH data AS ($duckData)
+         |SELECT '12411_mini' AS cube, c1 AS region, c2 AS dim_GES,
+         |  CAST(c3 AS INT) AS "time", 'BEVSTD' AS measure,
+         |  CASE WHEN c4 IN ('-','...','…','/','x','.') THEN NULL
+         |       ELSE CAST(c4 AS DOUBLE) END AS value,
+         |  c5 AS quality
+         |FROM data ORDER BY region, dim_GES, "time"""".stripMargin,
+    "cube_agg_flags" ->
+      s"""WITH data AS ($duckData),
+         |cells AS (
+         |  SELECT '12411_mini' AS cube, 'BEVSTD' AS measure,
+         |    CAST(c3 AS INT) AS t,
+         |    CASE WHEN c4 IN ('-','...','…','/','x','.') THEN NULL
+         |         ELSE CAST(c4 AS DECIMAL(18,0)) END AS value,
+         |    c5 AS quality
+         |  FROM data)
+         |SELECT cube, measure, t AS "time",
+         |  CAST(round(sum(CASE WHEN quality <> 'p' THEN value END), 2)
+         |       AS DOUBLE) AS sum_ok,
+         |  count(CASE WHEN quality <> 'p' AND value IS NOT NULL
+         |             THEN 1 END) AS n_used,
+         |  count(CASE WHEN quality = 'p' THEN 1 END) AS n_excluded,
+         |  count(CASE WHEN quality = 'e' THEN 1 END) AS n_e,
+         |  count(CASE WHEN quality = 'p' THEN 1 END) AS n_p,
+         |  count(CASE WHEN quality = 'r' THEN 1 END) AS n_r,
+         |  count(CASE WHEN quality = 'd' THEN 1 END) AS n_d,
+         |  count(CASE WHEN quality = 'x' THEN 1 END) AS n_x
+         |FROM cells GROUP BY cube, measure, t
+         |ORDER BY cube, measure, "time"""".stripMargin
+  )
+}

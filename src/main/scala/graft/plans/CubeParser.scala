@@ -108,13 +108,27 @@ object CubeParser {
     }
     val timeCol = slot(nAxes + 2).cast("int").as("time")
 
+    // Value typing honors the declared NKM-STELLEN decimals: a measure
+    // declared with scale s parses to DECIMAL(18,s) — exact, and exact
+    // to aggregate downstream (no float drift at 100 TB row counts).
+    // When ANY measure lacks a declaration the whole cube falls back to
+    // double: defaulting an undeclared measure to scale 0 would silently
+    // round fractional values, which is worse than inexact.
+    // Across measures of differing scales Spark's array() coercion
+    // widens the struct's value field to the least common decimal —
+    // per-cell values stay exact (widening only adds scale).
+    // House rule still applies at the edges: [[CubePipeline.facts]] and
+    // driver-facing keys cast to double in their FINAL projection.
+    val allDeclared = lo.measures.forall(lo.decimals.contains)
     val measureStructs = lo.measures.zipWithIndex.map { case (m, i) =>
       val v = slot(nAxes + 3 + 2 * i)
       val q = slot(nAxes + 4 + 2 * i)
+      val vTyped =
+        if (allDeclared) v.cast(org.apache.spark.sql.types.DecimalType(18, lo.decimals(m)))
+        else v.cast("double")
       struct(
         lit(m).as("measure"),
-        when(v.isin(nullValues: _*), lit(null).cast("double"))
-          .otherwise(v.cast("double")).as("value"),
+        when(v.isin(nullValues: _*), lit(null)).otherwise(vTyped).as("value"),
         q.as("quality"))
     }
 

@@ -47,13 +47,73 @@ object CubePipeline {
     normalized
       .withColumn("dim_entries", sort_array(map_entries(col("dims"))))
       .groupBy("cube", "region", "time", "dim_entries")
+      // value renders as double: the parser's typed DECIMAL(18,s) is for
+      // exact aggregation; in JSON a decimal would render scale-padded
+      // ("2480.30"), so the boundary cast keeps docs scale-free.
       .agg(map_from_entries(sort_array(collect_list(
-        struct(col("measure"), struct(col("value"), col("quality"))))))
+        struct(col("measure"),
+          struct(col("value").cast("double").as("value"), col("quality"))))))
         .as("measures"))
       .select(col("cube"), col("region"), col("time"),
         to_json(struct(col("region"), col("time").as("year"),
           map_from_entries(col("dim_entries")).as("dims"),
           col("measures"))).as("doc"))
+
+  /** Quality-flag-aware aggregation (SURVEY.md §1.1 measure row): a
+    * GENESIS cell carries a per-value flag (`e` estimated, `p`
+    * provisional, `r` revised; secrecy codes already parse to NULL), and
+    * consumers constantly need "aggregate, but exclude provisional".
+    * Per (cube, measure, time): the sum over cells whose flag is NOT in
+    * `exclude` (exact decimal arithmetic — the parser's typed values —
+    * only the caller projects to double), the used/excluded cell
+    * counts, and per-flag cell counts over the known GENESIS flag
+    * vocabulary as explicit columns (explicit list, same reason
+    * pivot_wide has one: an inferred pivot costs a driver distinct job
+    * at 100 TB). One shuffle on the group key.
+    */
+  val knownFlags: Seq[String] = Seq("e", "p", "r", "d", "x")
+
+  def aggFlags(normalized: DataFrame, exclude: Set[String]): DataFrame = {
+    val ok = !col("quality").isin(exclude.toSeq: _*)
+    val flagCounts = knownFlags.map(f =>
+      count(when(col("quality") === f, lit(1))).as(s"n_$f"))
+    normalized
+      .groupBy("cube", "measure", "time")
+      .agg(
+        sum(when(ok, col("value"))).as("sum_ok"),
+        (Seq(
+          count(when(ok && col("value").isNotNull, lit(1))).as("n_used"),
+          count(when(!ok, lit(1))).as("n_excluded")) ++ flagCounts): _*)
+  }
+
+  /** Nested TOC: the statistics→measures→dimensions→value-codes tree
+    * the reference derives to drive its GraphQL schema — one JSON doc
+    * per cube, dimensions each carrying their sorted member codes.
+    * Two aggregations (per-dim member collection, then per-cube
+    * assembly) + a per-cube join — all driver-state-free; the doc count
+    * equals the cube count, so the collected arrays are axis-member
+    * sized (thousands at most), never data-sized.
+    */
+  def catalogNested(normalized: DataFrame): DataFrame = {
+    val dims = normalized
+      .select(col("cube"), explode_outer(map_entries(col("dims"))).as("e"))
+      .groupBy(col("cube"), col("e.key").as("dim"))
+      .agg(sort_array(collect_set(col("e.value"))).as("values"))
+      // collect_list drops nulls: a cube with no dims (explode_outer's
+      // null row) assembles to an empty dimensions array, not [null].
+      .groupBy("cube")
+      .agg(sort_array(collect_list(when(col("dim").isNotNull,
+        struct(col("dim").as("name"), col("values"))))).as("dimensions"))
+    normalized
+      .groupBy("cube")
+      .agg(sort_array(collect_set(col("measure"))).as("measures"),
+        min(col("time")).as("time_min"), max(col("time")).as("time_max"))
+      .join(dims, Seq("cube"))
+      .select(col("cube"), to_json(struct(
+        col("cube").as("statistic"), col("time_min"), col("time_max"),
+        col("measures"), col("dimensions"))).as("toc"))
+      .orderBy("cube")
+  }
 
   /** Cube catalog / TOC: per-cube inventory of axes, measures, time
     * coverage, and cell counts — what the reference's schema command

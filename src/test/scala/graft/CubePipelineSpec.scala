@@ -54,6 +54,40 @@ class CubePipelineSpec extends SparkSpec {
     assert(f.filter(col("cube") === "12411_mini").count() == 6)
   }
 
+  test("aggFlags sums only non-excluded cells and reports per-flag counts") {
+    val a = CubePipeline.aggFlags(
+      CubePipeline.parseAll(spark, cubes), exclude = Set("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r).toMap
+    // 2019 fixture cells are all 'e' (kept): both regions × both sexes.
+    val y19 = a(("12411_mini", "BEVSTD", 2019))
+    assert(y19.getDecimal(3).doubleValue ==
+      1793847.0 + 1875217.0 + 934846.0 + 912384.0)
+    assert(y19.getAs[Long]("n_used") == 4 && y19.getAs[Long]("n_excluded") == 0)
+    assert(y19.getAs[Long]("n_e") == 4 && y19.getAs[Long]("n_p") == 0)
+    // 2020 cells are all 'p' (excluded): sum NULL, nothing used.
+    val y20 = a(("12411_mini", "BEVSTD", 2020))
+    assert(y20.isNullAt(3))
+    assert(y20.getAs[Long]("n_used") == 0 && y20.getAs[Long]("n_excluded") == 2)
+    // area/BEVDICHTE mixes flags: only the 'e' cell aggregates.
+    val bd20 = a(("area", "BEVDICHTE", 2020))
+    assert(bd20.getDecimal(3).doubleValue == 2480.3)
+    assert(bd20.getAs[Long]("n_used") == 1 && bd20.getAs[Long]("n_excluded") == 1)
+  }
+
+  test("catalogNested emits the statistics→measures→dimensions→values tree") {
+    val docs = CubePipeline.catalogNested(CubePipeline.parseAll(spark, cubes))
+      .collect().map(r => r.getString(0) -> r.getAs[String]("toc")).toMap
+    assert(docs("12411_mini") ==
+      """{"statistic":"12411_mini","time_min":2019,"time_max":2020,""" +
+      """"measures":["BEVSTD"],""" +
+      """"dimensions":[{"name":"GES","values":["GESM","GESW"]}]}""")
+    // a dimension-less cube nests an EMPTY dimensions array, not [null]
+    assert(docs("area") ==
+      """{"statistic":"area","time_min":2020,"time_max":2020,""" +
+      """"measures":["BEVDICHTE","FLAECHE"],"dimensions":[]}""")
+  }
+
   test("catalog inventories axes, measures, time span, and cell counts per cube") {
     val c = CubePipeline.catalog(CubePipeline.parseAll(spark, cubes))
       .collect().map(r => r.getString(0) -> r).toMap

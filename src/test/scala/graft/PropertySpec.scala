@@ -34,10 +34,12 @@ class PropertySpec extends SparkSpec {
       dim    <- code
       year   <- Gen.choose(1990, 2030)
       value  <- Gen.choose(0, 9999999)
-      flag   <- Gen.oneOf("e", "p", "r")
-      m2     <- Gen.oneOf(Gen.choose(0, 999).map(v => (Some(v.toDouble), "e")),
+      // M2 declares 2 decimals: fractional values exercise the typed
+      // DECIMAL(18,2) parse (two decimal digits survive exactly).
+      m2     <- Gen.oneOf(Gen.choose(0, 99999).map(v => (Some(v / 100.0), "e")),
                           Gen.oneOf(("-", "-"), ("...", "x"))
                             .map { case (_, f2) => (None, f2) })
+      flag   <- Gen.oneOf("e", "p", "r")
     } yield (region, dim, year, value.toDouble, flag, m2._1, m2._2))
     forAllSeeded(cells) { cs0 =>
       // one record per (region, dim, year): last write wins in the gen
@@ -47,14 +49,19 @@ class PropertySpec extends SparkSpec {
         "D;DQZ;JAHR;3", "D;DQI;M;ANZ;FEST;GANZ;0",
         "D;DQI;M2;QKM;FEST;DEZ;2", "D;QEI;DINSG;DIM;JAHR;M;M2") ++
         cs.map { case (r, dm, y, v, f, m2v, m2f) =>
-          val m2s = m2v.map(_.toLong.toString).getOrElse(if (m2f == "x") "..." else "-")
+          val m2s = m2v.map(d => f"$d%.2f")
+            .getOrElse(if (m2f == "x") "..." else "-")
           s"D;$r;$dm;$y;${v.toLong};$f;$m2s;$m2f"
         }
       java.nio.file.Files.writeString(file, lines.mkString("\n"))
-      val parsed = CubeParser.parse(spark, file.toString, "prop")
+      val frame = CubeParser.parse(spark, file.toString, "prop")
+      // Declared scales 0 and 2 → one widened decimal value column.
+      assert(frame.schema("value").dataType
+        .isInstanceOf[org.apache.spark.sql.types.DecimalType])
+      val parsed = frame
         .select("region", "dim_DIM", "time", "measure", "value", "quality")
         .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
-          r.getString(3), Option(r.get(4)).map(_.asInstanceOf[Double]),
+          r.getString(3), Option(r.getDecimal(4)).map(_.doubleValue),
           r.getString(5))).toSet
       val want = cs.flatMap { case (r, dm, y, v, f, m2v, m2f) =>
         Seq((r, dm, y, "M", Some(v), f), (r, dm, y, "M2", m2v, m2f))
