@@ -11,7 +11,11 @@ object Bench {
     val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
     val files = dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
       .filter(_.getName.matches("BENCH_r\\d+\\.json")).distinct
-    val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
+    // Committed BENCH files embed the bench line ESCAPED inside a
+    // "tail" string (\"join_left\":0.27…) — tolerate one backslash
+    // before each quote so the scrape works on both raw and embedded
+    // forms.
+    val pair = """\\?"([A-Za-z0-9_]+)\\?":(-?[0-9]+(?:\.[0-9]+)?)""".r
     files.flatMap { f =>
       val txt = try scala.io.Source.fromFile(f).mkString catch { case _: Throwable => "" }
       pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)

@@ -80,26 +80,116 @@ object LlmVector {
       .orderBy("v1", "rank")
   }
 
-  /** IVF-style approximate top-k: coarse-quantize every vector to its
-    * nearest of `nCells` centroid vectors (here: deterministically the
-    * lowest-id vectors — at scale, k-means centroids slot in without
-    * changing the plan), then score exactly within cells (nprobe = 1).
-    * The centroid table broadcasts; assignment is a linear pass; the
-    * candidate join is an equi-join on cell id — never all-pairs.
+  /** Assign every vector to its best (max-cosine) centroid; ties break
+    * on the lower centroid id.
+    *
+    * The centroid table is compiled INTO the plan as literals: one
+    * codegen'd struct(csim, -cid) per centroid, argmax'd by
+    * `array_max` (struct ordering = csim desc via max, then lowest cid
+    * via the negated id). Assignment is therefore a NARROW projection —
+    * no crossJoin, no exchange, no per-row lambda dispatch — which is
+    * both the local-latency win (three passes share zero shuffles) and
+    * the 100 TB shape (a broadcast join against a 16-row table only
+    * adds an exchange-side hash probe for the same math). For very
+    * large centroid counts (≫10³) the literal expression would
+    * outgrow codegen — at that point switch to the broadcast-join
+    * form; nCells here is the IVF coarse-quantizer knob, small by
+    * design.
     */
-  def knnIvf(emb: DataFrame, k: Int, nCells: Int): DataFrame = {
+  private def assign(emb: DataFrame, cents: Seq[(Long, Seq[Float])]): DataFrame = {
+    val cand = cents.sortBy(_._1).map { case (cid, ce) =>
+      // driver-side norm uses the same left-to-right double accumulation
+      // as graft_dot(ce, ce) — bit-identical to the engine's own norm.
+      val cnrm = math.sqrt(ce.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      struct(
+        (dot(col("embedding"), lit(ce.toArray)) / (col("nrm") * lit(cnrm)))
+          .as("csim"),
+        lit(-cid).as("negcid"))
+    }
+    emb.withColumn("m", array_max(array(cand: _*)))
+      .select((-col("m.negcid")).as("cell"), col("vec_id"),
+        col("embedding"), col("nrm"))
+  }
+
+  /** Spread + norm + cache: every k-means pass re-reads this frame, so
+    * pin it once. Lazy persist, not localCheckpoint: the first pass
+    * populates the cache as a side effect (no dedicated materialization
+    * job — measured ~0.5 s of pure job latency at sf0.1). At 100 TB
+    * the same role is persist(DISK_ONLY) or write-and-reread —
+    * iterating over a scan is the one pattern Lloyd can't avoid.
+    */
+  private def prepared(emb: DataFrame): DataFrame =
+    graft.T.spread(emb).withColumn("nrm", norm(col("embedding")))
+      .persist()
+
+  /** Deterministic Lloyd k-means centroids, returned as a local table
+    * (cid = seed vec_id, components float).
+    *
+    * Deliberate design points, all in service of engine-independent
+    * determinism AND scale:
+    *   - Seeds are the `nCells` lowest-id vectors (deterministic; a
+    *     production variant would seed from a hash-ordered sample —
+    *     same plan, different ORDER BY).
+    *   - Each iteration re-assigns (broadcast crossJoin + map-side
+    *     max(struct) — a linear pass, never all-pairs, see [[assign]])
+    *     and recomputes centroids as the
+    *     per-position SUM of member vectors in DECIMAL(28,10): exact,
+    *     so partition/merge order cannot perturb the result the way a
+    *     double sum would. A sum-centroid is a positive scaling of the
+    *     mean-centroid, and cosine is scale-invariant — so skipping
+    *     the division sidesteps cross-engine decimal-division scale
+    *     rules entirely.
+    *   - Per-iteration driver materialization is nCells×dim cells
+    *     (tiny, the broadcast table itself) — NOT data-sized; this is
+    *     the legitimate driver-side use, like the cube header collect.
+    *   - A cell that captures no vectors simply drops out (classic
+    *     Lloyd); callers get ≤ nCells centroids.
+    * `nIters = 0` returns the raw seeds — the coarse-quantization stub
+    * and the baseline the k-means recall spec compares against.
+    */
+  def kMeansCentroids(emb: DataFrame, nCells: Int, nIters: Int): Seq[(Long, Seq[Float])] = {
     graft.functions.VectorExpressions.register(emb.sparkSession)
-    val spreadEmb = graft.T.spread(emb).withColumn("nrm", norm(col("embedding")))
-    val centroids = emb.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      .withColumn("cnrm", norm(col("ce")))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
-    val assigned = spreadEmb.crossJoin(broadcast(centroids))
-      .withColumn("csim", dot(col("embedding"), col("ce")) /
-        (col("nrm") * col("cnrm")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("cid").as("cell"), col("vec_id"), col("embedding"), col("nrm"))
+    kMeansOn(prepared(emb), nCells, nIters)
+  }
+
+  /** Lloyd loop over an already-prepared (vec_id, embedding, nrm) frame. */
+  private def kMeansOn(e: DataFrame, nCells: Int, nIters: Int): Seq[(Long, Seq[Float])] = {
+    var cents: Seq[(Long, Seq[Float])] = e.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    for (_ <- 1 to nIters) {
+      val sums = assign(e, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        // explicit float→double→decimal ladder: both engines take the
+        // identical widening path, so the rounded decimal agrees.
+        .agg(sum(col("x").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10))).as("sx"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2)))
+      cents = sums.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, ps) =>
+        cid -> ps.sortBy(_._2).map(_._3.doubleValue.toFloat).toSeq
+      }
+    }
+    cents
+  }
+
+
+  /** IVF-style approximate top-k: coarse-quantize every vector to its
+    * nearest of ≤ `nCells` k-means centroids ([[kMeansCentroids]] —
+    * exact-decimal Lloyd iterations, materialized before scoring), then
+    * score exactly within cells (nprobe = 1). The centroid table
+    * broadcasts; assignment is a linear pass; the candidate join is an
+    * equi-join on cell id — never all-pairs.
+    */
+  def knnIvf(emb: DataFrame, k: Int, nCells: Int, kmeansIters: Int = 2): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    // one cached spread+norm frame feeds the Lloyd passes AND the
+    // final assignment — without it each pass re-derives the scan.
+    val e = prepared(emb)
+    // the final assignment feeds BOTH sides of the cell self-join;
+    // cached, the join probes one materialized narrow table instead of
+    // running the argmax projection twice (measured ~2× on the join).
+    val assigned = assign(e, kMeansOn(e, nCells, kmeansIters)).persist()
     val l = assigned.select(col("cell"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
     val r = assigned.select(col("cell"), col("vec_id").as("v2"),
@@ -141,9 +231,10 @@ object LlmVector {
     "knn_ann" -> ((s, d) =>
       knnLsh(T.embeddings(s, d), k = 3, nBits = 4)),
 
-    // IVF coarse-quantization variant of ANN (nprobe=1, 16 cells).
+    // IVF coarse-quantization variant of ANN: nprobe=1, 16 cells,
+    // centroids from two exact-decimal Lloyd k-means iterations.
     "knn_ivf" -> ((s, d) =>
-      knnIvf(T.embeddings(s, d), k = 3, nCells = 16)),
+      knnIvf(T.embeddings(s, d), k = 3, nCells = 16, kmeansIters = 2)),
 
     // Embedding-cosine near-dup: vector pairs above a cosine threshold,
     // via the same sign-LSH candidate path (identical/near-identical
@@ -170,11 +261,34 @@ object LlmVector {
   // doubles are bit-identical between engines and round(·, 6) agrees.
   // A list_sum / list_cosine_similarity formulation would NOT carry
   // that guarantee (unspecified summation order/precision).
-  private val duckNorm =
-    "sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (a,b) -> a+b))"
-  private def duckDot(l: String, r: String) =
-    s"list_reduce(list_transform(list_zip($l.embedding, $r.embedding), " +
+  private def duckNormOf(c: String) =
+    s"sqrt(list_reduce(list_transform($c, x -> x::DOUBLE * x::DOUBLE), (a,b) -> a+b))"
+  private val duckNorm = duckNormOf("embedding")
+  private def duckDotCols(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
       "z -> z[1]::DOUBLE * z[2]::DOUBLE), (x,y) -> x+y)"
+  private def duckDot(l: String, r: String) =
+    duckDotCols(s"$l.embedding", s"$r.embedding")
+  /** One Lloyd step in DuckDB: assign to `cin`, then per-cell exact
+    * decimal component sums rebuilt as float lists — mirrors
+    * [[kMeansCentroids]] (same double→decimal→double→float ladder).
+    */
+  private def duckLloyd(cin: String, out: String) =
+    s"""a_$out AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      (${duckDotCols("e.embedding", "c.ce")} / (e.nrm * c.cnrm))
+       |      DESC, c.cid) AS crn
+       |  FROM e CROSS JOIN $cin c),
+       |g_$out AS (SELECT cid AS cell, vec_id, embedding FROM a_$out WHERE crn = 1),
+       |x_$out AS (SELECT cell, generate_subscripts(embedding, 1) AS i,
+       |                  unnest(embedding) AS x FROM g_$out),
+       |$out AS (
+       |  SELECT cid, ce, ${duckNormOf("ce")} AS cnrm FROM (
+       |    SELECT cell AS cid, list(CAST(CAST(sx AS DOUBLE) AS FLOAT) ORDER BY i) AS ce
+       |    FROM (SELECT cell, i, sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS sx
+       |          FROM x_$out GROUP BY cell, i)
+       |    GROUP BY cell))""".stripMargin
   // Sign-LSH bucket over the first 4 dims — mirrors signCode(e, 4).
   private val duckBucket =
     """(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
@@ -208,18 +322,25 @@ object LlmVector {
         |    PARTITION BY v1 ORDER BY cos DESC, v2) AS "rank" FROM p)
         |SELECT v1, v2, cos, "rank" FROM rk WHERE "rank" <= 3
         |ORDER BY v1, "rank"""".stripMargin,
+    // Replays the full deterministic pipeline: seed centroids → two
+    // exact-decimal Lloyd steps → final assignment → in-cell exact
+    // scoring. Float/double ladders mirror the Spark side step for
+    // step, so doubles stay bit-identical through all three passes.
     "knn_ivf" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
-        |c AS (
-        |  SELECT vec_id AS cid, embedding, nrm AS cnrm FROM e
+        |c0 AS (
+        |  SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm FROM e
         |  ORDER BY vec_id LIMIT 16),
-        |a AS (
+        |${duckLloyd("c0", "c1")},
+        |${duckLloyd("c1", "c2")},
+        |af AS (
         |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      (${duckDot("e", "c")} / (e.nrm * c.cnrm)) DESC, c.cid) AS crn
-        |  FROM e CROSS JOIN c),
-        |asg AS (SELECT cid AS cell, vec_id, embedding, nrm FROM a WHERE crn = 1),
+        |      (${duckDotCols("e.embedding", "c.ce")} / (e.nrm * c.cnrm))
+        |      DESC, c.cid) AS crn
+        |  FROM e CROSS JOIN c2 c),
+        |asg AS (SELECT cid AS cell, vec_id, embedding, nrm FROM af WHERE crn = 1),
         |p AS (
         |  SELECT l.vec_id AS v1, r.vec_id AS v2,
         |    round(${duckDot("l", "r")} / (l.nrm * r.nrm), 6) AS cos

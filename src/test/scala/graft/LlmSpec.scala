@@ -118,6 +118,34 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF k-means centroids beat seed-stub centroids on clustered data") {
+    import spark.implicits._
+    // 3 tight clusters along different axes; ids assigned so the 16
+    // lowest (the seed stub's centroid choice) ALL sit in cluster 0 —
+    // the adversarial-but-realistic case where raw seeds are a bad
+    // coarse quantizer and Lloyd iterations must actually move them.
+    val dim = 8; val per = 40
+    def mkVec(cl: Int, i: Int): Seq[Float] =
+      (0 until dim).map { j =>
+        val base = if (j == cl) 1.0f else 0.0f
+        base + ((i * 31 + j * 17) % 11 - 5) / 50.0f
+      }
+    val emb = (for (cl <- 0 until 3; k <- 0 until per) yield {
+      val i = cl * per + k
+      (i.toLong, mkVec(cl, i), 0)
+    }).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(LlmVector.knnBrute(emb, 3, "label"))
+    val stub = pairs(LlmVector.knnIvf(emb, 3, nCells = 16, kmeansIters = 0))
+    val km = pairs(LlmVector.knnIvf(emb, 3, nCells = 16, kmeansIters = 2))
+    val rStub = (stub & truth).size.toDouble / truth.size
+    val rKm = (km & truth).size.toDouble / truth.size
+    assert(rKm > rStub, s"k-means recall $rKm should beat stub recall $rStub")
+    assert(rKm >= 0.7, s"k-means recall $rKm below floor")
+  }
+
   test("brute-force knn: cosine bounds and deterministic ranking") {
     val out = LlmVector.knnBrute(T.embeddings(spark, sf), 3, "label")
     val rows = out.collect()

@@ -39,9 +39,12 @@ class PipelineSpec extends SparkSpec {
               col("doc").contains("\"GES\":\"GESM\""))
       .collect()
     assert(doc.length == 1, back.select("doc").collect().mkString("\n"))
-    // FIXTURES.md §B golden value for (02, 2019, GESM)
+    // FIXTURES.md §B golden value for (02, 2019, GESM). The declared-
+    // scale DECIMAL(18,0) renders integers WITHOUT a trailing .0 —
+    // exactly the golden doc shape in FIXTURES.md §B, which the old
+    // all-double parse could not produce.
     assert(doc(0).getAs[String]("doc")
-      .contains("\"BEVSTD\":{\"value\":934846.0,\"quality\":\"e\"}"),
+      .contains("\"BEVSTD\":{\"value\":934846,\"quality\":\"e\"}"),
       doc(0).getAs[String]("doc"))
   }
 }
