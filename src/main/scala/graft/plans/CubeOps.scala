@@ -72,6 +72,17 @@ object CubeOps {
         .orderBy("region", "dim_GES", "time")
     }),
 
+    // Catalog/TOC over the parsed cube: axes (dims minus the region
+    // axis), measures, time span, distinct cell count — the schema
+    // command's flat inventory, driver-checked. (The nested tree form
+    // is `CubePipeline.catalogNested`, golden-tested — JSON assembly
+    // differs too much across engines to hash-match.)
+    "cube_catalog" -> ((s, _) => {
+      val path = ensureFixture()
+      CubePipeline.catalog(CubePipeline.normalized(
+        CubeParser.parse(s, path, "12411_mini")))
+    }),
+
     // Flag-aware aggregation: sum excluding provisional (`p`) cells,
     // with per-flag cell counts as explicit columns.
     "cube_agg_flags" -> ((s, _) => {
@@ -109,6 +120,27 @@ object CubeOps {
          |       ELSE CAST(c4 AS DOUBLE) END AS value,
          |  c5 AS quality
          |FROM data ORDER BY region, dim_GES, "time"""".stripMargin,
+    // Catalog oracle derives axes/measures FROM THE HEADER RECORDS
+    // (DQA names minus the QEI-leading region axis; DQI names), not
+    // from literals — the same schema-from-header derivation the
+    // parser performs.
+    "cube_catalog" ->
+      s"""WITH raw AS (SELECT * FROM $duckRead),
+         |data AS ($duckData),
+         |axes AS (
+         |  SELECT string_agg(c2, ',' ORDER BY c2) AS axes
+         |  FROM raw WHERE c0 = 'D' AND c1 = 'DQA'
+         |    AND c2 <> (SELECT c2 FROM raw WHERE c0 = 'D' AND c1 = 'QEI')),
+         |meas AS (
+         |  SELECT string_agg(c2, ',' ORDER BY c2) AS measures
+         |  FROM raw WHERE c0 = 'D' AND c1 = 'DQI')
+         |SELECT '12411_mini' AS cube, axes.axes, meas.measures,
+         |  min(CAST(c3 AS INT)) AS time_min,
+         |  max(CAST(c3 AS INT)) AS time_max,
+         |  count(DISTINCT (c1, c2, c3)) AS n_cells
+         |FROM data, axes, meas
+         |GROUP BY axes.axes, meas.measures
+         |ORDER BY cube""".stripMargin,
     "cube_agg_flags" ->
       s"""WITH data AS ($duckData),
          |cells AS (
