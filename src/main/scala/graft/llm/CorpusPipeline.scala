@@ -10,11 +10,12 @@ import org.apache.spark.sql.expressions.Window
   *
   *   1. quality gate   ([[LlmText.qualityScore]] ≥ threshold)
   *   2. exact dedup    (content digest, lowest doc_id survives)
-  *   3. near-dup drop  (MinHash+LSH pairs from [[LlmDedup.minhashPairs]];
-  *                      greedy survivor = drop the higher id of each
-  *                      pair — the standard linear-pass approximation
-  *                      of connected-component dedup, documented bias:
-  *                      a chain a~b~c keeps a AND c if a≁c)
+  *   3. near-dup drop  (MinHash+LSH pairs from [[LlmDedup.minhashPairs]]
+  *                      → [[LlmDedup.connectedComponents]] → keep each
+  *                      component's smallest id; pair-local survivor
+  *                      rules miss transitive duplicates — r3's greedy
+  *                      higher-id drop kept both endpoints of a
+  *                      (1,3),(2,3) vee)
   *   4. accounting     (tokens kept, per-stage drop counts)
   *
   * Every stage is shuffle-bounded column work — no driver state, no
@@ -38,11 +39,12 @@ object CorpusPipeline {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "digest")
-    // 3. near-dup drop: any doc appearing as the higher id of a
-    //    verified near-dup pair goes
-    val drops = LlmDedup.minhashPairs(exact, nearDupJaccard)
-      .select(col("d2").as("doc_id")).distinct()
-    val kept = exact.join(drops, Seq("doc_id"), "left_anti")
+    // 3. near-dup drop: verified pairs → connected components → keep
+    //    each component's smallest id (exact, chain-bias-free)
+    val reps = LlmDedup.connectedComponents(exact,
+        LlmDedup.minhashPairs(exact, nearDupJaccard))
+      .filter(col("doc_id") === col("cluster")).select("doc_id")
+    val kept = exact.join(reps, Seq("doc_id"))
     // 4. accounting columns
     kept
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))

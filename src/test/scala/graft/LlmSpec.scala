@@ -56,6 +56,28 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)), s"disjoint docs merged: $pairs")
   }
 
+  test("connected components: transitive near-dups collapse to one representative") {
+    import spark.implicits._
+    // Vee: pairs (1,3),(2,3) with 1≁2 directly. A pair-local
+    // "drop the larger id" keeps BOTH 1 and 2; components keep only 1.
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("d1", "d2")
+    val got = LlmDedup.connectedComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("connected components: a long chain converges to the smallest id") {
+    import spark.implicits._
+    // Chain 1-2-3-…-8: needs several propagation rounds (label must
+    // travel the diameter), so this exercises the convergence loop.
+    val docs = (1L to 9L).toDF("doc_id")
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = LlmDedup.connectedComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ((1L to 8L).map(_ -> 1L) :+ (9L -> 9L)).toMap)
+  }
+
   test("ngram df-cap kills boilerplate-only pairs, keeps genuine near-dups") {
     // Docs 1/2: genuine near-dups. Docs 3/4: disjoint content but both
     // end with the same boilerplate footer — with no cap they pair at
