@@ -87,6 +87,32 @@ object StreamOps {
         .select(T.tstr(col("w.start")).as("win_start"), col("n"))
         .orderBy("win_start")),
 
+    // Stream-stream interval join: purchases matched to a prior click
+    // by the same user within 30 minutes — THE canonical two-stream
+    // join (equi-key + event-time range). In readStream mode the same
+    // join with `withWatermark` on BOTH sides bounds each side's state
+    // buffer to the interval + watermark (asserted over MemoryStreams
+    // in StreamingSpec); in batch it oracle-checks as a plain
+    // equi+range join. Equi-key first: Spark plans SMJ/SHJ on user_id
+    // with the time range as residual — never a nested-loop product
+    // (PlanSpec's no-cartesian sweep covers this key automatically).
+    "stream_join" -> ((s, d) => {
+      val e = T.events(s, d).withColumn("tss", tsec)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("tss").as("click_ts"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+          col("tss").as("buy_ts"))
+      clicks.join(buys, col("user_id") === col("b_user") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("buy_id"),
+          T.tstr(col("click_ts")).as("click_ts"),
+          T.tstr(col("buy_ts")).as("buy_ts"))
+        .orderBy("user_id", "click_id", "buy_id")
+    }),
+
     // Arbitrary stateful processing: running per-user event count via
     // flatMapGroupsWithState — the API that carries custom state across
     // micro-batches (cross-batch behavior in StreamingSpec).
@@ -152,6 +178,21 @@ object StreamOps {
         |FROM events GROUP BY 1 ORDER BY win_start""".stripMargin,
     "stream_stateful" ->
       """SELECT user_id, count(*) AS n_events FROM events
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         date_trunc('second', ts) AS tss FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, tss AS click_ts
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS b_user, event_id AS buy_id, tss AS buy_ts
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT user_id, click_id, buy_id,
+        |  strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(buy_ts, '%Y-%m-%d %H:%M:%S') AS buy_ts
+        |FROM c JOIN p ON user_id = b_user
+        |  AND buy_ts >= click_ts
+        |  AND buy_ts <= click_ts + INTERVAL 30 MINUTE
+        |ORDER BY user_id, click_id, buy_id""".stripMargin
   )
 }

@@ -43,6 +43,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches pairs across micro-batches, within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)] // (user, click_id, ts)
+    val buys = MemoryStream[(Long, Long, Timestamp)]   // (user, buy_id, ts)
+    val c = clicks.toDF().toDF("user_id", "click_id", "click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val b = buys.toDF().toDF("b_user", "buy_id", "buy_ts")
+      .withWatermark("buy_ts", "10 minutes")
+    val joined = c.join(b, col("user_id") === col("b_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("user_id", "click_id", "buy_id")
+    val q = joined.writeStream.format("memory").queryName("ssj_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Click in batch 1; matching purchase arrives a batch LATER —
+      // the join must buffer the click and still emit the pair.
+      clicks.addData((1L, 100L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      buys.addData((1L, 200L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // Outside the 30-minute window and other user: no pairs.
+      buys.addData((1L, 201L, ts("2024-01-01 11:00:00")),
+                   (2L, 202L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val got = spark.table("ssj_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 100L, 200L)),
+        s"exactly the in-window cross-batch pair: $got")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState carries running counts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long)] // (user_id, event_id)
