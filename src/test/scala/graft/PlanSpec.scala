@@ -74,11 +74,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("knn_ivf broadcasts the centroid table for assignment") {
-    // The ONE intentional non-equi step: every vector scores against 16
-    // broadcast centroids. The broadcast is the point — the big side
-    // never shuffles for assignment.
+  test("knn_ivf assignment is exchange-free; candidates stay equi-join") {
+    // r4: centroid assignment compiles the 16 centroids into a literal
+    // argmax projection — no crossJoin, no per-vector shuffle. The only
+    // join in the plan is the in-cell candidate equi-join (broadcast or
+    // shuffled — either is fine; nested loop/cartesian is not).
     val p = plan("knn_ivf", graft.llm.LlmVector.queries)
-    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("array_max"), "literal argmax assignment expected: " + p)
+  }
+
+  test("stream_join plans as an equi join with the time range as residual") {
+    val p = plan("stream_join", graft.streaming.StreamOps.queries)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_cluster's component labels stay equi-join per round") {
+    val p = plan("dedup_cluster", graft.llm.LlmDedup.queries)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 }
