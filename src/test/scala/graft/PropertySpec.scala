@@ -171,6 +171,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components ≡ local union-find on random pair graphs") {
+    val graphs = Gen.listOf(for {
+      a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    forAllSeeded(graphs) { es0 =>
+      val edges = es0.distinct
+      val n = 20L
+      // local reference: path-compressing union-find, min-root
+      val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        if (parent(x) != x) parent(x) = find(parent(x)); parent(x)
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val want = (0L until n).map(i => i -> find(i)).toMap
+      val docs = (0L until n).toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("d1", "d2")
+        else edges.toDF("d1", "d2")
+      val got = graft.llm.LlmDedup.connectedComponents(docs, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
   test("windowed per-group top-k ≡ brute-force group-sort-take") {
     val rows = Gen.nonEmptyListOf(for {
       g <- Gen.choose(0, 5); v <- Gen.choose(0, 1000); id <- Gen.choose(0L, 999999L)
