@@ -36,6 +36,26 @@ object Sinks {
       .partitionBy(partCols: _*)
       .parquet(path)
 
+  /** Partitioned write with IN-FILE ordering on `sortCols`: rows inside
+    * every output file arrive sorted, so parquet row-group min/max
+    * statistics become a fine-grained range index — a predicate on the
+    * sort column skips whole row groups (disjoint ranges), where an
+    * unsorted file's row groups all span the full value range and
+    * nothing skips. The layout every time-series table wants: partition
+    * by coarse key (day/cube/type), sort by timestamp within.
+    * Repartition on partCols THEN sortWithinPartitions: each task
+    * writes one directory AND contiguous ranges per file — adding the
+    * sort costs no extra shuffle beyond writePartitioned's.
+    */
+  def writeSorted(df: DataFrame, path: String, partCols: Seq[String],
+      sortCols: Seq[String], maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(partCols.map(df.col): _*)
+      .sortWithinPartitions((partCols ++ sortCols).map(df.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+
   /** Bucketed + sorted table write: co-locates rows by `bucketCol` so
     * equi-joins and aggregations on that key need no shuffle at read
     * time. Requires a table name (bucketing metadata lives in the

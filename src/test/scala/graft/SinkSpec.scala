@@ -28,6 +28,26 @@ class SinkSpec extends SparkSpec {
       docs.filter(col("lang") === langs.head).count())
   }
 
+  test("sorted layout: every output file is internally ordered on the sort column") {
+    val out = Files.createTempDirectory("sink").resolve("ev").toString
+    val ev = T.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        date_trunc("second", col("ts")).as("tss"))
+    // small maxRecordsPerFile forces several files per partition, so
+    // the assertion covers per-FILE ordering, not just per-partition
+    Sinks.writeSorted(ev, out, Seq("event_type"), Seq("tss"), 200L)
+    val files = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.length > ev.select("event_type").distinct().count(),
+      "expected multiple files per partition")
+    files.foreach { f =>
+      val ts = spark.read.parquet(f.getPath).select("tss")
+        .collect().map(_.getTimestamp(0))
+      assert(ts.zip(ts.drop(1)).forall { case (a, b) => !a.after(b) },
+        s"${f.getName}: rows not sorted on tss within the file")
+    }
+  }
+
   test("skewed partition splits into multiple files under maxRecordsPerFile") {
     val out = Files.createTempDirectory("sink").resolve("skew").toString
     // all rows in ONE partition value; cap forces multiple files
