@@ -130,9 +130,9 @@ object LlmVector {
     *   - Seeds are the `nCells` lowest-id vectors (deterministic; a
     *     production variant would seed from a hash-ordered sample —
     *     same plan, different ORDER BY).
-    *   - Each iteration re-assigns (broadcast crossJoin + map-side
-    *     max(struct) — a linear pass, never all-pairs, see [[assign]])
-    *     and recomputes centroids as the
+    *   - Each iteration re-assigns (the literal argmax projection of
+    *     [[assign]] — a narrow linear pass, never all-pairs) and
+    *     recomputes centroids as the
     *     per-position SUM of member vectors in DECIMAL(28,10): exact,
     *     so partition/merge order cannot perturb the result the way a
     *     double sum would. A sum-centroid is a positive scaling of the
@@ -177,8 +177,8 @@ object LlmVector {
   /** IVF-style approximate top-k: coarse-quantize every vector to its
     * nearest of ≤ `nCells` k-means centroids ([[kMeansCentroids]] —
     * exact-decimal Lloyd iterations, materialized before scoring), then
-    * score exactly within cells (nprobe = 1). The centroid table
-    * broadcasts; assignment is a linear pass; the candidate join is an
+    * score exactly within cells (nprobe = 1). Assignment is the narrow
+    * literal-argmax projection of [[assign]]; the candidate join is an
     * equi-join on cell id — never all-pairs.
     */
   def knnIvf(emb: DataFrame, k: Int, nCells: Int, kmeansIters: Int = 2): DataFrame = {
