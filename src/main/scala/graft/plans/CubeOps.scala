@@ -43,19 +43,38 @@ object CubeOps {
 
   val fixturePath = "/tmp/graft_cube_12411_mini.csv"
 
+  /** Second fixture, DIFFERENT schema (single axis, two measures of
+    * differing declared scales) — exercises the heterogeneous-schema
+    * union that is the reference's core multi-cube model.
+    */
+  val areaContent: String = Seq(
+    "K;DQ;AREA",
+    "D;DQA;DINSG;1;1",
+    "D;DQZ;JAHR;2",
+    "D;DQI;FLAECHE;QKM;FEST;DEZ;2",
+    "D;DQI;BEVDICHTE;ANZ;FEST;DEZ;1",
+    "D;QEI;DINSG;JAHR;FLAECHE;BEVDICHTE",
+    "D;02;2020;755.09;e;2480.3;e",
+    "D;11;2020;891.12;e;4090.6;p").mkString("\n")
+
+  val areaPath = "/tmp/graft_cube_area_mini.csv"
+
   /** Write-once (content-checked) so both Spark and the driver's later
     * DuckDB pass read the identical file.
     */
-  def ensureFixture(): String = {
-    val p = java.nio.file.Paths.get(fixturePath)
+  private def ensure(path: String, content: String): String = {
+    val p = java.nio.file.Paths.get(path)
     val current =
       if (java.nio.file.Files.exists(p))
         new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       else ""
-    if (current != fixtureContent)
-      java.nio.file.Files.write(p, fixtureContent.getBytes("UTF-8"))
-    fixturePath
+    if (current != content)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    path
   }
+
+  def ensureFixture(): String = ensure(fixturePath, fixtureContent)
+  def ensureArea(): String = ensure(areaPath, areaContent)
 
   val queries: Map[String, Q] = Map(
     // Schema-from-header ingestion: the reference's single most-used
@@ -70,6 +89,21 @@ object CubeOps {
           col("measure"), col("value").cast("double").as("value"),
           col("quality"))
         .orderBy("region", "dim_GES", "time")
+    }),
+
+    // Heterogeneous multi-cube union: two cubes with DIFFERENT schemas
+    // (axes DINSG+GES / one measure vs DINSG-only / two measures of
+    // different declared scales) parse under their own layouts and
+    // union into the shared long form, per-cube dims folded into a map
+    // (emitted as compact JSON — the house rule bans MAP finals). The
+    // reference's core storage model, driver-checked.
+    "cube_union" -> ((s, _) => {
+      val paths = Seq(ensureFixture() -> "12411_mini", ensureArea() -> "area")
+      CubePipeline.parseAll(s, paths)
+        .select(col("cube"), col("region"), to_json(col("dims")).as("dims_json"),
+          col("time"), col("measure"),
+          col("value").cast("double").as("value"), col("quality"))
+        .orderBy("cube", "region", "dims_json", "time", "measure")
     }),
 
     // Catalog/TOC over the parsed cube: axes (dims minus the region
@@ -98,18 +132,21 @@ object CubeOps {
     })
   )
 
-  // Oracle side reads the SAME /tmp file: ragged semicolon rows via
+  // Oracle side reads the SAME /tmp files: ragged semicolon rows via
   // null_padding, then the same shape-anchored data filter and
   // positional extraction the Spark parser generates.
-  private val duckRead =
-    s"""read_csv('$fixturePath', delim=';', header=false, quote='"',
+  private def duckReadOf(path: String) =
+    s"""read_csv('$path', delim=';', header=false, quote='"',
        |  null_padding=true, auto_detect=false,
        |  columns={'c0':'VARCHAR','c1':'VARCHAR','c2':'VARCHAR',
        |  'c3':'VARCHAR','c4':'VARCHAR','c5':'VARCHAR',
        |  'c6':'VARCHAR'})""".stripMargin
-  private val duckData =
-    s"""SELECT * FROM $duckRead
+  private def duckDataOf(path: String) =
+    s"""SELECT * FROM ${duckReadOf(path)}
        |WHERE c0 = 'D' AND c1 NOT IN ('DQA','DQZ','DQI','QEI')""".stripMargin
+  private val duckRead = duckReadOf(fixturePath)
+  private val duckData = duckDataOf(fixturePath)
+  private val duckNull = "('-','...','…','/','x','.')"
 
   val oracle: Map[String, String] = Map(
     "cube_parse" ->
@@ -120,6 +157,32 @@ object CubeOps {
          |       ELSE CAST(c4 AS DOUBLE) END AS value,
          |  c5 AS quality
          |FROM data ORDER BY region, dim_GES, "time"""".stripMargin,
+    // Union oracle replays both cubes' positional extraction and the
+    // dims-map JSON fold, then unions — one SELECT per (cube, measure).
+    "cube_union" ->
+      s"""WITH mini AS (${duckDataOf(fixturePath)}),
+         |area AS (${duckDataOf(areaPath)}),
+         |u AS (
+         |  SELECT '12411_mini' AS cube, c1 AS region,
+         |    '{"GES":"' || c2 || '"}' AS dims_json,
+         |    CAST(c3 AS INT) AS t, 'BEVSTD' AS measure,
+         |    CASE WHEN c4 IN $duckNull THEN NULL
+         |         ELSE CAST(c4 AS DOUBLE) END AS value,
+         |    c5 AS quality
+         |  FROM mini
+         |  UNION ALL
+         |  SELECT 'area', c1, '{}', CAST(c2 AS INT), 'FLAECHE',
+         |    CASE WHEN c3 IN $duckNull THEN NULL
+         |         ELSE CAST(c3 AS DOUBLE) END, c4
+         |  FROM area
+         |  UNION ALL
+         |  SELECT 'area', c1, '{}', CAST(c2 AS INT), 'BEVDICHTE',
+         |    CASE WHEN c5 IN $duckNull THEN NULL
+         |         ELSE CAST(c5 AS DOUBLE) END, c6
+         |  FROM area)
+         |SELECT cube, region, dims_json, t AS "time", measure, value, quality
+         |FROM u ORDER BY cube, region, dims_json, "time", measure""".stripMargin,
+
     // Catalog oracle derives axes/measures FROM THE HEADER RECORDS
     // (DQA names minus the QEI-leading region axis; DQI names), not
     // from literals — the same schema-from-header derivation the
