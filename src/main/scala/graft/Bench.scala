@@ -65,25 +65,33 @@ object Bench {
         else two.min
       name -> best
     }
-    // End-of-sweep outlier retry (round-3 verdict): a multi-minute
+    // End-of-sweep outlier retries (round-3 verdict): a multi-minute
     // ambient spike can swallow all three attempts of a whole
     // alphabetical band (r3: join_* band measured 24-27 s vs 0.3-0.8 s
-    // cross-round minima). One extra attempt AFTER the full sweep —
+    // cross-round minima). Extra attempts AFTER the full sweep —
     // minutes later, when the spike has likely moved — for any query
-    // measured above 3× its own committed cross-round minimum.
+    // measured above 3× its own committed cross-round minimum; up to
+    // three passes with a 30 s pause between them, so a spike that
+    // covers the END of the sweep can't poison the retries too. A key
+    // with no committed history (added this round) uses a 0.67 s
+    // floor — over the 2 s budget still earns a retry. Zero cost on a
+    // quiet run (no outliers → no passes, no sleeps).
     val mins = crossRoundMins()
     var retried = List.empty[String]
-    val results = firstPass.map { case (name, best) =>
-      // A key with no committed history (added this round) still gets
-      // a late retry when it lands over the 2 s per-query budget —
-      // 3 × 0.67 — otherwise a spike on a new key is unfalsifiable.
-      val floor = mins.getOrElse(name, 0.67)
-      if (best >= 0 &&
-          best > 3 * floor && best > 0.5) {
-        retried ::= name
-        val again = once(name, SparkEntry.queries(name))
-        name -> (if (again >= 0) math.min(best, again) else best)
-      } else name -> best
+    var results = firstPass
+    def isOutlier(name: String, best: Double): Boolean =
+      best >= 0 && best > 3 * mins.getOrElse(name, 0.67) && best > 0.5
+    var pass = 0
+    while (pass < 3 && results.exists { case (n, b) => isOutlier(n, b) }) {
+      if (pass > 0) Thread.sleep(30000)
+      results = results.map { case (name, best) =>
+        if (isOutlier(name, best)) {
+          if (!retried.contains(name)) retried ::= name
+          val again = once(name, SparkEntry.queries(name))
+          name -> (if (again >= 0) math.min(best, again) else best)
+        } else name -> best
+      }
+      pass += 1
     }
     // 4-decimal times: sub-0.1 ms precision is noise, and the shorter
     // line keeps the full JSON inside log-tail captures.
