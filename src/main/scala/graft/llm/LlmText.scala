@@ -122,6 +122,36 @@ object LlmText {
         .orderBy("doc_id")
     }),
 
+    // Corpus vocabulary: term frequency + document frequency + rank +
+    // cumulative corpus coverage for the top-100 terms — the analysis
+    // a tokenizer/BPE training run starts from ("how many types cover
+    // 95% of tokens"). One explode + one groupBy + two windows, all
+    // shuffle-bounded; the top-k cut keeps the output constant-size
+    // regardless of corpus scale.
+    "text_vocab" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val terms = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val counts = terms.groupBy("term")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      // top-k FIRST via orderBy+limit (TakeOrderedAndProject — each
+      // partition contributes its local top-100, no global sort), THEN
+      // the rank/cumulative windows run over 100 rows. A global window
+      // over the full vocabulary would funnel every term through one
+      // reducer; cum_share at rank r only needs the tf of ranks ≤ r,
+      // so the cut loses nothing.
+      val top = counts.orderBy(desc("tf"), asc("term")).limit(100)
+      val total = counts.agg(sum(col("tf")).as("total_tf"))
+      val wRank = Window.orderBy(desc("tf"), asc("term"))
+      top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(wRank))
+        .withColumn("cum_share", round(
+          (sum(col("tf")).over(wRank.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")) / col("total_tf"), 6))
+        .select("term", "tf", "df", "rank", "cum_share")
+        .orderBy("rank")
+    }),
+
     // Token counting under two tokenizers: whitespace and a BPE-ish
     // pre-tokenizer regex (letter runs / digits / punctuation runs —
     // the shape subword tokenizers pre-split on). Ratio ≈ tokens per
@@ -225,6 +255,22 @@ object LlmText {
         |SELECT d.doc_id, d.lang, coalesce(b.plang, 'unknown') AS predicted
         |FROM docs d LEFT JOIN best b ON d.doc_id = b.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "text_vocab" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |counts AS (
+        |  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM terms GROUP BY term),
+        |ranked AS (
+        |  SELECT term, tf, df,
+        |    row_number() OVER (ORDER BY tf DESC, term ASC) AS "rank",
+        |    round(sum(tf) OVER (ORDER BY tf DESC, term ASC
+        |                        ROWS UNBOUNDED PRECEDING)::DOUBLE
+        |          / (SELECT sum(tf) FROM counts), 6) AS cum_share
+        |  FROM counts)
+        |SELECT term, tf, df, "rank", cum_share FROM ranked
+        |WHERE "rank" <= 100 ORDER BY "rank"""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS ws_tokens,
