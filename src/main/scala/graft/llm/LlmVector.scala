@@ -111,6 +111,58 @@ object LlmVector {
         col("embedding"), col("nrm"))
   }
 
+  /** Multi-probe variant of [[assign]]: emit each vector's top-`nprobe`
+    * cells (sorted by the same (csim, -cid) order), one output row per
+    * probed cell. The query side of an IVF search probes several
+    * nearby cells to recover neighbors that fell just across a cell
+    * boundary — the standard IVF recall knob.
+    */
+  private def probe(emb: DataFrame, cents: Seq[(Long, Seq[Float])],
+      nprobe: Int): DataFrame = {
+    val cand = cents.sortBy(_._1).map { case (cid, ce) =>
+      val cnrm = math.sqrt(ce.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      struct(
+        (dot(col("embedding"), lit(ce.toArray)) / (col("nrm") * lit(cnrm)))
+          .as("csim"),
+        lit(-cid).as("negcid"))
+    }
+    emb.withColumn("m",
+        explode(slice(reverse(array_sort(array(cand: _*))), 1, nprobe)))
+      .select((-col("m.negcid")).as("cell"), col("vec_id"),
+        col("embedding"), col("nrm"))
+  }
+
+  /** IVF top-k with multi-probe: data vectors live in their single home
+    * cell ([[assign]]); each QUERY vector probes its `nprobe` nearest
+    * cells, and exact scoring runs over (probed cell = home cell)
+    * candidate pairs. A pair can meet in at most one cell (the data
+    * vector's home), so no distinct is needed. `nprobe = 1` is
+    * [[knnIvf]]'s behavior; `nprobe = nCells` probes everything and is
+    * EXACTLY brute force (asserted in LlmSpec) — recall interpolates
+    * monotonically in between, at candidate cost ∝ nprobe/nCells of
+    * the corpus.
+    */
+  def knnIvfProbe(emb: DataFrame, k: Int, nCells: Int, nprobe: Int,
+      kmeansIters: Int = 2): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val e = prepared(emb)
+    val cents = kMeansOn(e, nCells, kmeansIters)
+    val home = assign(e, cents).persist()
+    val probed = probe(e, cents, nprobe)
+    val l = probed.select(col("cell"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val r = home.select(col("cell"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val w = Window.partitionBy("v1").orderBy(desc("cos"), asc("v2"))
+    l.join(r, Seq("cell")).filter(col("v1") =!= col("v2"))
+      .withColumn("cos",
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("v1", "v2", "cos", "rank")
+      .orderBy("v1", "rank")
+  }
+
   /** Spread + norm + cache: every k-means pass re-reads this frame, so
     * pin it once. Lazy persist, not localCheckpoint: the first pass
     * populates the cache as a side effect (no dedicated materialization

@@ -168,6 +168,31 @@ class LlmSpec extends SparkSpec {
     assert(rKm >= 0.7, s"k-means recall $rKm below floor")
   }
 
+  test("multi-probe IVF: recall rises with nprobe; probing all cells IS brute force") {
+    import spark.implicits._
+    val dim = 8; val per = 40
+    def mkVec(cl: Int, i: Int): Seq[Float] =
+      (0 until dim).map { j =>
+        val base = if (j == cl) 1.0f else 0.0f
+        base + ((i * 31 + j * 17) % 11 - 5) / 50.0f
+      }
+    val emb = (for (cl <- 0 until 3; k <- 0 until per) yield {
+      val i = cl * per + k
+      (i.toLong, mkVec(cl, i), 0)
+    }).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(LlmVector.knnBrute(emb, 3, "label"))
+    val p1 = pairs(LlmVector.knnIvfProbe(emb, 3, nCells = 16, nprobe = 1))
+    val p2 = pairs(LlmVector.knnIvfProbe(emb, 3, nCells = 16, nprobe = 2))
+    val pAll = pairs(LlmVector.knnIvfProbe(emb, 3, nCells = 16, nprobe = 16))
+    def recall(p: Set[(Long, Long)]) = (p & truth).size.toDouble / truth.size
+    assert(recall(p2) >= recall(p1),
+      s"nprobe=2 recall ${recall(p2)} < nprobe=1 ${recall(p1)}")
+    assert(pAll == truth, "probing every cell must equal brute force")
+  }
+
   test("brute-force knn: cosine bounds and deterministic ranking") {
     val out = LlmVector.knnBrute(T.embeddings(spark, sf), 3, "label")
     val rows = out.collect()

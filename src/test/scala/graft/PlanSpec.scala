@@ -85,6 +85,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("array_max"), "literal argmax assignment expected: " + p)
   }
 
+  test("text_vocab cuts top-k via TakeOrderedAndProject before windowing") {
+    // The scale property: the global rank/cum windows run over the
+    // 100-row cut, never over the full vocabulary.
+    val p = plan("text_vocab", graft.llm.LlmText.queries)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("stream_join plans as an equi join with the time range as residual") {
     val p = plan("stream_join", graft.streaming.StreamOps.queries)
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
