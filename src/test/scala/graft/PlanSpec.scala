@@ -105,4 +105,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("engine-wide sweep: no unlisted cartesian/nested-loop join in ANY key") {
+    // The blanket version of the targeted checks above: every declared
+    // query's physical plan, with an explicit allowlist naming exactly
+    // the keys where a non-equi join IS the operator (join_cross's
+    // product, join_theta's block-bounded inequality join) or where a
+    // broadcast ONE-ROW corpus-total frame rides a crossJoin
+    // (text_tfidf's n_docs, text_vocab's total_tf) — those plan as
+    // BroadcastNestedLoopJoin over a constant-size side, the intended
+    // shape. Everything else must stay equi-join.
+    val allowCartesian = Set("join_cross")
+    val allowBnlj = Set("join_cross", "join_theta", "text_tfidf", "text_vocab")
+    val bad = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct") && !allowCartesian(name))
+        bad += s"$name: CartesianProduct"
+      if (p.contains("BroadcastNestedLoopJoin") && !allowBnlj(name))
+        bad += s"$name: BroadcastNestedLoopJoin"
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }
