@@ -77,6 +77,29 @@ object Sinks {
       .partitionBy(partCols: _*)
       .json(path)
 
+  /** Checkpointed streaming parquet sink, drained with the AvailableNow
+    * trigger: processes everything currently available in the source,
+    * then stops — the batch-shaped way to run a streaming pipeline
+    * (periodic catch-up jobs share one checkpoint and each run picks up
+    * EXACTLY the new input; the sink's transaction log gives
+    * exactly-once output even across restarts — asserted in
+    * StreamingSpec by re-running against a grown source directory).
+    * The same call with a processing-time trigger is the always-on
+    * form; AvailableNow is what a 100 TB backfill or incremental
+    * refresh actually uses.
+    */
+  def streamToParquet(df: DataFrame, path: String, checkpoint: String,
+      partCols: Seq[String] = Nil): Unit = {
+    val writer = df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = (if (partCols.nonEmpty) writer.partitionBy(partCols: _*)
+             else writer).start()
+    q.awaitTermination()
+  }
+
   /** Small-file compaction for one partition directory: rewrite its
     * many files (streaming micro-batches, skew splits, repeated
     * appends all produce them) into `targetFiles`. Files-per-partition

@@ -190,6 +190,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed streaming parquet sink: a rerun processes ONLY new input (exactly-once)") {
+    import graft.sources.Sinks
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    val in = java.nio.file.Files.createTempDirectory("sink_in")
+    val out = java.nio.file.Files.createTempDirectory("sink_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("sink_chk").toString
+    java.nio.file.Files.copy(src, in.resolve("f1.parquet"))
+    val schema = spark.read.parquet(in.toString).schema
+    def run(): Unit = Sinks.streamToParquet(
+      spark.readStream.schema(schema).parquet(in.toString)
+        .select(col("event_id"), col("user_id"), col("event_type")),
+      out, chk)
+    val perFile = spark.read.parquet(in.toString).count()
+    run()
+    assert(spark.read.parquet(out).count() == perFile)
+    // Grow the source and re-run with the SAME checkpoint: f1 must not
+    // be reprocessed — exactly perFile new rows appear, not 2×.
+    java.nio.file.Files.copy(src, in.resolve("f2.parquet"))
+    run()
+    assert(spark.read.parquet(out).count() == 2 * perFile,
+      "checkpoint must skip already-processed files")
+  }
+
   test("session_window: only a gap STRICTLY over 30 min starts a new session") {
     // FIXTURES.md §C: events 00:00, 00:20, 00:49, 01:30 with 30-min gap
     // → sessions {00:00..00:49 (3)}, {01:30 (1)}. A gap of exactly
