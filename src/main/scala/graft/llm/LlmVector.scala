@@ -143,10 +143,10 @@ object LlmVector {
     * the corpus.
     */
   def knnIvfProbe(emb: DataFrame, k: Int, nCells: Int, nprobe: Int,
-      kmeansIters: Int = 2): DataFrame = {
+      kmeansIters: Int = 2, fitFraction: Double = 1.0): DataFrame = {
     graft.functions.VectorExpressions.register(emb.sparkSession)
     val e = prepared(emb)
-    val cents = kMeansOn(e, nCells, kmeansIters)
+    val cents = kMeansOn(e, nCells, kmeansIters, fitFraction)
     val home = assign(e, cents).persist()
     val probed = probe(e, cents, nprobe)
     val l = probed.select(col("cell"), col("vec_id").as("v1"),
@@ -199,13 +199,28 @@ object LlmVector {
     * `nIters = 0` returns the raw seeds — the coarse-quantization stub
     * and the baseline the k-means recall spec compares against.
     */
-  def kMeansCentroids(emb: DataFrame, nCells: Int, nIters: Int): Seq[(Long, Seq[Float])] = {
+  def kMeansCentroids(emb: DataFrame, nCells: Int, nIters: Int,
+      fitFraction: Double = 1.0): Seq[(Long, Seq[Float])] = {
     graft.functions.VectorExpressions.register(emb.sparkSession)
-    kMeansOn(prepared(emb), nCells, nIters)
+    kMeansOn(prepared(emb), nCells, nIters, fitFraction)
   }
 
-  /** Lloyd loop over an already-prepared (vec_id, embedding, nrm) frame. */
-  private def kMeansOn(e: DataFrame, nCells: Int, nIters: Int): Seq[(Long, Seq[Float])] = {
+  /** Lloyd loop over an already-prepared (vec_id, embedding, nrm)
+    * frame. `fitFraction < 1` trains the centroids on a deterministic
+    * hash-Bernoulli sample (a vector's membership depends only on its
+    * own id — partitioning-invariant, same trick as
+    * [[CorpusPipeline.stratifiedSample]]): centroid QUALITY needs a
+    * representative sample, not the corpus, so at 100 TB the Lloyd
+    * iterations run over fitFraction of the data and only the single
+    * final assignment touches everything — the standard IVF training
+    * recipe. 1.0 (the oracled keys' setting) fits on everything.
+    */
+  private def kMeansOn(e0: DataFrame, nCells: Int, nIters: Int,
+      fitFraction: Double = 1.0): Seq[(Long, Seq[Float])] = {
+    val e =
+      if (fitFraction >= 1.0) e0
+      else e0.filter(pmod(xxhash64(col("vec_id")), lit(1000000L))
+        .cast("double") / 1000000.0 < fitFraction)
     var cents: Seq[(Long, Seq[Float])] = e.orderBy("vec_id").limit(nCells)
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
@@ -233,7 +248,8 @@ object LlmVector {
     * literal-argmax projection of [[assign]]; the candidate join is an
     * equi-join on cell id — never all-pairs.
     */
-  def knnIvf(emb: DataFrame, k: Int, nCells: Int, kmeansIters: Int = 2): DataFrame = {
+  def knnIvf(emb: DataFrame, k: Int, nCells: Int, kmeansIters: Int = 2,
+      fitFraction: Double = 1.0): DataFrame = {
     graft.functions.VectorExpressions.register(emb.sparkSession)
     // one cached spread+norm frame feeds the Lloyd passes AND the
     // final assignment — without it each pass re-derives the scan.
@@ -241,7 +257,8 @@ object LlmVector {
     // the final assignment feeds BOTH sides of the cell self-join;
     // cached, the join probes one materialized narrow table instead of
     // running the argmax projection twice (measured ~2× on the join).
-    val assigned = assign(e, kMeansOn(e, nCells, kmeansIters)).persist()
+    val assigned =
+      assign(e, kMeansOn(e, nCells, kmeansIters, fitFraction)).persist()
     val l = assigned.select(col("cell"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
     val r = assigned.select(col("cell"), col("vec_id").as("v2"),

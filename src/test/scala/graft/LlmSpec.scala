@@ -191,6 +191,13 @@ class LlmSpec extends SparkSpec {
     assert(recall(p2) >= recall(p1),
       s"nprobe=2 recall ${recall(p2)} < nprobe=1 ${recall(p1)}")
     assert(pAll == truth, "probing every cell must equal brute force")
+    // sample-fit centroids (the 100 TB training recipe) still beat the
+    // raw-seed quantizer on the same clustered data
+    val sampled = pairs(LlmVector.knnIvf(emb, 3, nCells = 16,
+      kmeansIters = 2, fitFraction = 0.5))
+    val stub = pairs(LlmVector.knnIvf(emb, 3, nCells = 16, kmeansIters = 0))
+    assert(recall(sampled) >= recall(stub),
+      s"sample-fit recall ${recall(sampled)} < stub ${recall(stub)}")
   }
 
   test("brute-force knn: cosine bounds and deterministic ranking") {

@@ -13,6 +13,40 @@ import java.nio.file.Files
   */
 class PipelineSpec extends SparkSpec {
 
+  test("LLM corpus pipeline composes: curate → scrub → sample → pack") {
+    import graft.llm.CorpusPipeline
+    import spark.implicits._
+    // real corpus + one planted PII doc so every stage has work to do
+    val docs = T.documents(spark, sf).select("doc_id", "text", "lang")
+      .unionByName(Seq(
+        (100001L, "contact bob@example.com or visit https://x.example/data now", "en"))
+        .toDF("doc_id", "text", "lang"))
+    val curated = CorpusPipeline.curate(docs, minQuality = 1.0,
+      nearDupJaccard = 0.35)
+    assert(curated.filter(col("quality") < 1.0).count() == 0)
+    assert(curated.select(md5(lower(trim(col("text"))))).distinct().count()
+      == curated.count(), "curated corpus must be exact-dup free")
+    val scrubbed = CorpusPipeline.scrub(curated, "text")
+    assert(scrubbed.filter(col("pii_found")).count() >= 1)
+    assert(scrubbed.filter(col("text").contains("@") ||
+      col("text").contains("https://")).count() == 0, "PII must be redacted")
+    val sampled = CorpusPipeline.stratifiedSample(scrubbed, "lang", "doc_id",
+      Map("en" -> 1.0, "de" -> 0.5), seed = 7)
+    val scrubbedEn = scrubbed.filter(col("lang") === "en").count()
+    assert(sampled.filter(col("lang") === "en").count() == scrubbedEn,
+      "fraction 1.0 keeps every row of its stratum")
+    assert(sampled.filter(!col("lang").isin("en", "de")).count() == 0,
+      "strata absent from the mix drop entirely")
+    val packed = CorpusPipeline.packSequences(sampled, maxTokens = 64, nShards = 4)
+    val packedIds = packed.select(explode(col("doc_ids")).as("doc_id"))
+    assert(packedIds.count() == sampled.count() &&
+      packedIds.distinct().count() == sampled.count(),
+      "every sampled doc lands in exactly one sequence")
+    val maxDoc = sampled.select(max(size(split(col("text"), " ")))).collect()(0).getInt(0)
+    assert(packed.filter(col("n_tokens") > 64 + maxDoc).count() == 0,
+      "bins bounded by budget + one document")
+  }
+
   test("cube file parses, nests to fact docs, exports, and reads back") {
     val fixture = getClass.getResource("/cube_12411_mini.csv").getPath
     val out = Files.createTempDirectory("pipeline").resolve("facts").toString
