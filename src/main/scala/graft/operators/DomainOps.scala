@@ -36,6 +36,21 @@ object DomainOps {
         .agg(T.money(sum(T.dec(col("value")))))
         .orderBy("user_id")),
 
+    // Wide→long melt: the pivot's inverse (Spark `unpivot`). Round-trips
+    // pivot_wide's frame back to (user, event_type, sum) rows; melt
+    // emits NULL for combinations the wide frame never had, so the
+    // not-null filter restores exactly the grouped long form.
+    "pivot_long" -> ((s, d) => {
+      val wide = T.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", eventTypes)
+        .agg(T.money(sum(T.dec(col("value")))))
+      wide.unpivot(Array(col("user_id")), eventTypes.map(col).toArray,
+          "event_type", "sum_value")
+        .filter(col("sum_value").isNotNull)
+        .orderBy("user_id", "event_type")
+    }),
+
     // Nest + serialize fact documents: one JSON doc per customer with
     // order stats and a per-status count map, entries sorted for
     // determinism (SURVEY.md §7.4.5). JSON golden-tested in
@@ -123,6 +138,13 @@ object DomainOps {
         |  CAST(round(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS signup,
         |  CAST(round(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // The melt of the pivot is the plain grouped long form.
+    "pivot_long" ->
+      """SELECT user_id, event_type,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "schema_catalog" ->
       """SELECT source,
         |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
