@@ -1,13 +1,14 @@
 #!/usr/bin/env python3
 """Local differential check mirroring the driver's t2 gate.
 
-Usage: python3 tools/check.py <verify_out_dir> [sf_dir]
+Usage: python3 tools/check.py <verify_out_dir> [sf_dir] [key ...]
 
 Reads each <out>/<name> parquet (Spark result), runs the matching
 oracle SQL from <out>/oracle_sql.json in DuckDB over the sf parquet
 tables, and compares: column names (sorted), row count, and values
-row-by-row in emitted order. Dev tool only — NOT part of the shipped
-library (the engine itself has zero non-Spark deps).
+row-by-row in emitted order. Trailing args restrict the check to the
+named keys (fast iteration on one oracle). Dev tool only — NOT part of
+the shipped library (the engine itself has zero non-Spark deps).
 """
 import json, math, sys
 from pathlib import Path
@@ -40,6 +41,12 @@ def main():
     out = Path(sys.argv[1])
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     oracle = json.loads((out / "oracle_sql.json").read_text())
+    if len(sys.argv) > 3:
+        keys = set(sys.argv[3:])
+        unknown = keys - oracle.keys()
+        if unknown:
+            sys.exit(f"unknown keys: {sorted(unknown)}")
+        oracle = {k: v for k, v in oracle.items() if k in keys}
 
     con = duckdb.connect()
     for t in TABLES:
