@@ -115,6 +115,24 @@ object FnOps {
           to_json(struct(col("event_id"), col("event_type"))).as("js"))
         .orderBy("event_id")),
 
+    // Bitwise family: scalar shifts/masks/popcount + the bit-aggregate
+    // trio — the ops sketch pipelines live on (simhash packs votes and
+    // bands with exactly these; fingerprint intersections use the
+    // aggregates). All codegen'd built-ins in both engines.
+    "fn_bitwise" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          bit_and(col("user_id")).as("band"),
+          bit_or(col("user_id")).as("bor"),
+          bit_xor(col("user_id")).as("bxor"),
+          sum(bit_count(col("event_id"))).as("popcnt"),
+          max(shiftleft(col("user_id"), 3)).as("max_shl"),
+          min(shiftright(col("user_id"), 2)).as("min_shr"),
+          max(col("user_id").bitwiseAND(lit(0xFFL))).as("max_low8"))
+        .orderBy("event_type")),
+
     "fn_cast" -> ((s, d) =>
       T.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -197,6 +215,16 @@ object FnOps {
         |  CAST(to_json(struct_pack(event_id := event_id,
         |                           event_type := event_type)) AS VARCHAR) AS js
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT event_type, count(*) AS n,
+        |  bit_and(user_id) AS band,
+        |  bit_or(user_id) AS bor,
+        |  bit_xor(user_id) AS bxor,
+        |  CAST(sum(bit_count(event_id)) AS BIGINT) AS popcnt,
+        |  max(user_id << 3) AS max_shl,
+        |  min(user_id >> 2) AS min_shr,
+        |  max(user_id & 255) AS max_low8
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "fn_cast" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(floor(l_quantity) AS INT) AS qty_int,

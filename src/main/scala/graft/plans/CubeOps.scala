@@ -5,10 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-facing cube-ingestion keys (SURVEY.md §2.9): the GENESIS
-  * flat-file parse and the quality-flag-aware aggregation, both
-  * oracle-checked against DuckDB reading THE SAME flat file.
+  * flat-file parse, the heterogeneous multi-cube union, the catalog
+  * inventory, and the quality-flag-aware aggregation — each
+  * oracle-checked against DuckDB reading THE SAME flat files.
   *
-  * The input is the FIXTURES.md §B miniature cube, materialized once
+  * The inputs are the FIXTURES.md §B miniature cubes, materialized once
   * under /tmp (deterministic content, idempotent write) — the driver's
   * sf parquet dirs don't carry a cube file, and the parse path itself
   * (schema-from-header → positional Column extraction in executors) is
@@ -153,7 +154,7 @@ object CubeOps {
       s"""WITH data AS ($duckData)
          |SELECT '12411_mini' AS cube, c1 AS region, c2 AS dim_GES,
          |  CAST(c3 AS INT) AS "time", 'BEVSTD' AS measure,
-         |  CASE WHEN c4 IN ('-','...','…','/','x','.') THEN NULL
+         |  CASE WHEN c4 IN $duckNull THEN NULL
          |       ELSE CAST(c4 AS DOUBLE) END AS value,
          |  c5 AS quality
          |FROM data ORDER BY region, dim_GES, "time"""".stripMargin,
@@ -209,7 +210,7 @@ object CubeOps {
          |cells AS (
          |  SELECT '12411_mini' AS cube, 'BEVSTD' AS measure,
          |    CAST(c3 AS INT) AS t,
-         |    CASE WHEN c4 IN ('-','...','…','/','x','.') THEN NULL
+         |    CASE WHEN c4 IN $duckNull THEN NULL
          |         ELSE CAST(c4 AS DECIMAL(18,0)) END AS value,
          |    c5 AS quality
          |  FROM data)
