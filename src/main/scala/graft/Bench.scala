@@ -93,18 +93,27 @@ object Bench {
       }
       pass += 1
     }
-    // 4-decimal times: sub-0.1 ms precision is noise, and the shorter
-    // line keeps the full JSON inside log-tail captures.
+    // 3-decimal times: ms precision; sub-ms is noise at these scales
+    // and shorter entries keep the per-query line small.
     def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retr = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // TWO lines, per-query map FIRST, short summary LAST. At ~90 keys
+    // the map alone is ~2 KB and the driver keeps only the last
+    // ~2.3 KB of the log, so a single combined line loses its HEAD —
+    // including "metric":"total" — to truncation (BENCH_r04/r05 both
+    // landed parsed:null this way). Head-truncating the map line is
+    // harmless (cross-round minima come from committed history and the
+    // summary repeats the headline), but the summary line must always
+    // fit the tail window intact, so it is last and <400 bytes.
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     // loadavg before/after make a loaded run self-describing: a high
     // pair says "numbers include ambient noise", without guessing.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"retried":$retr,"loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg())},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"errors":$errs,"retried":$retr,"loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg())},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,9 +52,12 @@ object AggOps {
         .orderBy("event_type")),
 
     // Exact percentiles (sort-based interpolation, same definition as
-    // SQL quantile_cont). At 100 TB prefer approx_percentile (t-digest
-    // sketch, fixed memory); exact percentile is the oracle-able
-    // baseline and the correctness reference for it.
+    // SQL quantile_cont). HAZARD at 100 TB: Spark's exact `percentile`
+    // buffers the ENTIRE per-group value multiset in its aggregation
+    // buffer (an OpenHashMap of value→count), so one hot group with
+    // billions of distinct values OOMs the executor regardless of
+    // partitioning. It exists here as the oracle-able correctness
+    // reference; the scale path is agg_approx_percentile below.
     "agg_percentile" -> ((s, d) =>
       T.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -62,6 +65,23 @@ object AggOps {
           round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .orderBy("l_returnflag")),
+
+    // Quantile SKETCH — the 100 TB path for agg_percentile above.
+    // approx_percentile keeps a fixed-size Greenwald-Khanna buffer per
+    // group (size ~ accuracy, not cardinality) and merges associatively
+    // across partitions, so a hot group costs the same memory as a cold
+    // one. No oracle (sketch internals are engine-specific — DuckDB's
+    // approx_quantile uses t-digest and answers differently); the spec
+    // bounds it against the exact percentile within the GK error
+    // guarantee (1/accuracy relative rank error).
+    "agg_approx_percentile" -> ((s, d) =>
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("approx_percentile(l_extendedprice, 0.25, 10000)"), 4).as("p25"),
+          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
+          round(expr("approx_percentile(l_extendedprice, 0.75, 10000)"), 4).as("p75"))
         .orderBy("l_returnflag")),
 
     // Second-moment statistics: correlation, sample covariance/stddev/

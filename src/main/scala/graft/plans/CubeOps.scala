@@ -60,6 +60,28 @@ object CubeOps {
 
   val areaPath = "/tmp/graft_cube_area_mini.csv"
 
+  /** Third fixture: 8-digit AGS Gemeinde codes (2-digit Land prefix,
+    * 5-digit Kreis prefix — SURVEY §1.1's region hierarchy), two
+    * years, mixed e/p flags — the input for the prefix rollup. Codes
+    * picked so every level aggregates >1 child somewhere: Land 05 has
+    * Kreise 05315 (one Gemeinde) and 05334 (two).
+    */
+  val agsContent: String = Seq(
+    "K;DQ;AGS-MINI",
+    "D;DQA;DINSG;1;1",
+    "D;DQZ;JAHR;2",
+    "D;DQI;BEVSTD;ANZ;FEST;GANZ;0",
+    "D;QEI;DINSG;JAHR;BEVSTD",
+    "D;11000000;2019;3644826;e",
+    "D;11000000;2020;3669491;p",
+    "D;02000000;2020;1899160;e",
+    "D;05315000;2019;1085664;e",
+    "D;05315000;2020;1083498;e",
+    "D;05334002;2020;249070;p",
+    "D;05334032;2020;110000;e").mkString("\n")
+
+  val agsPath = "/tmp/graft_cube_ags_mini.csv"
+
   /** Write-once (content-checked) so both Spark and the driver's later
     * DuckDB pass read the identical file.
     */
@@ -76,6 +98,7 @@ object CubeOps {
 
   def ensureFixture(): String = ensure(fixturePath, fixtureContent)
   def ensureArea(): String = ensure(areaPath, areaContent)
+  def ensureAgs(): String = ensure(agsPath, agsContent)
 
   val queries: Map[String, Q] = Map(
     // Schema-from-header ingestion: the reference's single most-used
@@ -130,6 +153,23 @@ object CubeOps {
           T.money(col("sum_ok")).as("sum_ok"),
           col("n_used"), col("n_excluded")) ++ flagCols: _*)
         .orderBy("cube", "measure", "time")
+    }),
+
+    // AGS prefix-hierarchy rollup over PARSED cube cells (§1.1): the
+    // 8-digit Gemeinde fixture rolls up to 5-digit Kreis, 2-digit
+    // Land, and the DG federal total via grouping sets on substring
+    // prefixes ([[CubePipeline.regionRollup]]), provisional (`p`)
+    // cells excluded from sums. Oracle replays each level as a
+    // conditional aggregation over the same CSV.
+    "cube_region_rollup" -> ((s, _) => {
+      val path = ensureAgs()
+      val cells = CubePipeline.normalized(
+        CubeParser.parse(s, path, "ags_mini"))
+      CubePipeline.regionRollup(cells, exclude = Set("p"))
+        .select(col("cube"), col("measure"), col("time"), col("level"),
+          col("region_prefix"),
+          T.money(col("sum_ok")).as("sum_ok"), col("n_used"))
+        .orderBy("time", "level", "region_prefix")
     })
   )
 
@@ -226,6 +266,34 @@ object CubeOps {
          |  count(CASE WHEN quality = 'd' THEN 1 END) AS n_d,
          |  count(CASE WHEN quality = 'x' THEN 1 END) AS n_x
          |FROM cells GROUP BY cube, measure, t
-         |ORDER BY cube, measure, "time"""".stripMargin
+         |ORDER BY cube, measure, "time"""".stripMargin,
+    // Each hierarchy level replayed as an explicit UNION ALL branch
+    // (level-tagged prefix projection), then one conditional
+    // aggregation — dialect-safe, no GROUPING_ID dependence.
+    "cube_region_rollup" ->
+      s"""WITH data AS (${duckDataOf(agsPath)}),
+         |cells AS (
+         |  SELECT c1 AS region, CAST(c2 AS INT) AS t,
+         |    CASE WHEN c3 IN $duckNull THEN NULL
+         |         ELSE CAST(c3 AS DECIMAL(18,0)) END AS value,
+         |    c4 AS quality
+         |  FROM data),
+         |lv AS (
+         |  SELECT 8 AS level, region AS region_prefix, t, value, quality
+         |  FROM cells
+         |  UNION ALL
+         |  SELECT 5, substr(region, 1, 5), t, value, quality FROM cells
+         |  UNION ALL
+         |  SELECT 2, substr(region, 1, 2), t, value, quality FROM cells
+         |  UNION ALL
+         |  SELECT 0, 'DG', t, value, quality FROM cells)
+         |SELECT 'ags_mini' AS cube, 'BEVSTD' AS measure, t AS "time",
+         |  level, region_prefix,
+         |  CAST(round(sum(CASE WHEN quality <> 'p' THEN value END), 2)
+         |       AS DOUBLE) AS sum_ok,
+         |  count(CASE WHEN quality <> 'p' AND value IS NOT NULL
+         |             THEN 1 END) AS n_used
+         |FROM lv GROUP BY t, level, region_prefix
+         |ORDER BY t, level, region_prefix""".stripMargin
   )
 }

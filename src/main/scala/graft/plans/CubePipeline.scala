@@ -86,6 +86,52 @@ object CubePipeline {
           count(when(!ok, lit(1))).as("n_excluded")) ++ flagCounts): _*)
   }
 
+  /** AGS prefix-hierarchy rollup (SURVEY.md §1.1): GENESIS regional
+    * keys nest by string PREFIX — 2-digit Land, 5-digit Kreis, 8-digit
+    * Gemeinde — so hierarchical subtotals are grouping sets over
+    * `substring(region, 1, n)` prefixes. Callers pass cells at the
+    * FINEST level present (coarser rows would double-count into their
+    * own ancestors); the grand total is labeled `DG`, the GENESIS
+    * federal code. Flag-aware like [[aggFlags]].
+    *
+    * Scale shape: ONE Expand (×levels+1) feeding one partial+final
+    * hash aggregate — the fan-out collapses map-side, so the shuffle
+    * carries only distinct (cube, measure, time, prefix) groups per
+    * level: subtotal-sized at 100 TB, never data-sized. `sum_ok`
+    * stays exact decimal here; driver-facing keys project to double.
+    */
+  def regionRollup(normalized: DataFrame, levels: Seq[Int] = Seq(2, 5, 8),
+                   exclude: Set[String] = Set("p")): DataFrame = {
+    val lvls = levels.sorted
+    val fixed = Seq(col("cube"), col("measure"), col("time"))
+    val pRefs = lvls.map(n => col(s"pfx_$n"))
+    // Grouping sets keep the k coarsest prefixes, k = levels..0; the
+    // k=0 set is the federal total.
+    val sets = (lvls.size to 0 by -1).map(k => fixed ++ pRefs.take(k))
+    val ok = if (exclude.isEmpty) lit(true)
+             else !col("quality").isin(exclude.toSeq: _*)
+    val g = normalized
+      .select(fixed ++ Seq(col("value"), col("quality")) ++
+        lvls.map(n => substring(col("region"), 1, n).as(s"pfx_$n")): _*)
+      .groupingSets(sets, fixed ++ pRefs: _*)
+      .agg(grouping_id().as("gid"),
+        sum(when(ok, col("value"))).as("sum_ok"),
+        count(when(ok && col("value").isNotNull, lit(1))).as("n_used"))
+    // grouping_id bits are MSB-first in listed-column order, so the
+    // set keeping k prefixes (missing the levels.size-k finest) has
+    // gid = 2^(levels.size-k) - 1 — distinguishes a rolled-up prefix
+    // from a data NULL, which a coalesce over the prefix columns
+    // could not.
+    val (lvlExpr, pfxExpr) = (1 to lvls.size)
+      .foldLeft((lit(0), lit("DG"))) { case ((lv, pf), k) =>
+        val gid = (1 << (lvls.size - k)) - 1
+        (when(col("gid") === gid, lit(lvls(k - 1))).otherwise(lv),
+         when(col("gid") === gid, col(s"pfx_${lvls(k - 1)}")).otherwise(pf))
+      }
+    g.select(fixed ++ Seq(lvlExpr.as("level"),
+      pfxExpr.as("region_prefix"), col("sum_ok"), col("n_used")): _*)
+  }
+
   /** Nested TOC: the statistics→measures→dimensions→value-codes tree
     * the reference derives to drive its GraphQL schema — one JSON doc
     * per cube, dimensions each carrying their sorted member codes.

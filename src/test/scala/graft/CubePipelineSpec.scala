@@ -75,6 +75,33 @@ class CubePipelineSpec extends SparkSpec {
     assert(bd20.getAs[Long]("n_used") == 1 && bd20.getAs[Long]("n_excluded") == 1)
   }
 
+  test("regionRollup aggregates AGS prefixes per level with flag-aware sums") {
+    val cells = CubePipeline.normalized(graft.plans.CubeParser.parse(
+      spark, graft.plans.CubeOps.ensureAgs(), "ags_mini"))
+    val r = CubePipeline.regionRollup(cells, exclude = Set("p"))
+      .collect()
+      .map(rw => (rw.getAs[Int]("time"), rw.getAs[Int]("level"),
+        rw.getAs[String]("region_prefix")) -> rw).toMap
+    // 7 Gemeinde cells → 7 L8 + 6 L5 + 5 L2 + 2 DG rows.
+    assert(r.size == 20)
+    // Land 05 in 2020: Köln 1083498 (e) + 05334032 110000 (e); the
+    // provisional 05334002 cell is excluded from the sum but counted
+    // nowhere in n_used.
+    val land05 = r((2020, 2, "05"))
+    assert(land05.getDecimal(5).doubleValue == 1083498.0 + 110000.0)
+    assert(land05.getAs[Long]("n_used") == 2)
+    // Berlin 2020 is provisional-only: rolled-up sum NULL at every level.
+    assert(r((2020, 5, "11000")).isNullAt(5))
+    assert(r((2020, 5, "11000")).getAs[Long]("n_used") == 0)
+    // Federal totals (DG, level 0).
+    assert(r((2019, 0, "DG")).getDecimal(5).doubleValue ==
+      3644826.0 + 1085664.0)
+    assert(r((2020, 0, "DG")).getDecimal(5).doubleValue ==
+      1899160.0 + 1083498.0 + 110000.0)
+    // Kreis 05334 keeps only its 'e' Gemeinde.
+    assert(r((2020, 5, "05334")).getDecimal(5).doubleValue == 110000.0)
+  }
+
   test("catalogNested emits the statistics→measures→dimensions→values tree") {
     val docs = CubePipeline.catalogNested(CubePipeline.parseAll(spark, cubes))
       .collect().map(r => r.getString(0) -> r.getAs[String]("toc")).toMap

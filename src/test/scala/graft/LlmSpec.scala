@@ -26,6 +26,33 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("maxBandDf caps boilerplate bucket blow-up, keeps small-bucket recall") {
+    // 20 identical boilerplate docs share every band bucket (df=20);
+    // the planted pair (1, 2) sits in its own df=2 buckets. With the
+    // valve at 5 the mega-bucket's C(20,2)=190 pairs vanish while the
+    // planted pair's candidacy is untouched — for BOTH LSH pipelines.
+    val boiler = (100L until 120L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do", "en"))
+    val docs = plantedDocs.unionByName(boiler.toDF("doc_id", "text", "lang"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mmUncapped = ids(LlmDedup.minhashPairs(docs, 0.35))
+    val mmCapped = ids(LlmDedup.minhashPairs(docs, 0.35, maxBandDf = Some(5)))
+    assert(mmUncapped.count(_._1 >= 100L) == 190,
+      s"expected full boilerplate clique: $mmUncapped")
+    assert(mmCapped.forall(_._1 < 100L), s"capped bucket leaked: $mmCapped")
+    assert(mmCapped.contains((1L, 2L)), s"planted pair lost: $mmCapped")
+    // Simhash side: near-dup hamming isn't pinned, so plant an exact
+    // dup (5 ≡ 1, hamming 0) as the guaranteed small-bucket pair.
+    val docsSim = docs.unionByName(Seq((5L, base, "en"))
+      .toDF("doc_id", "text", "lang"))
+    val shUncapped = ids(LlmDedup.simhashPairs(docsSim, 3))
+    val shCapped = ids(LlmDedup.simhashPairs(docsSim, 3, maxBandDf = Some(5)))
+    assert(shUncapped.count(_._1 >= 100L) == 190)
+    assert(shCapped.forall(_._1 < 100L), s"capped bucket leaked: $shCapped")
+    assert(shCapped.contains((1L, 5L)), s"planted pair lost: $shCapped")
+  }
+
   test("minhash recall on the real corpus matches exact ngram jaccard >= 0.35") {
     val exact = LlmDedup.queries("dedup_ngram")(spark, sf)
       .filter(col("j") >= 0.5) // well above the LSH design threshold

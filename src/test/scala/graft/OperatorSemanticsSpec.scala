@@ -83,6 +83,28 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("agg_approx_percentile GK sketch tracks exact percentile per group") {
+    // Same quartile query, sketch vs exact. At accuracy=10000 the GK
+    // guarantee is ≤1/10000 relative RANK error; on a heavy-but-smooth
+    // price distribution that is well under 1% VALUE error, so a 1%
+    // relative bound is comfortably above the guarantee without being
+    // vacuous.
+    def toMap(key: String) =
+      graft.operators.AggOps.queries(key)(spark, sf).collect()
+        .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+    val approx = toMap("agg_approx_percentile")
+    val exact = toMap("agg_percentile")
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (k, es) =>
+      es.zip(approx(k)).zip(Seq("p25", "p50", "p75")).foreach {
+        case ((e, a), q) =>
+          assert(math.abs(a - e) <= 0.01 * math.abs(e),
+            s"$k/$q: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("fn_map: per-user totals equal raw event counts; str_to_map lookup") {
     val out = graft.functions.FnOps.queries("fn_map")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(4), r.getString(5)))
