@@ -60,6 +60,29 @@ object CubeOps {
 
   val areaPath = "/tmp/graft_cube_area_mini.csv"
 
+  /** Revision 2 of the 12411 fixture: the 2020 cells arrive FINALIZED
+    * (new values, flag e→`e`), 2021 lands provisionally, and neither
+    * the 2019 cells nor region 02 are in the download — they must
+    * survive from revision 1 under the read-time merge
+    * ([[CubePipeline.latestRevision]]).
+    */
+  val fixtureV2Content: String = Seq(
+    "K;DQ;FACH-SCHL;GHH-ART;TS;\"GENESAPI MINI FIXTURE V2\"",
+    "K;DQA;NAME;RHF-BSR;RHF-ACHSE",
+    "D;DQA;DINSG;1;1",
+    "D;DQA;GES;2;2",
+    "K;DQZ;NAME;ZI-RHF-BSR",
+    "D;DQZ;JAHR;3",
+    "K;DQI;NAME;ME-NAME;DST;TYP;NKM-STELLEN",
+    "D;DQI;BEVSTD;ANZ;FEST;GANZ;0",
+    "D;QEI;DINSG;GES;JAHR;BEVSTD",
+    "D;11;GESM;2020;1792801;e",
+    "D;11;GESW;2020;1876020;e",
+    "D;11;GESM;2021;1795003;p",
+    "D;11;GESW;2021;1878911;p").mkString("\n")
+
+  val fixtureV2Path = "/tmp/graft_cube_12411_mini_v2.csv"
+
   /** Third fixture: 8-digit AGS Gemeinde codes (2-digit Land prefix,
     * 5-digit Kreis prefix — SURVEY §1.1's region hierarchy), two
     * years, mixed e/p flags — the input for the prefix rollup. Codes
@@ -99,6 +122,7 @@ object CubeOps {
   def ensureFixture(): String = ensure(fixturePath, fixtureContent)
   def ensureArea(): String = ensure(areaPath, areaContent)
   def ensureAgs(): String = ensure(agsPath, agsContent)
+  def ensureFixtureV2(): String = ensure(fixtureV2Path, fixtureV2Content)
 
   val queries: Map[String, Q] = Map(
     // Schema-from-header ingestion: the reference's single most-used
@@ -170,6 +194,25 @@ object CubeOps {
           col("region_prefix"),
           T.money(col("sum_ok")).as("sum_ok"), col("n_used"))
         .orderBy("time", "level", "region_prefix")
+    }),
+
+    // Latest-revision-wins replay (§1.1 Storage): two downloads of the
+    // SAME cube land — v2 finalizes 2020, adds 2021, omits 2019 and
+    // region 02 — and the read-time merge keeps exactly the newest
+    // version of every cell plus the v1-only survivors, revision
+    // column showing provenance. Oracle replays the ranked-window
+    // merge over both CSVs.
+    "cube_latest" -> ((s, _) => {
+      val v1 = CubePipeline.normalized(
+        CubeParser.parse(s, ensureFixture(), "12411"))
+      val v2 = CubePipeline.normalized(
+        CubeParser.parse(s, ensureFixtureV2(), "12411"))
+      CubePipeline.latestRevision(Seq(v1 -> 1, v2 -> 2))
+        .select(col("cube"), col("region"),
+          to_json(col("dims")).as("dims_json"), col("time"),
+          col("measure"), col("value").cast("double").as("value"),
+          col("quality"), col("revision"))
+        .orderBy("region", "dims_json", "time", "measure")
     })
   )
 
@@ -294,6 +337,30 @@ object CubeOps {
          |  count(CASE WHEN quality <> 'p' AND value IS NOT NULL
          |             THEN 1 END) AS n_used
          |FROM lv GROUP BY t, level, region_prefix
-         |ORDER BY t, level, region_prefix""".stripMargin
+         |ORDER BY t, level, region_prefix""".stripMargin,
+    "cube_latest" ->
+      s"""WITH v1 AS (${duckDataOf(fixturePath)}),
+         |v2 AS (${duckDataOf(fixtureV2Path)}),
+         |u AS (
+         |  SELECT 1 AS revision, c1 AS region, c2 AS ges,
+         |    CAST(c3 AS INT) AS t,
+         |    CASE WHEN c4 IN $duckNull THEN NULL
+         |         ELSE CAST(c4 AS DOUBLE) END AS value,
+         |    c5 AS quality
+         |  FROM v1
+         |  UNION ALL
+         |  SELECT 2, c1, c2, CAST(c3 AS INT),
+         |    CASE WHEN c4 IN $duckNull THEN NULL
+         |         ELSE CAST(c4 AS DOUBLE) END, c5
+         |  FROM v2),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY region, ges, t ORDER BY revision DESC) AS rn
+         |  FROM u)
+         |SELECT '12411' AS cube, region,
+         |  '{"GES":"' || ges || '"}' AS dims_json, t AS "time",
+         |  'BEVSTD' AS measure, value, quality, revision
+         |FROM r WHERE rn = 1
+         |ORDER BY region, dims_json, "time", measure""".stripMargin
   )
 }

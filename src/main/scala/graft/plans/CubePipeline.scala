@@ -86,6 +86,32 @@ object CubePipeline {
           count(when(!ok, lit(1))).as("n_excluded")) ++ flagCounts): _*)
   }
 
+  /** Latest-revision-wins read-time merge over a stack of cube
+    * downloads (SURVEY.md §1.1 Storage row): each parse is tagged with
+    * a monotonically increasing revision number and per CELL —
+    * (cube, region, dims, time, measure) — the highest revision wins.
+    * Cells absent from the newest download survive from older ones;
+    * this is the read-time union form, complementing
+    * [[graft.sources.Sinks.replacePartitions]] which physically
+    * replaces a whole cube partition at write time (whole-download
+    * replacement = this merge when every old cell reappears in v2).
+    * One ranked window over the cell key — a single shuffle; dims
+    * partitions by its JSON rendering because map columns aren't
+    * comparable keys.
+    */
+  def latestRevision(revisions: Seq[(DataFrame, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = revisions
+      .map { case (df, rev) => df.withColumn("revision", lit(rev)) }
+      .reduce(_.unionByName(_))
+    val w = Window
+      .partitionBy(col("cube"), col("region"), to_json(col("dims")),
+        col("time"), col("measure"))
+      .orderBy(col("revision").desc)
+    all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /** AGS prefix-hierarchy rollup (SURVEY.md §1.1): GENESIS regional
     * keys nest by string PREFIX — 2-digit Land, 5-digit Kreis, 8-digit
     * Gemeinde — so hierarchical subtotals are grouping sets over

@@ -102,6 +102,43 @@ class CubePipelineSpec extends SparkSpec {
     assert(r((2020, 5, "05334")).getDecimal(5).doubleValue == 110000.0)
   }
 
+  test("cube revision replay: newest download wins, per storage and per cell") {
+    import graft.plans.{CubeOps, CubeParser, CubePipeline}
+    val v1 = CubePipeline.normalized(CubeParser.parse(
+      spark, CubeOps.ensureFixture(), "12411"))
+    val v2 = CubePipeline.normalized(CubeParser.parse(
+      spark, CubeOps.ensureFixtureV2(), "12411"))
+    val area = CubePipeline.normalized(CubeParser.parse(
+      spark, CubeOps.ensureArea(), "area"))
+
+    // Storage side: v2 landing via replacePartitions replaces cube
+    // 12411's whole partition, leaves the area cube untouched.
+    val store = Files.createTempDirectory("cube_store").toString
+    graft.sources.Sinks.replacePartitions(
+      v1.unionByName(area), store, Seq("cube"))
+    graft.sources.Sinks.replacePartitions(v2, store, Seq("cube"))
+    val back = spark.read.parquet(store)
+    assert(back.filter(col("cube") === "area").count() == 4)
+    val c12411 = back.filter(col("cube") === "12411")
+    assert(c12411.count() == 4, "whole-partition replace keeps only v2 cells")
+    assert(c12411.select("time").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(2020, 2021))
+
+    // Read-time merge: v1-only cells (2019, region 02) survive; the
+    // 2020 cells come from v2 with finalized values.
+    val merged = CubePipeline.latestRevision(Seq(v1 -> 1, v2 -> 2))
+    assert(merged.count() == 8) // 6 v1 cells + 4 v2 cells − 2 overridden
+    val byCell = merged.collect().map(r =>
+      (r.getAs[String]("region"), r.getAs[Map[String, String]]("dims")("GES"),
+        r.getAs[Int]("time")) -> r).toMap
+    val m2020 = byCell(("11", "GESM", 2020))
+    assert(m2020.getAs[Int]("revision") == 2 &&
+      m2020.getAs[String]("quality") == "e")
+    assert(m2020.getDecimal(m2020.fieldIndex("value")).longValue == 1792801L)
+    assert(byCell(("11", "GESM", 2019)).getAs[Int]("revision") == 1)
+    assert(byCell(("02", "GESW", 2019)).getAs[Int]("revision") == 1)
+  }
+
   test("catalogNested emits the statistics→measures→dimensions→values tree") {
     val docs = CubePipeline.catalogNested(CubePipeline.parseAll(spark, cubes))
       .collect().map(r => r.getString(0) -> r.getAs[String]("toc")).toMap
