@@ -119,6 +119,20 @@ object CorpusPipeline {
       regexp_replace(c, pat, tok)
     }
 
+  /** RE2-safe subset of [[piiPatterns]] (url/email/IP — no
+    * lookarounds), the patterns a cross-engine oracle can replay
+    * verbatim: the phone pattern needs Java's `(?<!\d)`/`(?!\d)`
+    * digit-boundary lookarounds, which RE2 (DuckDB) rejects, so it is
+    * spec-covered instead (LlmSpec's scrub test). Same application
+    * order as the full set.
+    */
+  val piiPatternsPortable: Seq[(String, String)] = piiPatterns.take(3)
+
+  def scrubPiiPortable(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    piiPatternsPortable.foldLeft(text) { case (c, (pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+
   /** Corpus-wide scrub: replaces `textCol` in place, adds a flag. */
   def scrub(docs: DataFrame, textCol: String): DataFrame =
     docs

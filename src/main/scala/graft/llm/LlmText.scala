@@ -177,6 +177,24 @@ object LlmText {
           md5(array_join(sort_array(array_distinct(toks)), " ")).as("content_fp"),
           md5(array_join(slice(toks, 1, 3), " ")).as("prefix_fp"))
         .orderBy("doc_id")
+    }),
+
+    // PII redaction ([[CorpusPipeline.piiPatternsPortable]]): urls →
+    // emails → IPs replaced with typed placeholders, plus a touched
+    // flag — the scrub stage a pretraining corpus passes before
+    // packing. Runs over the planted-PII jsonl fixture (the sf corpus
+    // has no PII-shaped text, so only the fixture exercises real
+    // replacements); chained codegen'd regexp_replace, no UDF. The
+    // full pattern set (incl. the lookaround phone regex RE2 can't
+    // replay) is spec-covered via CorpusPipeline.scrub.
+    "text_pii" -> ((s, _) => {
+      val path = graft.operators.ScanOps.ensureJsonl()
+      s.read.schema("doc_id LONG, text STRING, source STRING").json(path)
+        .select(col("doc_id"),
+          CorpusPipeline.scrubPiiPortable(col("text")).as("text_clean"),
+          (CorpusPipeline.scrubPiiPortable(col("text")) =!= col("text"))
+            .as("pii_found"))
+        .orderBy("doc_id")
     })
   )
 
@@ -285,6 +303,24 @@ object LlmText {
         |      ' ')) AS content_fp,
         |  md5(array_to_string(list_slice(string_split(text, ' '), 1, 3),
         |      ' ')) AS prefix_fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pii" ->
+      s"""SELECT doc_id, $duckScrub AS text_clean,
+         |  $duckScrub <> text AS pii_found
+         |FROM read_json('${graft.operators.ScanOps.jsonlPath}',
+         |  format='newline_delimited',
+         |  columns={'doc_id':'BIGINT','text':'VARCHAR','source':'VARCHAR'})
+         |ORDER BY doc_id""".stripMargin
   )
+
+  /** The oracle's scrub expression is GENERATED from the same pattern
+    * list the Spark side applies ([[CorpusPipeline.piiPatternsPortable]]
+    * — RE2-safe by construction), so the two engines can never drift:
+    * nested regexp_replace with the 'g' flag (DuckDB replaces only the
+    * first match by default; Spark always replaces all).
+    */
+  private lazy val duckScrub: String =
+    CorpusPipeline.piiPatternsPortable.foldLeft("text") {
+      case (expr, (pat, tok)) => s"regexp_replace($expr, '$pat', '$tok', 'g')"
+    }
 }

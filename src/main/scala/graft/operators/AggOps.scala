@@ -166,6 +166,19 @@ object AggOps {
         .orderBy("c_mktsegment")
     }),
 
+    // Salted two-stage aggregation ([[Skew.saltedSumCount]]): the hot-
+    // key survival path when ONE group key holds a data-sized share of
+    // the rows — the salt splits it across `salt` reducers for the
+    // partial stage, the second (tiny, per-(key,salt)) stage
+    // recombines. Decimal values keep the re-associated sums exact, so
+    // salting is answer-INVARIANT: the oracle is the plain GROUP BY.
+    "agg_skew_salted" -> ((s, d) =>
+      Skew.saltedSumCount(T.lineitem(s, d), "l_returnflag",
+          T.dec(col("l_quantity")), salt = 8)
+        .select(col("l_returnflag"),
+          T.money(col("sum_v")).as("sum_qty"), col("n"))
+        .orderBy("l_returnflag")),
+
     // Ordered list collection — the fact-doc measure-collection shape;
     // sort_array pins element order (SURVEY.md §7.4.5). Emitted as a
     // joined string: the driver comparator cannot hash ARRAY cells
@@ -254,6 +267,12 @@ object AggOps {
         |FROM ranked a JOIN ranked b
         |  ON a.c_mktsegment = b.c_mktsegment AND a.rd = 1 AND b.ra = 1
         |ORDER BY a.c_mktsegment""".stripMargin,
+    "agg_skew_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_collect" ->
       """SELECT c_custkey,
         |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)

@@ -14,6 +14,34 @@ import org.apache.spark.sql.functions._
 object ScanOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** JSON-lines fixture with planted PII (urls / emails / IPv4s, plus
+    * clean rows) — the input for `scan_jsonl` and `text_pii`. The sf
+    * corpus carries no PII-shaped text, so a planted file is the only
+    * way those transforms exercise non-identity paths under the
+    * oracle. Write-once under /tmp like the cube fixtures, so the
+    * driver's DuckDB pass reads the identical bytes.
+    */
+  val jsonlContent: String = Seq(
+    """{"doc_id": 1, "text": "contact alice@example.com or bob.smith@corp.io today", "source": "web"}""",
+    """{"doc_id": 2, "text": "server at 192.168.10.5 and 10.0.0.1 responded", "source": "logs"}""",
+    """{"doc_id": 3, "text": "visit https://example.org/page?id=7 for details", "source": "web"}""",
+    """{"doc_id": 4, "text": "clean text with no identifiers at all", "source": "book"}""",
+    """{"doc_id": 5, "text": "mixed http://a.io/x note x@y.de from 172.16.0.9", "source": "web"}""")
+    .mkString("\n")
+
+  val jsonlPath = "/tmp/graft_docs_pii.jsonl"
+
+  def ensureJsonl(): String = {
+    val p = java.nio.file.Paths.get(jsonlPath)
+    val current =
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      else ""
+    if (current != jsonlContent)
+      java.nio.file.Files.write(p, jsonlContent.getBytes("UTF-8"))
+    jsonlPath
+  }
+
   val queries: Map[String, Q] = Map(
     // Columnar scan + projection; pushdown shows as ReadSchema pruning.
     // Sort covers EVERY projected column: (l_orderkey, l_linenumber) is
@@ -36,6 +64,19 @@ object ScanOps {
           col("l_orderkey"), col("l_linenumber"),
           T.dstr(col("l_shipdate")).as("ship_date"))
         .orderBy("l_orderkey", "l_linenumber", "ship_date")),
+
+    // JSON-lines source with an EXPLICIT schema. At 100 TB schema
+    // inference is a full extra pass over the data (and a sampled
+    // inference can miss late-appearing fields), so production jsonl
+    // reads declare their schema; malformed rows null out instead of
+    // failing the scan (Spark's default PERMISSIVE mode — the right
+    // default for web-scale crawl dumps).
+    "scan_jsonl" -> ((s, _) => {
+      val path = ensureJsonl()
+      s.read.schema("doc_id LONG, text STRING, source STRING")
+        .json(path)
+        .orderBy("doc_id")
+    }),
 
     // Schema-from-text parse analogue: the reference derives each cube's
     // layout from its header then splits delimited records
@@ -62,6 +103,11 @@ object ScanOps {
         |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-06-01'
         |ORDER BY l_orderkey, l_linenumber, ship_date""".stripMargin,
+    "scan_jsonl" ->
+      s"""SELECT doc_id, text, source FROM read_json('$jsonlPath',
+         |  format='newline_delimited',
+         |  columns={'doc_id':'BIGINT','text':'VARCHAR','source':'VARCHAR'})
+         |ORDER BY doc_id""".stripMargin,
     "scan_text_parse" ->
       """SELECT doc_id,
         |       string_split(text, ' ')[1] AS tok0,

@@ -106,6 +106,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("cube_region_rollup: one Expand into partial+final aggregation, one shuffle") {
+    // The scale shape regionRollup's scaladoc claims, machine-checked:
+    // grouping sets = a single Expand feeding a partial+final hash
+    // aggregate pair; the only hash shuffle is the aggregation's
+    // (subtotal-sized) — per-level passes over the data would show as
+    // extra exchanges here.
+    val p = plan("cube_region_rollup", graft.plans.CubeOps.queries)
+    assert("Expand".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("cube_latest: revision merge is ONE ranked-window shuffle") {
+    val p = plan("cube_latest", graft.plans.CubeOps.queries)
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("agg_skew_salted: two balanced stages, each partial+final") {
+    // Salting must show as exactly two hash shuffles — (key, salt)
+    // then (key) — each with map-side partial aggregation; one shuffle
+    // would mean the salt collapsed, three would mean a wasted pass.
+    val p = plan("agg_skew_salted", AggOps.queries)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("HashAggregate".r.findAllIn(p).size == 4, p)
+  }
+
   test("engine-wide sweep: no unlisted cartesian/nested-loop join in ANY key") {
     // The blanket version of the targeted checks above: every declared
     // query's physical plan, with an explicit allowlist naming exactly
