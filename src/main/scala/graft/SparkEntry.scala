@@ -45,6 +45,7 @@ object SparkEntry {
     (graft.plans.CubeOps.queries, graft.plans.CubeOps.oracle),
     (graft.streaming.StreamOps.queries, graft.streaming.StreamOps.oracle),
     (graft.llm.LlmDedup.queries, graft.llm.LlmDedup.oracle),
+    (graft.llm.CorpusPipeline.queries, graft.llm.CorpusPipeline.oracle),
     (graft.llm.LlmText.queries, graft.llm.LlmText.oracle),
     (graft.llm.LlmVector.queries, graft.llm.LlmVector.oracle),
     (graft.llm.Multimodal.queries, graft.llm.Multimodal.oracle)

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -140,6 +140,36 @@ object CorpusPipeline {
       .withColumn("pii_found", col("__scrubbed") =!= col(textCol))
       .withColumn(textCol, col("__scrubbed"))
       .drop("__scrubbed")
+
+  /** Driver-facing keys for the sampling/packing stages (no oracle —
+    * both hinge on xxhash64, which has no DuckDB equivalent, same
+    * status as dedup_minhash; ScalaTest covers determinism, mix, and
+    * packing invariants). Registering them makes the two pipeline
+    * stages visible to the driver's rows/bench gates instead of being
+    * API-only.
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Training-mix downsample: en halved, zh kept, the rest thinned —
+    // arbitrary but fixed weights; same seed → same sample on any
+    // partitioning (DeterminismSpec sweeps this key like every other).
+    "sample_stratified" -> ((s, d) =>
+      stratifiedSample(graft.T.documents(s, d), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8,
+              "zh" -> 1.0), seed = 42L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    // Fixed-budget sequence packing; doc_ids joined to a string (the
+    // ARRAY-free house rule for driver-facing finals, like
+    // agg_collect).
+    "pack_sequences" -> ((s, d) =>
+      packSequences(graft.T.documents(s, d), maxTokens = 512, nShards = 8)
+        .select(col("seq_id"), array_join(col("doc_ids"), ",").as("doc_ids"),
+          col("n_docs"), col("n_tokens"))
+        .orderBy("seq_id"))
+  )
+
+  val oracle: Map[String, String] = Map.empty
 
   /** Per-stage retention report for a curation run (one row). */
   def report(docs: DataFrame, minQuality: Double,
