@@ -196,6 +196,21 @@ object CubeOps {
         .orderBy("time", "level", "region_prefix")
     }),
 
+    // Consumer lookup over the multi-cube store ([[CubePipeline
+    // .query]]): one region + one year across BOTH heterogeneous
+    // cubes — the reference's serving-side query shape, end of the
+    // parse → store → query chain. Same projection discipline as
+    // cube_union (dims as JSON, value as double).
+    "cube_query" -> ((s, _) => {
+      val paths = Seq(ensureFixture() -> "12411_mini", ensureArea() -> "area")
+      CubePipeline.query(CubePipeline.parseAll(s, paths),
+          region = Some("11"), timeFrom = Some(2020), timeTo = Some(2020))
+        .select(col("cube"), col("region"), to_json(col("dims")).as("dims_json"),
+          col("time"), col("measure"),
+          col("value").cast("double").as("value"), col("quality"))
+        .orderBy("cube", "dims_json", "measure")
+    }),
+
     // Latest-revision-wins replay (§1.1 Storage): two downloads of the
     // SAME cube land — v2 finalizes 2020, adds 2021, omits 2019 and
     // region 02 — and the read-time merge keeps exactly the newest
@@ -338,6 +353,32 @@ object CubeOps {
          |             THEN 1 END) AS n_used
          |FROM lv GROUP BY t, level, region_prefix
          |ORDER BY t, level, region_prefix""".stripMargin,
+    // Same union CTE as cube_union, filtered to the lookup — the
+    // query key must agree with the union key's parse on every cell.
+    "cube_query" ->
+      s"""WITH mini AS (${duckDataOf(fixturePath)}),
+         |area AS (${duckDataOf(areaPath)}),
+         |u AS (
+         |  SELECT '12411_mini' AS cube, c1 AS region,
+         |    '{"GES":"' || c2 || '"}' AS dims_json,
+         |    CAST(c3 AS INT) AS t, 'BEVSTD' AS measure,
+         |    CASE WHEN c4 IN $duckNull THEN NULL
+         |         ELSE CAST(c4 AS DOUBLE) END AS value,
+         |    c5 AS quality
+         |  FROM mini
+         |  UNION ALL
+         |  SELECT 'area', c1, '{}', CAST(c2 AS INT), 'FLAECHE',
+         |    CASE WHEN c3 IN $duckNull THEN NULL
+         |         ELSE CAST(c3 AS DOUBLE) END, c4
+         |  FROM area
+         |  UNION ALL
+         |  SELECT 'area', c1, '{}', CAST(c2 AS INT), 'BEVDICHTE',
+         |    CASE WHEN c5 IN $duckNull THEN NULL
+         |         ELSE CAST(c5 AS DOUBLE) END, c6
+         |  FROM area)
+         |SELECT cube, region, dims_json, t AS "time", measure, value, quality
+         |FROM u WHERE region = '11' AND t = 2020
+         |ORDER BY cube, dims_json, measure""".stripMargin,
     "cube_latest" ->
       s"""WITH v1 AS (${duckDataOf(fixturePath)}),
          |v2 AS (${duckDataOf(fixtureV2Path)}),

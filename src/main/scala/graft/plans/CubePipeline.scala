@@ -86,6 +86,25 @@ object CubePipeline {
           count(when(!ok, lit(1))).as("n_excluded")) ++ flagCounts): _*)
   }
 
+  /** Consumer query over the normalized long table — the reference's
+    * serving surface (region/statistic/time lookups behind its query
+    * API [R: datenguide GraphQL front — UNVERIFIED]) as composable
+    * filters. Every predicate is a plain Catalyst filter, so when the
+    * normalized frame comes straight off storage they push down to the
+    * scan (partition pruning on a cube/time-partitioned store,
+    * row-group skipping on a time-sorted layout — see Sinks) and a
+    * point lookup touches one directory subtree, not the 100 TB table.
+    */
+  def query(normalized: DataFrame, region: Option[String] = None,
+      measures: Seq[String] = Nil, timeFrom: Option[Int] = None,
+      timeTo: Option[Int] = None): DataFrame =
+    Seq(
+      region.map(r => col("region") === r),
+      Some(measures).filter(_.nonEmpty).map(ms => col("measure").isin(ms: _*)),
+      timeFrom.map(col("time") >= _),
+      timeTo.map(col("time") <= _)
+    ).flatten.foldLeft(normalized)(_ filter _)
+
   /** Latest-revision-wins read-time merge over a stack of cube
     * downloads (SURVEY.md §1.1 Storage row): each parse is tagged with
     * a monotonically increasing revision number and per CELL —

@@ -139,6 +139,23 @@ class CubePipelineSpec extends SparkSpec {
     assert(byCell(("02", "GESW", 2019)).getAs[Int]("revision") == 1)
   }
 
+  test("query predicates push down to the parquet scan of a cube store") {
+    // The serving-path scale claim: CubePipeline.query is plain
+    // Catalyst filters, so against a stored table the region/time
+    // predicates reach the reader (PushedFilters) instead of filtering
+    // post-scan — at 100 TB that is the difference between a point
+    // lookup and a full-table pass.
+    val all = graft.plans.CubePipeline.parseAll(spark, cubes)
+    val store = Files.createTempDirectory("cube_pd").toString
+    graft.sources.Sinks.writePartitioned(all, store, Seq("cube"))
+    val q = graft.plans.CubePipeline.query(spark.read.parquet(store),
+      region = Some("11"), timeFrom = Some(2020), timeTo = Some(2020))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(region,11)"), plan)
+    assert(plan.contains("GreaterThanOrEqual(time,2020)"), plan)
+    assert(q.count() == 4)
+  }
+
   test("catalogNested emits the statistics→measures→dimensions→values tree") {
     val docs = CubePipeline.catalogNested(CubePipeline.parseAll(spark, cubes))
       .collect().map(r => r.getString(0) -> r.getAs[String]("toc")).toMap
