@@ -90,7 +90,34 @@ object Multimodal {
           round(sqrt(aggregate(transform(col("features"),
             x => x.cast("double") * x), lit(0.0), (a, v) => a + v)), 4)
             .as("feat_norm"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Fixed-stride frame sampling over the BINARY payload — the
+    // audio/video frame-extraction plumbing (sample windows, hand
+    // each to a decoder) as pure codegen'd column work: substr on
+    // binary never moves bytes off the executor, no UDF, no decoder
+    // needed for the windowing itself. 32-byte frames, stride = frame
+    // length (non-overlapping, full coverage: Σ frame_bytes =
+    // payload bytes, spec'd); every doc yields ≥1 frame (an empty
+    // payload frames to one empty window). Oracle replays the frames
+    // over the VARCHAR text — the corpus is ASCII, so string slices
+    // and byte slices agree (the multimodal_decode trick).
+    "multimodal_frames" -> ((s, d) => {
+      val frameLen = 32
+      val nFrames = greatest(
+        ceil(octet_length(col("payload")) / lit(frameLen.toDouble)).cast("long"),
+        lit(1L))
+      packed(s, d)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0L), nFrames - 1),
+            i => col("payload")
+              .substr((i * frameLen + 1).cast("int"), lit(frameLen))))
+            .as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    })
   )
 
   // Zero-count histogram buckets contribute exactly 0.0 to the
@@ -118,6 +145,23 @@ object Multimodal {
         |  round(sqrt(f.ss), 4) AS feat_norm
         |FROM (SELECT doc_id, strlen(text) AS n FROM documents) d
         |JOIN f USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    // range() can't take lateral column args as a table function, so
+    // the per-doc index list comes from unnest(range(...)) in scalar
+    // position instead.
+    "multimodal_frames" ->
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, greatest(CAST(ceil(length(text)/32.0) AS BIGINT),
+        |                             1))) AS frame_idx
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, frame_idx,
+        |    substring(text, CAST(frame_idx*32 + 1 AS BIGINT), 32) AS frame
+        |  FROM idx)
+        |SELECT doc_id, frame_idx,
+        |  CAST(length(frame) AS BIGINT) AS frame_bytes,
+        |  md5(frame) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -311,6 +311,21 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_._3).toSeq == Seq(true, true, false, false))
   }
 
+  test("multimodal frame sampling covers every payload byte exactly once") {
+    val frames = Multimodal.queries("multimodal_frames")(spark, sf)
+    val perDoc = frames.groupBy("doc_id")
+      .agg(sum("frame_bytes").as("b"), count(lit(1)).as("nf"))
+    val src = Multimodal.packed(spark, sf)
+      .select(col("doc_id"), octet_length(col("payload")).cast("long").as("n"))
+    val j = perDoc.join(src, Seq("doc_id"))
+    assert(j.count() > 0)
+    // Non-overlapping stride-32 frames: bytes partition exactly, and
+    // the frame count is ceil(n/32) with the ≥1-frame floor.
+    assert(j.filter(col("b") =!= col("n")).isEmpty)
+    assert(j.filter(col("nf") =!=
+      greatest(ceil(col("n") / 32.0).cast("long"), lit(1L))).isEmpty)
+  }
+
   test("multimodal stub decode: schema, byte accounting, determinism") {
     val out = Multimodal.decoded(spark, sf)
     assert(out.columns.toSeq == Seq("doc_id", "mime", "n_bytes", "features"))
