@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench gate keeps the last ~2.3 KB of the sbt log and
+// parses the LAST line as JSON. Two sbt default behaviors broke that
+// for three rounds (BENCH_r04-r06 all `parsed: null`):
+//   1. forked-run output is routed through sbt's logger, which wraps
+//      every line in "[info] " → the summary line is never bare;
+//   2. sbt appends its own "[success] Total time: …" line after the
+//      run → the summary line is never last.
+// StdoutOutput passes the forked JVM's stdout through verbatim, and
+// showSuccess kills the trailer — Bench's `{"metric":"total",…}` line
+// is then the literal last line of the captured tail.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
