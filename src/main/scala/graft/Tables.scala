@@ -71,4 +71,29 @@ object T {
 
   /** Timestamp → 'yyyy-MM-dd HH:mm:ss' string (second-grain output). */
   def tstr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Write-once content-checked fixture file, atomically. The fixture
+    * paths are fixed so the driver's DuckDB pass reads the identical
+    * bytes, which means another JVM (a concurrent sbt run, the driver)
+    * can be reading while we write — so never write in place: stage to
+    * a temp file in the same directory and ATOMIC_MOVE it over, so a
+    * reader observes either the old or the new content, never a
+    * partial file.
+    */
+  def ensureFile(path: String, content: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    val current =
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      else ""
+    if (current != content) {
+      val tmp = java.nio.file.Files.createTempFile(
+        p.getParent, "." + p.getFileName.toString, ".tmp")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    path
+  }
 }

@@ -31,16 +31,7 @@ object ScanOps {
 
   val jsonlPath = "/tmp/graft_docs_pii.jsonl"
 
-  def ensureJsonl(): String = {
-    val p = java.nio.file.Paths.get(jsonlPath)
-    val current =
-      if (java.nio.file.Files.exists(p))
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      else ""
-    if (current != jsonlContent)
-      java.nio.file.Files.write(p, jsonlContent.getBytes("UTF-8"))
-    jsonlPath
-  }
+  def ensureJsonl(): String = T.ensureFile(jsonlPath, jsonlContent)
 
   val queries: Map[String, Q] = Map(
     // Columnar scan + projection; pushdown shows as ReadSchema pruning.

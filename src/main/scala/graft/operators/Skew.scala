@@ -18,6 +18,19 @@ object Skew {
     * Helper columns live in a fresh 2-column projection, so they can
     * never collide with caller columns regardless of the input schema;
     * only the output names (key, "sum_v", "n") are claimed.
+    *
+    * Library-API caveat: the salt comes from `spark_partition_id() +
+    * monotonically_increasing_id()`, so WHICH subgroup a row lands in
+    * changes with the physical partitioning. For exact value types
+    * (integral, DECIMAL — what the `agg_skew_salted` key uses) the
+    * recombined answer is partitioning-invariant regardless
+    * (OperatorSemanticsSpec asserts salted == plain under two
+    * different repartitionings; DeterminismSpec sweeps the key). A
+    * DOUBLE-sum caller, however, would see partitioning-DEPENDENT
+    * last-ulp rounding, because the salt reshuffles float addition
+    * order run to run. If bit-stable double sums matter, salt
+    * deterministically from row content instead:
+    * `pmod(xxhash64(<unique id col>), salt)`.
     */
   def saltedSumCount(df: DataFrame, key: String, value: Column,
       salt: Int): DataFrame = {

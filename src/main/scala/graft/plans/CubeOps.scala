@@ -105,19 +105,12 @@ object CubeOps {
 
   val agsPath = "/tmp/graft_cube_ags_mini.csv"
 
-  /** Write-once (content-checked) so both Spark and the driver's later
-    * DuckDB pass read the identical file.
+  /** Write-once (content-checked, atomic — [[graft.T.ensureFile]]) so
+    * both Spark and the driver's later DuckDB pass read the identical
+    * file, even if one pass races another session's write.
     */
-  private def ensure(path: String, content: String): String = {
-    val p = java.nio.file.Paths.get(path)
-    val current =
-      if (java.nio.file.Files.exists(p))
-        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      else ""
-    if (current != content)
-      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
-    path
-  }
+  private def ensure(path: String, content: String): String =
+    graft.T.ensureFile(path, content)
 
   def ensureFixture(): String = ensure(fixturePath, fixtureContent)
   def ensureArea(): String = ensure(areaPath, areaContent)

@@ -326,6 +326,22 @@ class LlmSpec extends SparkSpec {
       greatest(ceil(col("n") / 32.0).cast("long"), lit(1L))).isEmpty)
   }
 
+  test("multimodal byte/char oracle precondition: corpus is pure ASCII") {
+    // multimodal_decode and multimodal_frames compare BYTE-wise Spark
+    // results against CHAR-wise DuckDB oracles (ascii()/substring/md5
+    // over VARCHAR); that equivalence is only sound while
+    // octet_length == char length for every document. One multi-byte
+    // character would silently shift frame boundaries and histogram
+    // buckets — so guard the precondition loudly, at the spec sf AND
+    // the sf the driver runs the oracle at.
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val nonAscii = T.documents(spark, d)
+        .filter(octet_length(col("text")) =!= length(col("text"))).count()
+      assert(nonAscii == 0, s"$nonAscii non-ASCII documents in $d — " +
+        "byte-vs-char oracle comparison no longer sound")
+    }
+  }
+
   test("multimodal stub decode: schema, byte accounting, determinism") {
     val out = Multimodal.decoded(spark, sf)
     assert(out.columns.toSeq == Seq("doc_id", "mime", "n_bytes", "features"))

@@ -130,4 +130,30 @@ class OperatorSemanticsSpec extends SparkSpec {
     val got = df.groupBy("k").agg(wmean(col("x"), col("w"))).collect()(0).getDouble(1)
     assert(got == 3.5) // (2*1 + 4*3) / 4
   }
+
+  test("saltedSumCount on DECIMAL equals plain groupBy under different partitionings") {
+    // The Skew scaladoc caveat, machine-checked from the safe side:
+    // the partition-derived salt re-buckets rows differently under
+    // every repartitioning, but with an exact DECIMAL sum the
+    // recombined answer must not move. (The unsafe side — DOUBLE sums
+    // drifting in the last ulp — is exactly why the caveat exists.)
+    val base = T.lineitem(spark, sf)
+      .select(col("l_returnflag"), T.dec(col("l_quantity")).as("q"))
+    val plain = base.groupBy("l_returnflag")
+      .agg(sum(col("q")).as("sum_v"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSeq
+    for (parts <- Seq(3, 17)) {
+      val salted = graft.operators.Skew
+        .saltedSumCount(base.repartition(parts), "l_returnflag", col("q"), salt = 8)
+        .orderBy("l_returnflag")
+        .collect().map(r => (r.getString(0), r.getDecimal(1), r.getLong(2))).toSeq
+      assert(salted.map(t => (t._1, t._3)) == plain.map(t => (t._1, t._3)),
+        s"counts drifted at $parts partitions")
+      salted.zip(plain).foreach { case (s, p) =>
+        assert(s._2.compareTo(p._2) == 0,
+          s"${s._1}: salted sum ${s._2} != plain ${p._2} at $parts partitions")
+      }
+    }
+  }
 }

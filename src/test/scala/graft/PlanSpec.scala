@@ -85,6 +85,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("array_max"), "literal argmax assignment expected: " + p)
   }
 
+  test("knn_ivf_probe: multi-probe explodes cells narrowly; candidates stay equi-join") {
+    // nprobe=2 must not change the join shape: the probe side is a
+    // narrow explode of each vector's top-2 cells (literal argmax
+    // list, no exchange), and candidates still meet on a cell
+    // equi-join — the recall knob costs candidates, never a cartesian.
+    val p = plan("knn_ivf_probe", graft.llm.LlmVector.queries)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate posexplode"), "probe-cell explode expected: " + p)
+  }
+
   test("text_vocab cuts top-k via TakeOrderedAndProject before windowing") {
     // The scale property: the global rank/cum windows run over the
     // 100-row cut, never over the full vocabulary.
