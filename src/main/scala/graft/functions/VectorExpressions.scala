@@ -68,13 +68,20 @@ case class DotProduct(left: Expression, right: Expression)
 
 object VectorExpressions {
   private val ident = FunctionIdentifier("graft_dot")
+  private val mhIdent = FunctionIdentifier("graft_minhash")
 
   /** Register once per session; safe to call repeatedly. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       ident,
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      mhIdent,
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinhashSig(children.head,
+        children(1).eval().asInstanceOf[Int]))
+  }
 
   /** Column-API surface for the codegen'd dot product. */
   def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {

@@ -47,4 +47,34 @@ class VectorExprSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [graft_dot"), plan)
   }
+
+  test("graft_minhash: one-pass signature matches per-seed reference, stays codegen'd") {
+    VectorExpressions.register(spark)
+    val docs = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c", "b c d", "c d e")),          // identical set
+      (3L, Seq("x y z")),
+      (4L, Seq.empty[String])).toDF("doc_id", "shingles")
+    val got = docs
+      .select(col("doc_id"), call_function("graft_minhash",
+        col("shingles"), lit(16)).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // expression output == the driver-side reference helper, per doc
+    assert(got(1L) == graft.functions.MinhashSig
+      .signatureOf(Seq("a b c", "b c d", "c d e"), 16))
+    assert(got(3L) == graft.functions.MinhashSig.signatureOf(Seq("x y z"), 16))
+    // MinHash contract: identical sets → identical signatures;
+    // disjoint sets → (overwhelmingly) different signatures
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+    // empty set → all-MaxValue sentinel minima, length k
+    assert(got(4L).forall(_ == Long.MaxValue) && got(4L).size == 16)
+    // the projection must stay inside whole-stage codegen (over a
+    // parquet scan — a local relation would fold to LocalTableScan)
+    val plan = T.documents(spark, sf)
+      .select(call_function("graft_minhash",
+        split(col("text"), " "), lit(16)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_minhash"), plan)
+  }
 }
