@@ -37,6 +37,7 @@ object SparkEntry {
     (AggOps.queries, AggOps.oracle),
     (SortOps.queries, SortOps.oracle),
     (JoinOps.queries, JoinOps.oracle),
+    (BloomJoin.queries, BloomJoin.oracle),
     (WindowOps.queries, WindowOps.oracle),
     (SetOps.queries, SetOps.oracle),
     (graft.functions.FnOps.queries, graft.functions.FnOps.oracle),
