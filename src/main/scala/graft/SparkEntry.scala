@@ -38,6 +38,7 @@ object SparkEntry {
     (SortOps.queries, SortOps.oracle),
     (JoinOps.queries, JoinOps.oracle),
     (BloomJoin.queries, BloomJoin.oracle),
+    (ZOrder.queries, ZOrder.oracle),
     (WindowOps.queries, WindowOps.oracle),
     (SetOps.queries, SetOps.oracle),
     (graft.functions.FnOps.queries, graft.functions.FnOps.oracle),

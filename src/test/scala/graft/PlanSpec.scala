@@ -153,8 +153,11 @@ class PlanSpec extends SparkSpec {
     // (text_tfidf's n_docs, text_vocab's total_tf) — those plan as
     // BroadcastNestedLoopJoin over a constant-size side, the intended
     // shape. Everything else must stay equi-join.
+    // zorder_key crossJoins a broadcast ONE-ROW min/max stats frame —
+    // same constant-side shape as text_tfidf's corpus totals.
     val allowCartesian = Set("join_cross")
-    val allowBnlj = Set("join_cross", "join_theta", "text_tfidf", "text_vocab")
+    val allowBnlj = Set("join_cross", "join_theta", "text_tfidf", "text_vocab",
+      "zorder_key")
     val bad = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
