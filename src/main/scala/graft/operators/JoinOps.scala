@@ -159,7 +159,22 @@ object JoinOps {
                             col("d1") + expr("INTERVAL 3 DAY")))
         .select("k1", "k2")
         .orderBy("k1", "k2")
-    })
+    }),
+
+    // Salted skew join ([[Skew.saltedJoin]]): lineitem ⋈ supplier on
+    // (suppkey, salt) — the hot-key survival path when one join key
+    // holds a data-sized share of the big side. shuffle_hash hint pins
+    // the shuffled shape (the 8×-replicated dim would otherwise
+    // broadcast at this scale and hide the salted exchange PlanSpec
+    // audits). Salting relocates rows, no arithmetic crosses salt
+    // groups → answer-invariant; the oracle is the plain join.
+    "join_skew_salted" -> ((s, d) =>
+      Skew.saltedJoin(T.lineitem(s, d), "l_suppkey",
+          T.supplier(s, d).hint("shuffle_hash"), "s_suppkey", salt = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          T.money(sum(T.dec(col("l_extendedprice")))).as("gross"))
+        .orderBy("s_nationkey"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -236,6 +251,14 @@ object JoinOps {
         |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
         | AND b.o_orderdate BETWEEN a.o_orderdate - INTERVAL 3 DAY
         |                       AND a.o_orderdate + INTERVAL 3 DAY
-        |ORDER BY k1, k2""".stripMargin
+        |ORDER BY k1, k2""".stripMargin,
+    // Salting is invisible to results: the oracle is the plain join.
+    "join_skew_salted" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS gross
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin
   )
 }

@@ -45,4 +45,37 @@ object Skew {
       .agg(sum(col("ps")).as("sum_v"), sum(col("pn")).as("n"))
       .withColumnRenamed("k", key)
   }
+
+  /** Salted skew JOIN — the join-side counterpart of
+    * [[saltedSumCount]]: `big ⋈ small` on `bigKey = smallKey`, safe
+    * when a handful of big-side key values dominate. Each big row salts
+    * into one of `salt` subkeys; the small side is replicated `salt`×
+    * (one copy per subkey) so every (key, salt) bucket finds its match.
+    * The join runs on (key, salt), spreading a hot key's rows over
+    * `salt` reducers instead of funneling them into one.
+    *
+    * Result is EXACTLY the plain join no matter how rows are salted:
+    * each matching (big, small) pair meets in precisely one bucket —
+    * the big row's — because the small side carries every salt value
+    * once. So the nondeterministic partition-id salt is harmless here
+    * (unlike the double-sum caveat on [[saltedSumCount]]: no arithmetic
+    * happens across salt groups, rows just relocate).
+    *
+    * Cost model at 100 TB: the small side's shuffle volume multiplies
+    * by `salt` — use for a MODEST small side (too big to broadcast,
+    * cheap to replicate) against a skewed big side, with `salt` ≈ the
+    * number of partitions the hottest key should spread over. AQE's
+    * skew-join split covers the same ground reactively when stats
+    * catch it; explicit salting is the author-knows-best form, same as
+    * [[graft.operators.BloomJoin]] vs the runtime bloom filter.
+    */
+  def saltedJoin(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, salt: Int): DataFrame = {
+    val b = big.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val s = small.withColumn("__salt",
+      explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+    b.join(s, b(bigKey) === s(smallKey) && b("__salt") === s("__salt"))
+      .drop(b("__salt")).drop(s("__salt"))
+  }
 }

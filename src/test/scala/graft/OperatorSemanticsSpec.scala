@@ -156,4 +156,29 @@ class OperatorSemanticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("saltedJoin equals the plain join row-for-row under different partitionings") {
+    // Each matching pair meets in exactly one (key, salt) bucket — the
+    // big row's — because the small side carries every salt value once.
+    // So the result multiset must equal the plain join's no matter how
+    // the nondeterministic partition-derived salt buckets rows.
+    // NOTE: (l_orderkey, l_linenumber) is NOT unique in this synthetic
+    // lineitem, so compare fully-sorted multisets, not a keyed order.
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] = df
+      .select(col("l_orderkey").cast("long"),
+        col("l_linenumber").cast("long"), col("s_nationkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    val li = T.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+    val sup = T.supplier(spark, sf).select("s_suppkey", "s_nationkey")
+    val plain = rows(li.join(sup, col("l_suppkey") === col("s_suppkey")))
+    for (parts <- Seq(3, 17)) {
+      val salted = rows(graft.operators.Skew
+        .saltedJoin(li.repartition(parts), "l_suppkey", sup, "s_suppkey",
+          salt = 8))
+      assert(salted == plain, s"join drifted at $parts partitions: " +
+        s"${salted.size} vs ${plain.size} rows")
+    }
+  }
 }

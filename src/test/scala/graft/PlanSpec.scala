@@ -135,6 +135,21 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("join_skew_salted: the join exchange hashes on (key, salt)") {
+    // The salt must actually reach the shuffle: the big side's exchange
+    // partitions on (l_suppkey, __salt), spreading a hot suppkey over 8
+    // reducers. A plain hashpartitioning(l_suppkey) would mean the salt
+    // column was optimized away and the skew protection is fiction.
+    val p = plan("join_skew_salted", JoinOps.queries)
+    assert(p.contains("__salt"), "salt column missing from the plan: " + p)
+    val saltedExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("l_suppkey") &&
+        l.contains("__salt"))
+    assert(saltedExchange, "no exchange partitioned on (l_suppkey, __salt): " + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("agg_skew_salted: two balanced stages, each partial+final") {
     // Salting must show as exactly two hash shuffles — (key, salt)
     // then (key) — each with map-side partial aggregation; one shuffle
