@@ -51,6 +51,26 @@ object AggOps {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")),
 
+    // MERGEABLE sketch store — the pre-aggregation pattern behind every
+    // OLAP "distinct users per <any rollup>" at scale: per-partition
+    // DataSketches HLL sketches are stored ONCE (here: distinct
+    // custkeys per order priority), and any coarser rollup merges the
+    // binary sketches (hll_union_agg) without rescanning facts. HLL
+    // registers are max-combined → union is associative, commutative,
+    // and order-insensitive, so merging partial sketches gives EXACTLY
+    // the sketch of the union (asserted in OperatorSemanticsSpec,
+    // along with ±5% vs exact). No oracle: binary sketch state has no
+    // DuckDB equivalent (same status as agg_approx).
+    "agg_hll_merge" -> ((s, d) => {
+      val parts = T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      parts.agg(
+        count(lit(1)).as("n_sketches"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("approx_custkeys"))
+    }),
+
     // Exact percentiles (sort-based interpolation, same definition as
     // SQL quantile_cont). HAZARD at 100 TB: Spark's exact `percentile`
     // buffers the ENTIRE per-group value multiset in its aggregation

@@ -157,6 +157,25 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch merge: union of partial sketches == sketch of the union, ±5% of exact") {
+    // The mergeability contract agg_hll_merge's scaladoc claims: HLL
+    // registers are max-combined, so merging per-group partial sketches
+    // estimates exactly what one global sketch over the raw data does —
+    // the pre-aggregation is lossless w.r.t. the sketch. And both land
+    // within the standard HLL error of the exact count.
+    val o = T.orders(spark, sf)
+    val merged = o.groupBy("o_orderpriority")
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head.getLong(0)
+    val direct = o.agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))"))
+      .head.getLong(0)
+    val exact = o.agg(countDistinct(col("o_custkey"))).head.getLong(0)
+    assert(merged == direct,
+      s"merged partials ($merged) != direct global sketch ($direct)")
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact drifts > 5%")
+  }
+
   test("saltedJoin equals the plain join row-for-row under different partitionings") {
     // Each matching pair meets in exactly one (key, salt) bucket — the
     // big row's — because the small side carries every salt value once.
