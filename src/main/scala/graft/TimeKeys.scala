@@ -1,0 +1,37 @@
+package graft
+
+/** Hand-timing harness for a SUBSET of keys — the interactive
+  * complement to [[Bench]] (which sweeps everything): warm the session,
+  * then min-of-5 per named key. Usage:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.TimeKeys corpus_curate dedup_cluster"
+  *
+  * Trust the MIN, not the first number: this box carries heavy ambient
+  * load (see the bench notes in .claude/skills/verify/SKILL.md), so
+  * single runs are bimodal. For cross-load comparisons, time a fixed
+  * reference key (e.g. scan_parquet) in the same invocation and compare
+  * ratios.
+  */
+object TimeKeys {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.local(cpus.toInt)
+    val keys = args.toSeq
+    require(keys.nonEmpty, "pass one or more SparkEntry.queries key names")
+    val unknown = keys.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown keys: $unknown")
+    // warm up the session on one untimed pass of each key
+    keys.foreach(k => SparkEntry.queries(k)(spark, sfDir).count())
+    for (k <- keys) {
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(k)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIMING $k min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
