@@ -117,6 +117,30 @@ object Multimodal {
           octet_length(col("frame")).cast("long").as("frame_bytes"),
           md5(col("frame")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Nearest-neighbor RESIZE to a fixed-length byte thumbnail — the
+    // deterministic stub of an image/audio resample, as pure codegen'd
+    // column work: output byte i is input byte floor(i·n/64) (the
+    // standard NN index map — downsamples long payloads, repeats bytes
+    // of short ones), built from 64 one-byte substrs concatenated. No
+    // UDF, bytes never leave the executor; a real resampler slots into
+    // the SAME shape as a [[decoded]]-style batched mapPartitions.
+    // Oracle replays the index map over the VARCHAR text (ASCII corpus
+    // ⇒ byte i == char i, the multimodal_decode trick).
+    "multimodal_resize" -> ((s, d) => {
+      val outLen = 64
+      val n = octet_length(col("payload"))
+      val resized = concat((0 until outLen).map { i =>
+        col("payload")
+          .substr(floor((lit(i) * n) / lit(outLen.toDouble)).cast("int") + 1,
+            lit(1))
+      }: _*)
+      packed(s, d)
+        .select(col("doc_id"), n.cast("long").as("n_bytes"),
+          octet_length(resized).cast("long").as("resized_bytes"),
+          md5(resized).as("resized_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -162,6 +186,18 @@ object Multimodal {
         |SELECT doc_id, frame_idx,
         |  CAST(length(frame) AS BIGINT) AS frame_bytes,
         |  md5(frame) AS frame_md5
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // Same double-division + floor text as the Spark side (i·n exact as
+    // doubles below 2^53 ⇒ identical IEEE result ⇒ identical floor).
+    "multimodal_resize" -> {
+      val terms = (0 until 64).map(i =>
+        s"substring(text, CAST(floor(($i * strlen(text)) / 64.0) AS BIGINT) + 1, 1)")
+      s"""SELECT doc_id, n_bytes,
+        |  CAST(length(r) AS BIGINT) AS resized_bytes, md5(r) AS resized_md5
+        |FROM (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |             concat(${terms.mkString(", ")}) AS r
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    }
   )
 }

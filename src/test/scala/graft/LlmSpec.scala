@@ -326,6 +326,29 @@ class LlmSpec extends SparkSpec {
       greatest(ceil(col("n") / 32.0).cast("long"), lit(1L))).isEmpty)
   }
 
+  test("multimodal resize: 64-byte thumbnails follow the NN index map") {
+    val out = Multimodal.queries("multimodal_resize")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // every non-empty payload resizes to exactly 64 bytes — down- OR
+    // up-sampled (byte repetition), the NN contract
+    assert(out.nonEmpty)
+    out.values.foreach { case (n, rb, _) =>
+      assert(rb == (if (n == 0) 0L else 64L), s"n=$n resized to $rb")
+    }
+    // replay the index map locally for one known doc
+    val (id, text) = {
+      val r = T.documents(spark, sf).select("doc_id", "text").head
+      (r.getLong(0), r.getString(1))
+    }
+    val bytes = text.getBytes("UTF-8")
+    val want = (0 until 64).map(i =>
+      bytes(math.floor(i * bytes.length / 64.0).toInt)).toArray
+    val wantMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(want).map("%02x".format(_)).mkString
+    assert(out(id)._3 == wantMd5, s"doc $id thumbnail md5 mismatch")
+  }
+
   test("multimodal byte/char oracle precondition: corpus is pure ASCII") {
     // multimodal_decode and multimodal_frames compare BYTE-wise Spark
     // results against CHAR-wise DuckDB oracles (ascii()/substring/md5
