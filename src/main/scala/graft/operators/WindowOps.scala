@@ -101,6 +101,29 @@ object WindowOps {
         .orderBy("o_orderkey")
     }),
 
+    // BATCH sessionization — the lag + running-sum idiom: a session
+    // starts at the first event or after a >30 min gap; the session id
+    // is the running count of starts. Two windows on the SAME
+    // (user, time, id) ordering → one shuffle, both sorts reuse it.
+    // stream_session is the streaming-native form of this key; the
+    // batch form is what a backfill over stored events runs.
+    "win_session" -> ((s, d) => {
+      val ord = Seq(tsec.asc, col("event_id").asc)
+      val wOrd = Window.partitionBy("user_id").orderBy(ord: _*)
+      val wRun = Window.partitionBy("user_id").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val es = unix_timestamp(tsec)
+      T.events(s, d)
+        .withColumn("ns", when(lag(es, 1).over(wOrd).isNull ||
+          es - lag(es, 1).over(wOrd) > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("ns")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          T.tstr(min(tsec)).as("start_ts"),
+          T.tstr(max(tsec)).as("end_ts"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // first/last/nth over the FULL partition frame (default frame stops
     // at currentRow, which silently breaks last_value).
     "win_firstlast" -> ((s, d) => {
@@ -163,6 +186,29 @@ object WindowOps {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice ASC, o_orderkey ASC)
         |ORDER BY o_orderkey""".stripMargin,
+    // DuckDB sum(int) is HUGEINT — cast the running session id back to
+    // BIGINT so the schema matches Spark's long.
+    "win_session" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS tsec,
+        |    CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS es
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, tsec, es,
+        |    CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |g AS (
+        |  SELECT user_id, tsec,
+        |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(tsec), '%Y-%m-%d %H:%M:%S') AS start_ts,
+        |  strftime(max(tsec), '%Y-%m-%d %H:%M:%S') AS end_ts
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "win_firstlast" ->
       """SELECT DISTINCT user_id,
         |  first_value(event_type) OVER w AS first_type,

@@ -150,6 +150,16 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("win_session: both windows and the session agg share ONE user shuffle") {
+    // lag-flag window, running-sum window, and the per-session groupBy
+    // are all keyed on user_id with compatible orderings — the plan
+    // must reuse a single hashpartitioning(user_id) exchange, not
+    // re-shuffle per step.
+    val p = plan("win_session", WindowOps.queries)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
   test("agg_skew_salted: two balanced stages, each partial+final") {
     // Salting must show as exactly two hash shuffles — (key, salt)
     // then (key) — each with map-side partial aggregation; one shuffle
