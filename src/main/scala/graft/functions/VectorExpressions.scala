@@ -69,6 +69,7 @@ case class DotProduct(left: Expression, right: Expression)
 object VectorExpressions {
   private val ident = FunctionIdentifier("graft_dot")
   private val mhIdent = FunctionIdentifier("graft_minhash")
+  private val shIdent = FunctionIdentifier("graft_shingles")
 
   /** Register once per session; safe to call repeatedly. */
   def register(spark: SparkSession): Unit = {
@@ -80,6 +81,11 @@ object VectorExpressions {
       mhIdent,
       new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinhashSig(children.head,
+        children(1).eval().asInstanceOf[Int]))
+    spark.sessionState.functionRegistry.registerFunction(
+      shIdent,
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => Shingles(children.head,
         children(1).eval().asInstanceOf[Int]))
   }
 

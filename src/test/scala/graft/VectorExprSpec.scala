@@ -48,6 +48,39 @@ class VectorExprSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_dot"), plan)
   }
 
+  test("graft_shingles: one-pass shingles equal the column-math form, stay codegen'd") {
+    VectorExpressions.register(spark)
+    // equivalence oracle: the old interpreted formulation, element for
+    // element (split semantics incl. repeated/trailing spaces, distinct
+    // keeps FIRST occurrence, <3 tokens -> empty)
+    val texts = Seq("a b c d e", "a b c a b c a b", "x  y z ", "one two",
+      "", "a a a a")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val legacy = df.select(col("doc_id"),
+      when(size(toks) >= 3, array_distinct(
+        transform(sequence(lit(0), size(toks) - 3), i =>
+          concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2), element_at(toks, i + 3)))))
+        .otherwise(array().cast("array<string>")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val native = df.select(col("doc_id"),
+      call_function("graft_shingles", col("text"), lit(3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.indices.foreach(i =>
+      assert(native(i.toLong) == legacy(i.toLong),
+        s"doc $i ('${texts(i)}'): ${native(i.toLong)} vs ${legacy(i.toLong)}"))
+    // driver-side helper agrees too
+    assert(graft.functions.Shingles.shinglesOf("a b c d e", 3) ==
+      Seq("a b c", "b c d", "c d e"))
+    // stays inside whole-stage codegen over a parquet scan
+    val plan = T.documents(spark, sf)
+      .select(call_function("graft_shingles", col("text"), lit(3)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_shingles"), plan)
+  }
+
   test("graft_minhash: one-pass signature matches per-seed reference, stays codegen'd") {
     VectorExpressions.register(spark)
     val docs = Seq(
