@@ -70,15 +70,20 @@ object BloomJoin {
     * standard (1 - e^{-kn/m})^k.
     */
   def mightContain(key: Column, words: Array[Long], numBits: Int,
-      numHashes: Int): Column =
+      numHashes: Int): Column = {
+    // ONE literal instance shared by all k probes (immutable Catalyst
+    // trees share nodes) — constructing it inside the loop would embed
+    // k full copies of the word array in the plan: k×64 KB of plan
+    // payload at the default sizing, converted and shipped per task.
+    val w = typedlit(words.toSeq)
     (0 until numHashes).map { i =>
       val pos = pmod(xxhash64(key, lit(i)), lit(numBits.toLong))
       call_function("shiftrightunsigned",
-          element_at(typedlit(words.toSeq),
-            shiftright(pos, 6).cast("int") + 1),
+          element_at(w, shiftright(pos, 6).cast("int") + 1),
           pos.bitwiseAND(63L).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
+  }
 
   /** Probe side reduced by a Bloom filter built from `build`'s keys:
     * returns `probe` minus (most of) the rows whose key cannot appear

@@ -71,6 +71,9 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, bigKey: String, small: DataFrame,
       smallKey: String, salt: Int): DataFrame = {
+    require(!big.columns.contains("__salt") &&
+      !small.columns.contains("__salt"),
+      "input already has a __salt column")
     val b = big.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
     val s = small.withColumn("__salt",
