@@ -33,16 +33,28 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt)
     val loadBefore = loadavg()
+    // Full materialization via the noop sink, NOT count(): under
+    // Aggregate(count(1)) the optimizer prunes every unused projection
+    // and eliminates the terminal sort, so a projection-heavy key
+    // (zorder_key's Morton math, multimodal_resize's 64-substr+md5)
+    // would time almost none of its advertised work — measured 2-5×
+    // under-report at sf0.1. The noop write evaluates every output
+    // column and keeps the sort, with zero sink I/O. (r7 methodology
+    // change: numbers are NOT comparable to the count()-based r1-r6
+    // history; cross-round retry minima just get conservative.)
+    def run(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // Untimed warm-up pass: JVM/codegen/session init otherwise lands on
     // whichever query happens to run first (~10 s of noise in round 1).
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { run(fn) } catch { case _: Throwable => () }
     }
     var errors = List.empty[String]
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { run(fn) } catch {
         case _: Throwable =>
           if (!errors.contains(name)) errors ::= name
           return -1.0 // broken ≠ fast: never report time-to-throw

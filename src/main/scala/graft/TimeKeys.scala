@@ -22,12 +22,16 @@ object TimeKeys {
     require(keys.nonEmpty, "pass one or more SparkEntry.queries key names")
     val unknown = keys.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown keys: $unknown")
+    // noop sink, same as Bench: count() would let the optimizer prune
+    // the final projection and sort — the work many keys exist to do.
+    def run(k: String): Unit = SparkEntry.queries(k)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
     // warm up the session on one untimed pass of each key
-    keys.foreach(k => SparkEntry.queries(k)(spark, sfDir).count())
+    keys.foreach(run)
     for (k <- keys) {
       val times = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(k)(spark, sfDir).count()
+        run(k)
         (System.nanoTime() - t0) / 1e9
       }
       println(f"TIMING $k min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")

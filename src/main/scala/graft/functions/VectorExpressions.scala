@@ -81,12 +81,27 @@ object VectorExpressions {
       mhIdent,
       new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinhashSig(children.head,
-        children(1).eval().asInstanceOf[Int]))
+        intLiteral("graft_minhash", children(1))))
     spark.sessionState.functionRegistry.registerFunction(
       shIdent,
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
       (children: Seq[Expression]) => Shingles(children.head,
-        children(1).eval().asInstanceOf[Int]))
+        intLiteral("graft_shingles", children(1))))
+  }
+
+  /** Second arguments of the custom functions must be integral literals
+    * (they parameterize the generated code). A clear analysis error
+    * beats the raw ClassCastException / Unevaluable a blind
+    * `eval().asInstanceOf[Int]` throws on `CAST(16 AS BIGINT)` or a
+    * column argument.
+    */
+  private def intLiteral(fn: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+        if v.isValidInt => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal as its second argument, got: $other")
   }
 
   /** Column-API surface for the codegen'd dot product. */

@@ -331,11 +331,17 @@ object LlmVector {
     String, (DataFrame, Seq[(Long, Seq[Float])])]()
   private def ivfIndex(s: SparkSession, d: String, nCells: Int,
       iters: Int): (DataFrame, Seq[(Long, Seq[Float])]) =
-    ivfCache.computeIfAbsent(s"$d|$nCells|$iters", _ => {
-      graft.functions.VectorExpressions.register(s)
-      val e = prepared(T.embeddings(s, d))
-      (e, kMeansOn(e, nCells, iters))
-    })
+    // Keyed by SESSION IDENTITY too: the cached frame is persisted in
+    // the session that built it, so a later session in the same JVM
+    // must rebuild (and re-register the native expressions) rather
+    // than touch a plan bound to a possibly-stopped session. Stale
+    // entries of dead sessions are bounded by sessions-per-JVM (few).
+    ivfCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$d|$nCells|$iters", _ => {
+        graft.functions.VectorExpressions.register(s)
+        val e = prepared(T.embeddings(s, d))
+        (e, kMeansOn(e, nCells, iters))
+      })
 
   val queries: Map[String, Q] = Map(
     "knn_cosine" -> ((s, d) =>

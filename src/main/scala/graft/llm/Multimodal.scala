@@ -131,9 +131,13 @@ object Multimodal {
     "multimodal_resize" -> ((s, d) => {
       val outLen = 64
       val n = octet_length(col("payload"))
+      // i·n in LONG: octet_length is Int, and an Int multiply overflows
+      // (ANSI: throws) past ~34 MB payloads — exactly the sizes the
+      // binary column is for.
       val resized = concat((0 until outLen).map { i =>
         col("payload")
-          .substr(floor((lit(i) * n) / lit(outLen.toDouble)).cast("int") + 1,
+          .substr(
+            floor((lit(i.toLong) * n) / lit(outLen.toDouble)).cast("int") + 1,
             lit(1))
       }: _*)
       packed(s, d)

@@ -78,13 +78,20 @@ object AggOps {
     // billions of distinct values OOMs the executor regardless of
     // partitioning. It exists here as the oracle-able correctness
     // reference; the scale path is agg_approx_percentile below.
+    // ONE percentile aggregate with an array of percentages, not three:
+    // each separate percentile(...) call buffers the group's whole
+    // value multiset independently — 3× the memory and merge work for
+    // the same answer (measured 3.8 → 1.3 s at sf0.1 under full
+    // materialization).
     "agg_percentile" -> ((s, d) =>
       T.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+          .as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"))
         .orderBy("l_returnflag")),
 
     // Quantile SKETCH — the 100 TB path for agg_percentile above.
@@ -95,13 +102,18 @@ object AggOps {
     // approx_quantile uses t-digest and answers differently); the spec
     // bounds it against the exact percentile within the GK error
     // guarantee (1/accuracy relative rank error).
+    // Array form for the same reason as agg_percentile: one GK sketch
+    // per group serves all three ranks.
     "agg_approx_percentile" -> ((s, d) =>
       T.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(
-          round(expr("approx_percentile(l_extendedprice, 0.25, 10000)"), 4).as("p25"),
-          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
-          round(expr("approx_percentile(l_extendedprice, 0.75, 10000)"), 4).as("p75"))
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
+          .as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"))
         .orderBy("l_returnflag")),
 
     // Second-moment statistics: correlation, sample covariance/stddev/

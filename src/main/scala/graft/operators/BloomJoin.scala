@@ -93,6 +93,15 @@ object BloomJoin {
   def reduceProbe(probe: DataFrame, probeKey: String, build: DataFrame,
       buildKey: String, numBits: Int = 1 << 19,
       numHashes: Int = 5): DataFrame = {
+    // xxhash64 is TYPE-sensitive (equal values in INT vs BIGINT hash
+    // differently), so a type mismatch here would silently drop
+    // genuinely matching probe rows — the one failure mode a bloom
+    // reduction must never have. Make it an error, not missing rows.
+    val (pt, bt) = (probe.schema(probeKey).dataType,
+      build.schema(buildKey).dataType)
+    require(pt == bt,
+      s"bloom key types must match exactly (xxhash64 is type-sensitive): " +
+        s"$probeKey is $pt, $buildKey is $bt — cast one side first")
     val words = buildBloom(build, col(buildKey), numBits, numHashes)
     probe.filter(mightContain(col(probeKey), words, numBits, numHashes))
   }
