@@ -71,6 +71,30 @@ object AggOps {
           .as("approx_custkeys"))
     }),
 
+    // Count-min frequency sketch — the heavy-hitter counterpart of
+    // agg_hll_merge: per-key frequency ESTIMATES from one fixed-size
+    // mergeable sketch (counts are additive → partition/merge-order
+    // insensitive, so fixed seed ⇒ deterministic estimates), without a
+    // full groupBy of a possibly-huge key space. One distributed
+    // aggregate; the ~100 KB sketch comes back to the driver (the
+    // legitimate model-sized collect, like the IVF centroids) and is
+    // probed for a fixed candidate list. CMS never under-counts;
+    // over-count ≤ eps·N w.h.p. — both asserted vs exact counts in
+    // OperatorSemanticsSpec. No oracle: sketch internals are
+    // engine-specific (same status as agg_approx).
+    "agg_countmin" -> ((s, d) => {
+      val bytes = T.lineitem(s, d)
+        .agg(expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("sk"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val s2 = s
+      import s2.implicits._
+      (1L to 10L).map(k =>
+          (k, cms.estimateCount(java.lang.Long.valueOf(k))))
+        .toDF("suppkey", "est_count").orderBy("suppkey")
+    }),
+
     // Exact percentiles (sort-based interpolation, same definition as
     // SQL quantile_cont). HAZARD at 100 TB: Spark's exact `percentile`
     // buffers the ENTIRE per-group value multiset in its aggregation

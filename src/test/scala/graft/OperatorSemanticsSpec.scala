@@ -176,6 +176,21 @@ class OperatorSemanticsSpec extends SparkSpec {
       s"estimate $merged vs exact $exact drifts > 5%")
   }
 
+  test("count-min estimates never under-count and stay within eps*N of exact") {
+    val li = T.lineitem(spark, sf)
+    val n = li.count()
+    val exact = li.groupBy("l_suppkey").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = SparkEntry.queries("agg_countmin")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    est.foreach { case (k, e) =>
+      val x = exact.getOrElse(k, 0L)
+      assert(e >= x, s"suppkey $k: CMS under-counted ($e < $x)")
+      assert(e <= x + math.ceil(0.001 * n).toLong,
+        s"suppkey $k: over-count $e vs exact $x beyond eps*N")
+    }
+  }
+
   test("saltedJoin equals the plain join row-for-row under different partitionings") {
     // Each matching pair meets in exactly one (key, salt) bucket — the
     // big row's — because the small side carries every salt value once.
