@@ -75,6 +75,44 @@ object ZOrder {
       .drop("__mnx", "__mxx", "__mny", "__mxy")
   }
 
+  /** Quantile bucket boundaries for one column: the skew-proof rank
+    * map. Linear min/max scaling ([[bucket]]) puts a heavy-tailed
+    * column's mass into a few buckets — the z-curve then degenerates
+    * toward a single-dim sort on the OTHER column. Boundaries come from
+    * ONE `approx_percentile` pass (GK sketch, model-sized driver
+    * literal, same class as the IVF centroids); by construction each
+    * bucket holds ~1/nBuckets of the rows whatever the distribution.
+    */
+  def quantileBounds(df: DataFrame, c: String,
+      nBuckets: Int = 256): Array[Double] = {
+    val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    df.agg(expr(s"approx_percentile(CAST($c AS DOUBLE), " +
+        s"array(${ps.mkString("D,")}D), 10000)"))
+      .head.getSeq[Double](0).toArray
+  }
+
+  /** Rank bucket from precomputed quantile boundaries: the count of
+    * boundaries ≤ v, folded over the literal boundary array. The fold
+    * is an interpreted higher-order expression — acceptable because
+    * this is the WRITE path, evaluated once per layout job, not a
+    * query-time hot loop.
+    */
+  def bucketQuantile(c: Column, bounds: Array[Double]): Column =
+    aggregate(typedlit(bounds.toSeq), lit(0),
+      (acc, b) => acc + when(b <= c.cast("double"), 1).otherwise(0))
+      .cast("long")
+
+  /** z-value over two numeric dims with QUANTILE rank maps — the
+    * skew-robust form of [[withZValue]].
+    */
+  def withZValueQuantile(df: DataFrame, xCol: String, yCol: String,
+      zName: String = "zval"): DataFrame = {
+    val bx = quantileBounds(df, xCol)
+    val by = quantileBounds(df, yCol)
+    df.withColumn(zName, interleave2(
+      bucketQuantile(col(xCol), bx), bucketQuantile(col(yCol), by)))
+  }
+
   /** Z-ordered parquet write: range-partition by z-value into `nFiles`
     * contiguous z-ranges, sort within each, drop the helper column.
     * Files (and row groups inside them) then carry narrow min/max on

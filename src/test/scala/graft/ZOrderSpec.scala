@@ -68,6 +68,24 @@ class ZOrderSpec extends SparkSpec {
     assert(zy < 0.6, s"zorder y span $zy")
   }
 
+  test("quantile buckets stay balanced under heavy skew; linear buckets do not") {
+    // exponential column: linear min/max scaling crams almost all rows
+    // into bucket 0 (the max dominates the range), which would
+    // degenerate the z-curve to a single-dim sort on the other column.
+    val n = 8192
+    val df = (0 until n).map(i => (i.toLong, math.exp(i / 400.0)))
+      .toDF("id", "v")
+    val linMax = df.select(ZOrder.bucket(col("v"), lit(1.0),
+        lit(math.exp((n - 1) / 400.0))).as("b"))
+      .groupBy("b").count().agg(max("count")).head.getLong(0)
+    val bounds = ZOrder.quantileBounds(df, "v")
+    val qMax = df.select(ZOrder.bucketQuantile(col("v"), bounds).as("b"))
+      .groupBy("b").count().agg(max("count")).head.getLong(0)
+    // perfectly balanced would be n/256 = 32 per bucket
+    assert(linMax > n / 2, s"expected linear pile-up, max bucket $linMax")
+    assert(qMax <= 3 * n / 256, s"quantile bucket too heavy: $qMax")
+  }
+
   test("zorder_key matches a local morton replay") {
     val got = SparkEntry.queries("zorder_key")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
