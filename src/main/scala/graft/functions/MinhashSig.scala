@@ -67,8 +67,13 @@ object MinhashSig {
     z ^ (z >>> 31)
   }
 
-  /** One-pass k-minima; called from both eval and generated code. */
+  /** One-pass k-minima; called from both eval and generated code. The
+    * bound re-check matters for the public [[signatureOf]] path, which
+    * bypasses the expression's type check — k > 64 would otherwise
+    * crash into the constant arrays with a bare index error.
+    */
   def compute(arr: ArrayData, k: Int): ArrayData = {
+    require(k >= 1 && k <= 64, s"minhash k must be in [1, 64], got $k")
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0

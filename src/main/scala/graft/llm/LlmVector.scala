@@ -328,20 +328,21 @@ object LlmVector {
     * ([[knnIvf]]/[[knnIvfProbe]]) stays self-contained and un-cached.
     */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, Seq[(Long, Seq[Float])])]()
+    (SparkSession, String), (DataFrame, Seq[(Long, Seq[Float])])]()
   private def ivfIndex(s: SparkSession, d: String, nCells: Int,
       iters: Int): (DataFrame, Seq[(Long, Seq[Float])]) =
-    // Keyed by SESSION IDENTITY too: the cached frame is persisted in
-    // the session that built it, so a later session in the same JVM
-    // must rebuild (and re-register the native expressions) rather
-    // than touch a plan bound to a possibly-stopped session. Stale
-    // entries of dead sessions are bounded by sessions-per-JVM (few).
-    ivfCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$d|$nCells|$iters", _ => {
-        graft.functions.VectorExpressions.register(s)
-        val e = prepared(T.embeddings(s, d))
-        (e, kMeansOn(e, nCells, iters))
-      })
+    // Keyed by the SESSION OBJECT itself (reference equality — a tuple
+    // key holds it strongly, so identity can never be recycled the way
+    // a bare identityHashCode could after GC): the cached frame is
+    // persisted in the session that built it, so a later session in
+    // the same JVM must rebuild (and re-register the native
+    // expressions) rather than touch a plan bound to a possibly-stopped
+    // session. Entries are bounded by sessions-per-JVM × datasets (few).
+    ivfCache.computeIfAbsent((s, s"$d|$nCells|$iters"), _ => {
+      graft.functions.VectorExpressions.register(s)
+      val e = prepared(T.embeddings(s, d))
+      (e, kMeansOn(e, nCells, iters))
+    })
 
   val queries: Map[String, Q] = Map(
     "knn_cosine" -> ((s, d) =>

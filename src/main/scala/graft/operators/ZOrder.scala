@@ -56,7 +56,12 @@ object ZOrder {
     * oracle (same parenthesization → same IEEE doubles → same floor).
     */
   def bucket(c: Column, mn: Column, mx: Column): Column =
-    least(floor(((c - mn) / (mx - mn)) * 256.0), lit(255L))
+    // constant column (mx == mn): 0/0 = NaN would silently bucket as 0
+    // on the Spark side and fail the cast in a DuckDB replay — make the
+    // degenerate case an explicit single bucket. Non-constant inputs
+    // (every oracled use) take the otherwise-branch: formula unchanged.
+    when(mx === mn, lit(0L))
+      .otherwise(least(floor(((c - mn) / (mx - mn)) * 256.0), lit(255L)))
 
   /** z-value over two numeric dims, with bucket bounds taken from a
     * one-row broadcast stats frame computed over `df` itself.
@@ -83,13 +88,15 @@ object ZOrder {
     * literal, same class as the IVF centroids); by construction each
     * bucket holds ~1/nBuckets of the rows whatever the distribution.
     */
-  def quantileBounds(df: DataFrame, c: String,
-      nBuckets: Int = 256): Array[Double] = {
+  private def pctExpr(c: String, nBuckets: Int): Column = {
     val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    df.agg(expr(s"approx_percentile(CAST($c AS DOUBLE), " +
-        s"array(${ps.mkString("D,")}D), 10000)"))
-      .head.getSeq[Double](0).toArray
+    expr(s"approx_percentile(CAST($c AS DOUBLE), " +
+      s"array(${ps.mkString("D,")}D), 10000)")
   }
+
+  def quantileBounds(df: DataFrame, c: String,
+      nBuckets: Int = 256): Array[Double] =
+    df.agg(pctExpr(c, nBuckets)).head.getSeq[Double](0).toArray
 
   /** Rank bucket from precomputed quantile boundaries: the count of
     * boundaries ≤ v, folded over the literal boundary array. The fold
@@ -107,8 +114,11 @@ object ZOrder {
     */
   def withZValueQuantile(df: DataFrame, xCol: String, yCol: String,
       zName: String = "zval"): DataFrame = {
-    val bx = quantileBounds(df, xCol)
-    val by = quantileBounds(df, yCol)
+    // BOTH boundary arrays from ONE aggregate — two quantileBounds
+    // calls would scan the full input twice for two driver literals.
+    val row = df.agg(pctExpr(xCol, 256).as("bx"), pctExpr(yCol, 256).as("by"))
+      .head
+    val (bx, by) = (row.getSeq[Double](0).toArray, row.getSeq[Double](1).toArray)
     df.withColumn(zName, interleave2(
       bucketQuantile(col(xCol), bx), bucketQuantile(col(yCol), by)))
   }
