@@ -68,6 +68,31 @@ class ZOrderSpec extends SparkSpec {
     assert(zy < 0.6, s"zorder y span $zy")
   }
 
+  test("bucket: constant column is one explicit bucket, not NaN fallout") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("v")
+    val got = df.select(ZOrder.bucket(col("v"), lit(5.0), lit(5.0)).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 0L, 0L), got)
+  }
+
+  test("withZValueQuantile: one pass, 16-bit z-values, skew-balanced") {
+    val n = 4096
+    val df = (0 until n).map(i => (i.toLong, math.exp(i / 300.0), i.toDouble))
+      .toDF("id", "skewed", "uniform")
+    val z = ZOrder.withZValueQuantile(df, "skewed", "uniform")
+    val vals = z.select("zval").collect().map(_.getLong(0))
+    assert(vals.forall(v => v >= 0 && v <= 0xFFFFL), "z out of 16-bit range")
+    // skewed dim still contributes: restricting to low z must restrict
+    // BOTH dims (the degenerate linear form would leave `skewed`
+    // unconstrained because all its mass buckets to 0)
+    val low = z.filter(col("zval") < 0x4000L)
+      .agg(max("skewed"), max("uniform")).head
+    val (mx, my) = (low.getDouble(0), low.getDouble(1))
+    val (fx, fy) = (math.exp((n - 1) / 300.0), (n - 1).toDouble)
+    assert(mx < fx * 0.9, s"skewed dim unconstrained in low-z slice: $mx of $fx")
+    assert(my < fy * 0.9, s"uniform dim unconstrained in low-z slice: $my of $fy")
+  }
+
   test("quantile buckets stay balanced under heavy skew; linear buckets do not") {
     // exponential column: linear min/max scaling crams almost all rows
     // into bucket 0 (the max dominates the range), which would
