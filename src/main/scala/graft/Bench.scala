@@ -1,16 +1,31 @@
 package graft
 object Bench {
 
-  /** Per-query minima across committed BENCH_r*.json rounds — the
-    * noise floor each new measurement is sanity-checked against.
-    * Minimal JSON scrape (no parser deps): every `"name":number` pair
-    * inside each file; non-query fields ("value") match no query name
-    * and -1 error sentinels are skipped.
+  private def benchFiles(pattern: String): Seq[java.io.File] = {
+    val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
+    dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
+      .filter(_.getName.matches(pattern)).distinct
+  }
+
+  /** Per-query minima across committed bench history — the noise floor
+    * each new measurement is sanity-checked against. Sources, in trust
+    * order (r8): BENCH_DETAIL_r*.json (complete per-query maps written
+    * by [[main]] itself — the driver's log-tail BENCH_r*.json capture
+    * head-truncates the map line, silently dropping every key
+    * alphabetically before ~"filter_null") plus BENCH_r{N}.json for
+    * N ≥ 7 only: r1–r6 timed `.count()`, which let the optimizer prune
+    * projections/sorts, so those minima are 2–5× flattering vs the
+    * noop-sink methodology and would freeze retry thresholds at
+    * unreachable values. Minimal JSON scrape (no parser deps): every
+    * `"name":number` pair; non-query fields ("value") match no query
+    * name and -1 error sentinels are skipped.
     */
   private def crossRoundMins(): Map[String, Double] = {
-    val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
-    val files = dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
-      .filter(_.getName.matches("BENCH_r\\d+\\.json")).distinct
+    val files = benchFiles("BENCH_DETAIL_r\\d+\\.json") ++
+      benchFiles("BENCH_r\\d+\\.json").filter { f =>
+        f.getName.stripPrefix("BENCH_r").stripSuffix(".json")
+          .toIntOption.exists(_ >= 7)
+      }
     // Committed BENCH files embed the bench line ESCAPED inside a
     // "tail" string (\"join_left\":0.27…) — tolerate one backslash
     // before each quote so the scrape works on both raw and embedded
@@ -21,6 +36,22 @@ object Bench {
       pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
     }.filter(_._2 >= 0)
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+  }
+
+  /** Round number this run belongs to: committed artifacts exist for
+    * every PAST round (the driver commits BENCH_r{N}.json at round end,
+    * and this main writes BENCH_DETAIL_r{N}.json during round N), so
+    * the current round is one past the highest committed BENCH_r*, or
+    * the highest BENCH_DETAIL_r* if that's newer (a re-run within the
+    * same round overwrites its own detail file rather than advancing).
+    */
+  private def currentRound(): Int = {
+    def rounds(pat: String, pre: String) = benchFiles(pat).flatMap(
+      _.getName.stripPrefix(pre).stripSuffix(".json").toIntOption)
+    val committed = rounds("BENCH_r\\d+\\.json", "BENCH_r")
+    val detail = rounds("BENCH_DETAIL_r\\d+\\.json", "BENCH_DETAIL_r")
+    math.max(committed.maxOption.getOrElse(0) + 1,
+      detail.maxOption.getOrElse(1))
   }
 
   private def loadavg(): Double =
@@ -131,7 +162,22 @@ object Bench {
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     // loadavg before/after make a loaded run self-describing: a high
     // pair says "numbers include ambient noise", without guessing.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"errors":$errs,"retried":$retr,"loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg())},"sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"errors":$errs,"retried":$retr,"loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg())},"sf":"$sfDir"}"""
+    println(summary)
+    // COMMITTED detail artifact (r7 verdict #1): the driver records
+    // only the last ~2.3 KB of stdout, which head-truncates the
+    // per-query map at ~108 keys — every key alphabetically before the
+    // cut (all agg_*/cube_*/dedup_*…) lost its r7 time that way, and
+    // crossRoundMins() then freezes on stale history. Writing the FULL
+    // map to a file in the repo makes per-query history lossless; the
+    // stdout lines above stay as the driver-facing summary.
+    try {
+      val out = new java.io.PrintWriter(
+        s"/root/repo/BENCH_DETAIL_r${currentRound()}.json")
+      try out.println(
+        s"""{"queries":$qs,"summary":$summary}""")
+      finally out.close()
+    } catch { case _: Throwable => () } // artifact write must never fail the bench
     spark.stop()
   }
 }

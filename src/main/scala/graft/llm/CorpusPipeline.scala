@@ -25,9 +25,20 @@ import org.apache.spark.sql.expressions.Window
 object CorpusPipeline {
 
   /** Curate a (doc_id, text, …) corpus. Returns surviving rows plus
-    * `quality` and `n_tokens`. */
+    * `quality` and `n_tokens`.
+    *
+    * `maxBandDf` (r8) exposes the LSH band-occupancy valve of the
+    * minhash stage ([[LlmDedup.minhashPairs]]'s cap on C(df,2) bucket
+    * blowup) through the composed pipeline: at web scale ONE
+    * boilerplate band bucket (license headers, templated pages) is
+    * where the candidate join explodes, and a pipeline that hides its
+    * parts' scale knobs can't be driven past the scale where the
+    * default works. None = complete candidate generation (the
+    * key-registered configuration); capped-vs-uncapped drop parity on
+    * a cap above every real bucket's df is asserted in PipelineSpec.
+    */
   def curate(docs: DataFrame, minQuality: Double,
-      nearDupJaccard: Double): DataFrame = {
+      nearDupJaccard: Double, maxBandDf: Option[Int] = None): DataFrame = {
     // 1. quality gate
     val scored = docs
       .withColumn("quality", round(LlmText.qualityScore(col("text")), 4))
@@ -38,18 +49,24 @@ object CorpusPipeline {
     // battery's two join sides + two shingle-verify joins, the
     // component label init, the final keep-join) — checkpoint it once
     // so read→quality→window doesn't re-execute per consumer
-    // (measured ~0.9 s of the key's latency at sf0.1). At cluster
-    // scale the same role is persist(DISK_ONLY) or a staging write.
+    // (measured ~0.9 s of the key's latency at sf0.1). LAZY (r8): an
+    // eager checkpoint is a dedicated sequential job before any real
+    // work; lazily it materializes as a side effect of the first
+    // downstream action (the component loop's first convergence
+    // probe), which also rides the minhash shingle pin and the edge
+    // list in the SAME job — three formerly-sequential
+    // materialization jobs collapsed into one. At cluster scale the
+    // same role is persist(DISK_ONLY) or a staging write.
     val exact = scored
       .withColumn("digest", md5(lower(trim(col("text")))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "digest")
-      .localCheckpoint()
+      .localCheckpoint(false)
     // 3. near-dup drop: verified pairs → connected components → keep
     //    each component's smallest id (exact, chain-bias-free)
     val reps = LlmDedup.connectedComponents(exact,
-        LlmDedup.minhashPairs(exact, nearDupJaccard))
+        LlmDedup.minhashPairs(exact, nearDupJaccard, maxBandDf))
       .filter(col("doc_id") === col("cluster")).select("doc_id")
     val kept = exact.join(reps, Seq("doc_id"))
     // 4. accounting columns

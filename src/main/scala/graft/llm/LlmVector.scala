@@ -165,7 +165,14 @@ object LlmVector {
     // order). So materialize the probed frame once and filter the data
     // side to rank 0, rather than running the 16-centroid projection
     // over the corpus separately per side (measured ~0.4 s at sf0.1).
-    val probed = probe(e, cents, nprobe).persist()
+    // Pins.repin, not bare persist: this is per-QUERY search product,
+    // not index state — a bare persist leaked its entry and let later
+    // identical calls silently read the warm cache, so Bench timed a
+    // cache scan instead of the probe projection (r7 advice). The
+    // deliberate cross-call cache is [[ivfIndex]]'s prepared corpus +
+    // centroids only.
+    val probed = graft.Pins.repin("llm.searchIvfProbe",
+      probe(e, cents, nprobe))
     val l = probed.select(col("cell"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
     val r = probed.filter(col("pr") === 0).select(col("cell"),
@@ -278,9 +285,11 @@ object LlmVector {
   private def searchIvf(e: DataFrame, cents: Seq[(Long, Seq[Float])],
       k: Int): DataFrame = {
     // the final assignment feeds BOTH sides of the cell self-join;
-    // cached, the join probes one materialized narrow table instead of
+    // pinned, the join probes one materialized narrow table instead of
     // running the argmax projection twice (measured ~2× on the join).
-    val assigned = assign(e, cents).persist()
+    // Pins.repin for the same reason as [[searchIvfProbe]]: per-query
+    // product — bounded lifecycle, cold per invocation.
+    val assigned = graft.Pins.repin("llm.searchIvf", assign(e, cents))
     val l = assigned.select(col("cell"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
     val r = assigned.select(col("cell"), col("vec_id").as("v2"),
@@ -330,19 +339,30 @@ object LlmVector {
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, Seq[(Long, Seq[Float])])]()
   private def ivfIndex(s: SparkSession, d: String, nCells: Int,
-      iters: Int): (DataFrame, Seq[(Long, Seq[Float])]) =
-    // Keyed by the SESSION OBJECT itself (reference equality — a tuple
-    // key holds it strongly, so identity can never be recycled the way
-    // a bare identityHashCode could after GC): the cached frame is
-    // persisted in the session that built it, so a later session in
-    // the same JVM must rebuild (and re-register the native
-    // expressions) rather than touch a plan bound to a possibly-stopped
-    // session. Entries are bounded by sessions-per-JVM × datasets (few).
+      iters: Int): (DataFrame, Seq[(Long, Seq[Float])]) = {
+    // Evict entries whose session has STOPPED before doing anything
+    // else: the strong session reference in the key is what makes
+    // identity safe (it can't be recycled the way an identityHashCode
+    // could after GC), but without eviction it also pins every stopped
+    // session and its persisted corpus frame for the JVM lifetime —
+    // each ScalaTest suite's local() session would leak its cache
+    // entry. Dead entries' blocks died with their session's block
+    // manager, so dropping the map entry is the whole cleanup.
+    ivfCache.keySet.removeIf { case (sess, _) =>
+      sess.sparkContext.isStopped
+    }
+    // Keyed by the SESSION OBJECT itself (reference equality): the
+    // cached frame is persisted in the session that built it, so a
+    // later session in the same JVM must rebuild (and re-register the
+    // native expressions) rather than touch a plan bound to a
+    // possibly-stopped session. Live entries are bounded by live
+    // sessions-per-JVM × datasets (few).
     ivfCache.computeIfAbsent((s, s"$d|$nCells|$iters"), _ => {
       graft.functions.VectorExpressions.register(s)
       val e = prepared(T.embeddings(s, d))
       (e, kMeansOn(e, nCells, iters))
     })
+  }
 
   val queries: Map[String, Q] = Map(
     "knn_cosine" -> ((s, d) =>

@@ -85,10 +85,32 @@ object BloomJoin {
     }.reduce(_ && _)
   }
 
+  /** Bit fill ratio of a built bitset — the saturation diagnostic.
+    * FP rate ≈ fill^k, so fill 0.5 at k=5 is ~3% (fine) but fill 0.8
+    * is ~33% — the filter costs 5 hashes per probe row while passing
+    * a third of the non-matches.
+    */
+  def fillRatio(words: Array[Long]): Double =
+    words.map(java.lang.Long.bitCount(_).toLong).sum.toDouble /
+      (words.length * 64L)
+
+  /** Above this fill, [[reduceProbe]] skips the filter: the r7 API
+    * sized the bitset blind (fixed 2^19 bits regardless of build
+    * cardinality), so a build side past ~50k distinct keys blew the
+    * ~10-bits/key sizing and saturated toward FP≈1 — callers paid the
+    * build aggregate plus a 5-hash per-row predicate that filtered
+    * essentially nothing. 0.6^5 ≈ 8% FP is the break-even ballpark.
+    */
+  val maxFillRatio = 0.6
+
   /** Probe side reduced by a Bloom filter built from `build`'s keys:
     * returns `probe` minus (most of) the rows whose key cannot appear
     * in `build`. Exact superset of the matching rows — compose with the
-    * actual join for exact results.
+    * actual join for exact results. When the built bitset is saturated
+    * (fill > [[maxFillRatio]] — an under-sized `numBits` for the build
+    * cardinality), the probe is returned UNCHANGED: a saturated filter
+    * is pure per-row overhead, and since the reduction is semantically
+    * invisible (the real join follows), skipping it is always safe.
     */
   def reduceProbe(probe: DataFrame, probeKey: String, build: DataFrame,
       buildKey: String, numBits: Int = 1 << 19,
@@ -103,7 +125,8 @@ object BloomJoin {
       s"bloom key types must match exactly (xxhash64 is type-sensitive): " +
         s"$probeKey is $pt, $buildKey is $bt — cast one side first")
     val words = buildBloom(build, col(buildKey), numBits, numHashes)
-    probe.filter(mightContain(col(probeKey), words, numBits, numHashes))
+    if (fillRatio(words) > maxFillRatio) probe
+    else probe.filter(mightContain(col(probeKey), words, numBits, numHashes))
   }
 
   val queries: Map[String, Q] = Map(

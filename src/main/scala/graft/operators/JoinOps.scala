@@ -146,6 +146,34 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // LEFT as-of join (r8, the r7 verdict's What's-missing #2): same
+    // pinned semantics as join_asof but KEEP events with no prior
+    // order, order columns NULL — the keep-unmatched form the
+    // reference's latest-revision-wins analogue sometimes needs (a
+    // fact row whose cube has no revision yet must still surface).
+    // Same map-side max(struct) emulation on a LEFT join: an unmatched
+    // event contributes exactly one all-NULL order row to its group,
+    // so max(struct(NULL, NULL)) passes the NULLs through; matched
+    // groups never see a NULL (the join condition filtered them), so
+    // matched results are identical to join_asof's. The order side is
+    // the URGENT slice — in this testdata every user has SOME prior
+    // order (the plain left would degenerate to the inner), while ~15%
+    // of events have no prior urgent one, so the NULL-keep path is
+    // genuinely exercised and oracle-checked.
+    "join_asof_left" -> ((s, d) => {
+      val e = T.events(s, d).select("event_id", "ts", "user_id")
+      val o = T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      e.join(o, col("user_id") === col("o_custkey") &&
+                col("o_orderdate") <= col("ts"), "left")
+        .groupBy("event_id", "ts")
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+        .select(col("event_id"), T.tstr(col("ts")).as("event_ts"),
+                col("best.o_orderkey").as("o_orderkey"),
+                T.dstr(col("best.o_orderdate")).as("order_date"))
+        .orderBy("event_id")
+    }),
+
     // Interval overlap: orders of the same customer within ±3 days of
     // each other. Equi key (custkey) + range residual → sort-merge with
     // a post-filter, NOT a nested loop: scales like a normal join.
@@ -240,6 +268,23 @@ object JoinOps {
         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM events JOIN orders
         |    ON user_id = o_custkey AND o_orderdate <= ts)
+        |SELECT event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        |       o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // LEFT variant: same ranked replay over a LEFT JOIN — an unmatched
+    // event's single NULL-extended row ranks 1 and emits NULL order
+    // columns, mirroring max(struct(NULL, NULL)) exactly.
+    "join_asof_left" ->
+      """WITH j AS (
+        |  SELECT event_id, ts, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY o_orderdate DESC NULLS LAST,
+        |               o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events LEFT JOIN (
+        |    SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        |    ON user_id = o.o_custkey AND o.o_orderdate <= ts)
         |SELECT event_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
         |       o_orderkey,

@@ -12,6 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic content-derived salt: hash of EVERY input column,
+    * mod `salt`. The r7 form (`spark_partition_id() +
+    * monotonically_increasing_id()`) was nondeterministic under
+    * recomputation — on a stage retry (fetch failure, executor loss)
+    * the re-executed map attempt re-salts rows differently than the
+    * original, and a shuffle keyed on a nondeterministic column can
+    * silently drop or duplicate rows (the SPARK-23207 hazard — exactly
+    * the cluster-scale failure these operators exist for; a single-JVM
+    * spec can never catch it). A content hash re-salts identically on
+    * every recomputation. Spread caveat, documented not hidden: rows
+    * whose WHOLE projected row is identical share a salt bucket, so a
+    * hot key of byte-identical rows would not spread — real fact rows
+    * carry a unique id/measure mix, which is what the hash eats.
+    */
+  private def contentSalt(df: DataFrame, salt: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salt.toLong))
+
   /** Salted equivalent of `df.groupBy(key).agg(sum(value) as "sum_v",
     * count(*) as "n")`, safe under arbitrary key skew.
     *
@@ -19,26 +36,23 @@ object Skew {
     * never collide with caller columns regardless of the input schema;
     * only the output names (key, "sum_v", "n") are claimed.
     *
-    * Library-API caveat: the salt comes from `spark_partition_id() +
-    * monotonically_increasing_id()`, so WHICH subgroup a row lands in
-    * changes with the physical partitioning. For exact value types
-    * (integral, DECIMAL — what the `agg_skew_salted` key uses) the
-    * recombined answer is partitioning-invariant regardless
-    * (OperatorSemanticsSpec asserts salted == plain under two
-    * different repartitionings; DeterminismSpec sweeps the key). A
-    * DOUBLE-sum caller, however, would see partitioning-DEPENDENT
-    * last-ulp rounding, because the salt reshuffles float addition
-    * order run to run. If bit-stable double sums matter, salt
-    * deterministically from row content instead:
-    * `pmod(xxhash64(<unique id col>), salt)`.
+    * The salt is [[contentSalt]] — deterministic under stage retry AND
+    * partitioning-invariant, so for exact value types (integral,
+    * DECIMAL — what the `agg_skew_salted` key uses) the recombined
+    * answer is reproducible bit-for-bit (OperatorSemanticsSpec asserts
+    * salted == plain under two different repartitionings;
+    * DeterminismSpec sweeps the key). A DOUBLE-sum caller still sees
+    * salt-DEPENDENT last-ulp rounding vs the unsalted plan (float
+    * addition reassociates across subgroups), but the same salt gives
+    * the same answer on every run and every recomputation.
     */
   def saltedSumCount(df: DataFrame, key: String, value: Column,
       salt: Int): DataFrame = {
     require(key != "sum_v" && key != "n",
       s"key '$key' collides with an output column name")
-    val kv = df.select(col(key).as("k"), value.as("v"))
+    val kv = df.select(col(key).as("k"), value.as("v"),
+      contentSalt(df, salt).as("s"))
     val salted = kv
-      .withColumn("s", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
       .groupBy(col("k"), col("s"))
       .agg(sum(col("v")).as("ps"), count(lit(1)).as("pn"))
     salted.groupBy(col("k"))
@@ -57,9 +71,13 @@ object Skew {
     * Result is EXACTLY the plain join no matter how rows are salted:
     * each matching (big, small) pair meets in precisely one bucket —
     * the big row's — because the small side carries every salt value
-    * once. So the nondeterministic partition-id salt is harmless here
-    * (unlike the double-sum caveat on [[saltedSumCount]]: no arithmetic
-    * happens across salt groups, rows just relocate).
+    * once. The salt is still [[contentSalt]] (deterministic under
+    * stage retry): result-set invariance makes a nondeterministic salt
+    * LOOK harmless, but a retried map stage re-salting rows into
+    * different buckets than the committed original can drop/duplicate
+    * join rows at the shuffle layer (SPARK-23207) — determinism here
+    * is about exactly-once row delivery, not about which answer the
+    * arithmetic gives.
     *
     * Cost model at 100 TB: the small side's shuffle volume multiplies
     * by `salt` — use for a MODEST small side (too big to broadcast,
@@ -74,8 +92,7 @@ object Skew {
     require(!big.columns.contains("__salt") &&
       !small.columns.contains("__salt"),
       "input already has a __salt column")
-    val b = big.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val b = big.withColumn("__salt", contentSalt(big, salt))
     val s = small.withColumn("__salt",
       explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     b.join(s, b(bigKey) === s(smallKey) && b("__salt") === s("__salt"))

@@ -40,14 +40,55 @@ object CubeParser {
   private val headerTags = Set("DQ", "DQA", "DQZ", "DQI", "QEI")
   private val nullValues = Seq("-", "...", "…", "/", "x", ".")
 
+  private val headerRecordRe = "^(K;|D;(DQA|DQZ|DQI|QEI);)"
+
   /** Parse the K/D header records (driver-side; header is O(10) lines). */
   def readLayout(spark: SparkSession, path: String, cubeName: String): Layout = {
     // Header records all sit in the K;/D;<TAG>; prefix space — filter
     // THEN collect, so only tens of lines ever reach the driver even
     // if the file is huge.
     val hdr = spark.read.text(path)
-      .filter(col("value").rlike("^(K;|D;(DQA|DQZ|DQI|QEI);)"))
+      .filter(col("value").rlike(headerRecordRe))
       .collect().map(_.getString(0).split(";", -1).toSeq)
+    layoutFromHeader(hdr, path, cubeName)
+  }
+
+  /** Header records of MANY cube files in ONE Spark job: a single
+    * multi-path text read tags each line with its source file
+    * (`input_file_name`), filters to the K;/D;<TAG>; prefix space, and
+    * collects once — tens of lines per cube reach the driver, grouped
+    * back per file here. The r7 shape ran one filtered `.collect()`
+    * JOB per cube ([[CubePipeline.parseAll]]'s loop), which is a
+    * driver-latency bottleneck at the GENESIS corpus's ~10⁴–10⁵ cubes
+    * long before data volume matters: sequential job submission, not
+    * scan cost, dominates. Returned map is keyed by the caller's own
+    * path strings (file-URI forms normalized back).
+    */
+  def readHeaders(spark: SparkSession,
+      paths: Seq[String]): Map[String, Seq[Seq[String]]] = {
+    def normalize(p: String): String =
+      if (p.startsWith("file:")) new java.io.File(new java.net.URI(p))
+        .getAbsolutePath
+      else new java.io.File(p).getAbsolutePath
+    val byNorm = paths.map(p => normalize(p) -> p).toMap
+    val rows = spark.read.textFile(paths.distinct: _*)
+      .select(input_file_name().as("f"), col("value"))
+      .filter(col("value").rlike(headerRecordRe))
+      .collect()
+    rows.toSeq
+      .map(r => normalize(r.getString(0)) -> r.getString(1))
+      .groupBy(_._1)
+      .map { case (norm, lines) =>
+        byNorm.getOrElse(norm, norm) ->
+          lines.map(_._2.split(";", -1).toSeq)
+      }
+  }
+
+  /** Layout derivation over already-collected header lines — shared by
+    * the per-file and batched header paths.
+    */
+  def layoutFromHeader(hdr: Seq[Seq[String]], path: String,
+      cubeName: String): Layout = {
     val axes = hdr.collect { case Seq("D", "DQA", name, _*) => name }.toSeq
     val time = hdr.collectFirst { case Seq("D", "DQZ", name, _*) => name }
       .getOrElse(sys.error(s"$path: no D;DQZ time record"))
@@ -82,8 +123,15 @@ object CubeParser {
     * schema: (cube, region, dims map→here exploded as dim_<name> cols,
     * time, measure, value, quality).
     */
-  def parse(spark: SparkSession, path: String, cubeName: String): DataFrame = {
-    val lo = readLayout(spark, path, cubeName)
+  def parse(spark: SparkSession, path: String, cubeName: String): DataFrame =
+    parseWithLayout(spark, path, readLayout(spark, path, cubeName))
+
+  /** Executor-side half of [[parse]], for callers that already hold the
+    * cube's [[Layout]] (the batched [[readHeaders]] path): builds the
+    * data-record parse plan without re-reading the header.
+    */
+  def parseWithLayout(spark: SparkSession, path: String,
+      lo: Layout): DataFrame = {
     val toks = split(col("value"), ";", -1)
     val nAxes = lo.axes.size
     // Data records: "D;" prefix and not a header. A tag in slot 2 alone
@@ -141,7 +189,7 @@ object CubeParser {
       col("m.value").as("value"), col("m.quality").as("quality")) ++
       lo.axes.tail.map(a => col(s"dim_$a"))
     data
-      .select((lit(cubeName).as("cube") +: axisCols :+ timeCol :+
+      .select((lit(lo.cube).as("cube") +: axisCols :+ timeCol :+
         explode(array(measureStructs: _*)).as("m")): _*)
       .select(outCols: _*)
   }

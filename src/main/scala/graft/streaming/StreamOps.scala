@@ -3,7 +3,9 @@ package graft.streaming
 import graft.T
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** §2.10 Streaming operators. The reference is batch-only CLI; these
   * extend the engine to the streaming surface the north star demands.
@@ -27,6 +29,82 @@ object StreamOps {
 
   /** Typed rows for the stateful op. */
   final case class UserCount(user_id: Long, n_events: Long)
+
+  /** Running per-user event count as a Spark 4 [[StatefulProcessor]] —
+    * the `transformWithState` form of the stateful op. Forward API vs
+    * `flatMapGroupsWithState`: named state variables created on a
+    * handle (value/list/map), timers, TTL — the shape every new
+    * stateful pipeline should target; [[runningCounts]] keeps the
+    * fMGWS form as the fallback path (SURVEY §7.4.6). State is one
+    * ValueState[Long] per user — bounded by the user population, not
+    * the event volume, same as the fMGWS version.
+    */
+  final class RunningCountProcessor
+      extends StatefulProcessor[Long, (Long, Long), UserCount] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[UserCount] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single(UserCount(key, n))
+    }
+  }
+
+  /** Spark plans batch `transformWithState` through a state-store-
+    * backed exec (`TransformWithStateExec.generateSparkPlanForBatchQueries`)
+    * whose executors resolve store locations through the driver's
+    * StateStoreCoordinator RPC endpoint — but that endpoint is only
+    * registered by the STREAMING query path (MicroBatchExecution
+    * touches the manager's lazy coordinator), so a batch-only session
+    * fails with RpcEndpointNotFoundException (verified on 4.1.2).
+    * Touch the same lazy val here. Reflection because the member is
+    * `private[sql]` in Scala (bytecode-public, so no setAccessible);
+    * idempotent — it's a lazy val — and a no-op once any streaming
+    * query has run.
+    */
+  private def ensureStateStoreCoordinator(s: SparkSession): Unit = {
+    val m = s.sessionState.streamingQueryManager
+    m.getClass.getMethods.find(_.getName.endsWith("stateStoreCoordinator"))
+      .foreach(_.invoke(m))
+  }
+
+  /** Running per-user count via `transformWithState` — works over a
+    * batch OR streaming (user_id, event_id) frame; cross-batch state
+    * accumulation is asserted in StreamingSpec over MemoryStream
+    * (streaming `transformWithState` requires the RocksDB state store
+    * provider; batch runs use the default provider).
+    */
+  def runningCountsTWS(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    ensureStateStoreCoordinator(s)
+    events.select(col("user_id"), col("event_id")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Running per-user count via `flatMapGroupsWithState` — the
+    * pre-Spark-4 stateful API, kept as the fallback path.
+    */
+  def runningCountsFMGWS(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id"), col("event_id")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, UserCount](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator(UserCount(uid, n))
+      }
+      .toDF()
+  }
 
   val queries: Map[String, Q] = Map(
     // Tumbling 1-hour windows: identical in readStream mode.
@@ -114,24 +192,13 @@ object StreamOps {
     }),
 
     // Arbitrary stateful processing: running per-user event count via
-    // flatMapGroupsWithState — the API that carries custom state across
-    // micro-batches (cross-batch behavior in StreamingSpec).
-    "stream_stateful" -> ((s, d) => {
-      import s.implicits._
-      T.events(s, d)
-        .select(col("user_id"), col("event_id"))
-        .as[(Long, Long)]
-        .groupByKey(_._1)
-        .flatMapGroupsWithState[Long, UserCount](
-          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-          case (uid, rows, state: GroupState[Long]) =>
-            val n = state.getOption.getOrElse(0L) + rows.size
-            state.update(n)
-            Iterator(UserCount(uid, n))
-        }
-        .toDF()
-        .orderBy("user_id")
-    })
+    // transformWithState (r8 — Spark 4's forward stateful API: named
+    // state variables, timers, TTL), carrying custom state across
+    // micro-batches; [[runningCountsFMGWS]] keeps the
+    // flatMapGroupsWithState form as the fallback path. Cross-batch
+    // behavior of BOTH APIs is asserted in StreamingSpec.
+    "stream_stateful" -> ((s, d) =>
+      runningCountsTWS(T.events(s, d)).orderBy("user_id"))
   )
 
   val oracle: Map[String, String] = Map(

@@ -51,6 +51,29 @@ class BloomSpec extends SparkSpec {
     assert(r < p, s"no reduction: $r of $p survived")
   }
 
+  test("reduceProbe skips a saturated filter: probe returned unchanged") {
+    // 500 distinct keys into 64 bits at k=5 saturates the bitset far
+    // past maxFillRatio — the r7 API would still pay a 5-hash per-row
+    // predicate that filters essentially nothing; the guard must hand
+    // back the probe frame itself (semantically safe: the reduction is
+    // invisible to the real join that follows).
+    import spark.implicits._
+    val build = (0L until 500L).toDF("k")
+    val words = BloomJoin.buildBloom(build, col("k"), numBits = 64,
+      numHashes = 5)
+    assert(BloomJoin.fillRatio(words) > BloomJoin.maxFillRatio,
+      s"fixture not saturated: fill ${BloomJoin.fillRatio(words)}")
+    val probe = (0L until 100L).toDF("k")
+    val reduced = BloomJoin.reduceProbe(probe, "k", build, "k",
+      numBits = 64, numHashes = 5)
+    assert(reduced eq probe,
+      "saturated bloom must return the probe frame unchanged")
+    // and a healthy sizing still filters (guard doesn't trip spuriously)
+    val healthy = BloomJoin.reduceProbe(probe, "k", build, "k",
+      numBits = 8192, numHashes = 5)
+    assert(!(healthy eq probe), "healthy bloom should install the filter")
+  }
+
   test("join_bloom plan: bloom predicate sits on the probe scan below the join") {
     val p = SparkEntry.queries("join_bloom")(spark, sf)
       .queryExecution.executedPlan.toString

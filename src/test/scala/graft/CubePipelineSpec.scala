@@ -42,6 +42,24 @@ class CubePipelineSpec extends SparkSpec {
       .filter(size(map_keys(col("dims"))) =!= 0).count() == 0)
   }
 
+  test("parseAll issues O(1) driver jobs for N cubes (batched header pass)") {
+    // The r7 loop ran one filtered collect JOB per cube — a sequential
+    // driver-latency bottleneck at the ~10⁴–10⁵-cube GENESIS corpus.
+    // Job-group accounting (statusTracker is public API) counts the
+    // jobs parseAll itself triggers: exactly ONE for the batched
+    // header collect, regardless of cube count; the data-side plan
+    // stays lazy (no further jobs until an action).
+    val sc = spark.sparkContext
+    val group = s"parseall-jobcount-${System.nanoTime()}"
+    sc.setJobGroup(group, "parseAll header pass")
+    try CubePipeline.parseAll(spark, cubes)
+    finally sc.clearJobGroup()
+    val jobs = sc.statusTracker.getJobIdsForGroup(group).length
+    assert(jobs == 1,
+      s"parseAll ran $jobs driver jobs for ${cubes.size} cubes; " +
+        "the batched header pass must run exactly 1")
+  }
+
   test("facts nest measures per (cube, region, time, dims) cell") {
     val f = CubePipeline.facts(CubePipeline.parseAll(spark, cubes))
     // area: 2 docs (one per region) each holding BOTH measures

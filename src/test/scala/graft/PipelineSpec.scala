@@ -47,6 +47,23 @@ class PipelineSpec extends SparkSpec {
       "bins bounded by budget + one document")
   }
 
+  test("curate maxBandDf valve: generous cap keeps drop decisions identical") {
+    import graft.llm.CorpusPipeline
+    // A cap above every real band bucket's occupancy must not change
+    // which documents survive — the valve only sheds work when a
+    // bucket actually overflows it. (The web-scale setting WOULD
+    // shed boilerplate mega-buckets; parity at a generous cap is what
+    // makes the parameter safe to turn on by default in a pipeline.)
+    val docs = T.documents(spark, sf).select("doc_id", "text", "lang")
+    val uncapped = CorpusPipeline.curate(docs, minQuality = 1.0,
+      nearDupJaccard = 0.35).select("doc_id")
+    val capped = CorpusPipeline.curate(docs, minQuality = 1.0,
+      nearDupJaccard = 0.35, maxBandDf = Some(1000000)).select("doc_id")
+    assert(uncapped.except(capped).count() == 0 &&
+      capped.except(uncapped).count() == 0,
+      "generous band-df cap changed curation survivors")
+  }
+
   test("cube file parses, nests to fact docs, exports, and reads back") {
     val fixture = getClass.getResource("/cube_12411_mini.csv").getPath
     val out = Files.createTempDirectory("pipeline").resolve("facts").toString

@@ -103,28 +103,19 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("transformWithState (Spark 4 API) keeps RocksDB-backed state across batches") {
-    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig}
-    import org.apache.spark.sql.streaming.ValueState
-    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.TimeMode
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       implicit val sqlCtx = spark.sqlContext
-      class Counter extends StatefulProcessor[Long, (Long, Long), StreamOps.UserCount] {
-        @transient private var st: ValueState[Long] = _
-        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-          st = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
-        override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
-            timers: org.apache.spark.sql.streaming.TimerValues): Iterator[StreamOps.UserCount] = {
-          val n = Option(st.get()).getOrElse(0L) + rows.size
-          st.update(n)
-          Iterator(StreamOps.UserCount(key, n))
-        }
-      }
+      // The PRODUCTION processor (r8: stream_stateful's key runs it in
+      // batch mode) — the spec must exercise the shipped class, not a
+      // lookalike.
       val in = MemoryStream[(Long, Long)]
       val out = in.toDS().groupByKey(_._1)
-        .transformWithState(new Counter, TimeMode.None(), OutputMode.Update())
+        .transformWithState(new StreamOps.RunningCountProcessor,
+          TimeMode.None(), OutputMode.Update())
       val q = out.writeStream.format("memory").queryName("tws_sink")
         .outputMode(OutputMode.Update()).start()
       try {
@@ -141,6 +132,19 @@ class StreamingSpec extends SparkSpec {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
+  }
+
+  test("batch transformWithState equals the flatMapGroupsWithState fallback") {
+    // stream_stateful's key runs the TWS form in batch (each group seen
+    // once, empty initial state) — it must agree row-for-row with the
+    // pre-Spark-4 fMGWS form it replaced.
+    val events = T.events(spark, sf)
+    val tws = StreamOps.runningCountsTWS(events).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fm = StreamOps.runningCountsFMGWS(events).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tws == fm, s"TWS/fMGWS drift: ${tws.take(5)} vs ${fm.take(5)}")
+    assert(tws.nonEmpty)
   }
 
   test("file-source readStream over the events parquet matches the batch read") {
