@@ -147,6 +147,23 @@ object CubeOps {
         .orderBy("cube", "region", "dims_json", "time", "measure")
     }),
 
+    // DSv2 ingestion (r8): the SAME two heterogeneous cubes read
+    // through the `genesis-cube` DataSource V2 reader — schema-from-
+    // header runs in EXECUTORS (one InputPartition per cube file, the
+    // driver only lists files: O(1) driver cost at the ~10⁴-cube
+    // corpus, vs parseAll's one-job header batch + per-cube plan).
+    // Same cells as cube_union, so the oracle replay differs only in
+    // the cube names (file basenames) and the value type (the shared
+    // relation's DOUBLE vs parseAll's per-cube DECIMAL — both project
+    // double at this driver-facing edge anyway).
+    "cube_source" -> ((s, _) => {
+      val paths = Seq(ensureFixture(), ensureArea())
+      s.read.format("genesis-cube").load(paths: _*)
+        .select(col("cube"), col("region"), to_json(col("dims")).as("dims_json"),
+          col("time"), col("measure"), col("value"), col("quality"))
+        .orderBy("cube", "region", "dims_json", "time", "measure")
+    }),
+
     // Catalog/TOC over the parsed cube: axes (dims minus the region
     // axis), measures, time span, distinct cell count — the schema
     // command's flat inventory, driver-checked. (The nested tree form
@@ -269,6 +286,32 @@ object CubeOps {
          |  FROM area
          |  UNION ALL
          |  SELECT 'area', c1, '{}', CAST(c2 AS INT), 'BEVDICHTE',
+         |    CASE WHEN c5 IN $duckNull THEN NULL
+         |         ELSE CAST(c5 AS DOUBLE) END, c6
+         |  FROM area)
+         |SELECT cube, region, dims_json, t AS "time", measure, value, quality
+         |FROM u ORDER BY cube, region, dims_json, "time", measure""".stripMargin,
+
+    // Same union replay as cube_union with the DSv2 reader's cube
+    // naming (file basename minus extension).
+    "cube_source" ->
+      s"""WITH mini AS (${duckDataOf(fixturePath)}),
+         |area AS (${duckDataOf(areaPath)}),
+         |u AS (
+         |  SELECT 'graft_cube_12411_mini' AS cube, c1 AS region,
+         |    '{"GES":"' || c2 || '"}' AS dims_json,
+         |    CAST(c3 AS INT) AS t, 'BEVSTD' AS measure,
+         |    CASE WHEN c4 IN $duckNull THEN NULL
+         |         ELSE CAST(c4 AS DOUBLE) END AS value,
+         |    c5 AS quality
+         |  FROM mini
+         |  UNION ALL
+         |  SELECT 'graft_cube_area_mini', c1, '{}', CAST(c2 AS INT), 'FLAECHE',
+         |    CASE WHEN c3 IN $duckNull THEN NULL
+         |         ELSE CAST(c3 AS DOUBLE) END, c4
+         |  FROM area
+         |  UNION ALL
+         |  SELECT 'graft_cube_area_mini', c1, '{}', CAST(c2 AS INT), 'BEVDICHTE',
          |    CASE WHEN c5 IN $duckNull THEN NULL
          |         ELSE CAST(c5 AS DOUBLE) END, c6
          |  FROM area)

@@ -37,8 +37,13 @@ object CubeParser {
       measures: Seq[String],    // measure names, QEI order
       decimals: Map[String, Int])
 
-  private val headerTags = Set("DQ", "DQA", "DQZ", "DQI", "QEI")
-  private val nullValues = Seq("-", "...", "…", "/", "x", ".")
+  /** Format constants, shared with [[graft.sources.CubeDataSource]]
+    * (the DSv2 reader must filter/null-map byte-identically to the
+    * Column-expression parser so the two ingestion paths can never
+    * disagree on a cell).
+    */
+  val headerTags = Set("DQ", "DQA", "DQZ", "DQI", "QEI")
+  val nullValues = Seq("-", "...", "…", "/", "x", ".")
 
   private val headerRecordRe = "^(K;|D;(DQA|DQZ|DQI|QEI);)"
 
