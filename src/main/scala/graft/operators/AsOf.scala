@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composable as-of join — the library API behind the `join_asof` /
+  * `join_asof_left` keys (reference analogue: match a fact to the
+  * latest cube revision at/before its time
+  * [R: genesapi/storage.py — UNVERIFIED]). Spark has no native as-of
+  * join; this is the scale-correct emulation, packaged.
+  *
+  * Semantics (SURVEY §7.4.3, pinned): for every left row, the right
+  * row with the greatest `rightTime <= leftTime` among rows sharing
+  * the key; ties at equal time break to the greatest `rightTieBreak`.
+  * `keepUnmatched = true` keeps left rows with no qualifying right row
+  * (right columns NULL) — the LEFT form; `false` drops them (inner).
+  *
+  * Shape (the 100 TB argument): equi-join on the key with the time
+  * bound as residual, then a `max(struct(time, tieBreak, payload))`
+  * aggregate — NOT a ranked window over the join output. The max
+  * combines MAP-SIDE, so the post-join shuffle carries one candidate
+  * row per (left row, partition) instead of the whole join output
+  * (measured 11.9 s → 1.2 s at sf0.1 in round 2; the gap widens with
+  * scale). The payload struct rides inside the max and is only
+  * compared when (time, tieBreak) ties — callers should make
+  * `rightTieBreak` unique per (key, time), which every sane revision/
+  * order key is.
+  *
+  * Contract: left and right column names must be disjoint (the output
+  * carries both sides verbatim), and the left frame's columns must
+  * functionally determine a unique left row (the group-by key is ALL
+  * left columns; byte-identical duplicate left rows would collapse —
+  * give rows an id if that matters).
+  */
+object AsOf {
+
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: String, keepUnmatched: Boolean = false): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both have: " +
+        overlap.mkString(", "))
+    require(right.columns.contains(rightTieBreak),
+      s"tie-break column $rightTieBreak not in right side")
+    val payload = struct(right.columns.map(col): _*).alias("row")
+    val joined = left.join(right,
+      col(leftKey) === col(rightKey) && col(rightTime) <= col(leftTime),
+      if (keepUnmatched) "left" else "inner")
+    joined
+      .groupBy(left.columns.map(col): _*)
+      .agg(max(struct(col(rightTime), col(rightTieBreak), payload))
+        .as("__best"))
+      .select(left.columns.map(col) ++
+        right.columns.map(c => col(s"__best.row.$c").as(c)): _*)
+  }
+}

@@ -127,22 +127,21 @@ object JoinOps {
     // As-of join: latest order of the same customer at/before event
     // time. Pinned semantics (SURVEY.md §7.4.3): strict <=, ties break
     // to highest orderkey, inner (events with no prior order drop).
-    // Emulation: equi-join on the entity key + time predicate, then a
-    // lexicographic max(struct(date, key)) per event — unlike a ranked
-    // window (full sort of the joined rows), the max aggregates
-    // map-side, so the post-join shuffle carries one row per
-    // (event, partition), not the whole join output. Same result, same
-    // tie-break, ~6× faster at sf0.1.
+    // Since r8 the key runs through the composable [[AsOf.asofJoin]]
+    // API (the library form a user actually calls): equi-join on the
+    // entity key + time predicate, then a lexicographic max(struct)
+    // per event — unlike a ranked window (full sort of the joined
+    // rows), the max aggregates map-side, so the post-join shuffle
+    // carries one row per (event, partition), not the whole join
+    // output. Same result, same tie-break, ~6× faster at sf0.1.
     "join_asof" -> ((s, d) => {
       val e = T.events(s, d).select("event_id", "ts", "user_id")
       val o = T.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
-      e.join(o, col("user_id") === col("o_custkey") &&
-                col("o_orderdate") <= col("ts"))
-        .groupBy("event_id", "ts")
-        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+      AsOf.asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+          "o_orderkey")
         .select(col("event_id"), T.tstr(col("ts")).as("event_ts"),
-                col("best.o_orderkey").as("o_orderkey"),
-                T.dstr(col("best.o_orderdate")).as("order_date"))
+                col("o_orderkey"),
+                T.dstr(col("o_orderdate")).as("order_date"))
         .orderBy("event_id")
     }),
 
@@ -151,9 +150,9 @@ object JoinOps {
     // order, order columns NULL — the keep-unmatched form the
     // reference's latest-revision-wins analogue sometimes needs (a
     // fact row whose cube has no revision yet must still surface).
-    // Same map-side max(struct) emulation on a LEFT join: an unmatched
-    // event contributes exactly one all-NULL order row to its group,
-    // so max(struct(NULL, NULL)) passes the NULLs through; matched
+    // [[AsOf.asofJoin]] with keepUnmatched: an unmatched event
+    // contributes exactly one all-NULL order row to its group, so
+    // max(struct(NULL, NULL)) passes the NULLs through; matched
     // groups never see a NULL (the join condition filtered them), so
     // matched results are identical to join_asof's. The order side is
     // the URGENT slice — in this testdata every user has SOME prior
@@ -164,13 +163,11 @@ object JoinOps {
       val e = T.events(s, d).select("event_id", "ts", "user_id")
       val o = T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey", "o_custkey", "o_orderdate")
-      e.join(o, col("user_id") === col("o_custkey") &&
-                col("o_orderdate") <= col("ts"), "left")
-        .groupBy("event_id", "ts")
-        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+      AsOf.asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+          "o_orderkey", keepUnmatched = true)
         .select(col("event_id"), T.tstr(col("ts")).as("event_ts"),
-                col("best.o_orderkey").as("o_orderkey"),
-                T.dstr(col("best.o_orderdate")).as("order_date"))
+                col("o_orderkey"),
+                T.dstr(col("o_orderdate")).as("order_date"))
         .orderBy("event_id")
     }),
 

@@ -14,8 +14,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -53,10 +53,13 @@ import graft.plans.CubeParser
   *
   * Column pruning is pushed down ([[SupportsPushDownRequiredColumns]]):
   * a `select(cube, measure)` builds 2-field rows in the reader, not
-  * 7-field rows projected later. Filter pushdown is the documented
-  * next step (file-level pruning on `cube` would skip whole
-  * partitions); Catalyst still evaluates all filters above the scan,
-  * so results are correct without it.
+  * 7-field rows projected later. `cube` predicates prune at FILE
+  * granularity ([[SupportsPushDownFilters]]): cube identity IS the
+  * file, so `filter(cube === x)` plans exactly the matching input
+  * partitions — a point lookup over a 10⁵-cube corpus opens one file.
+  * Like parquet's pushdown this is best-effort: every filter is also
+  * returned as residual, so Catalyst re-evaluates above the scan and
+  * correctness never depends on the pruning.
   *
   * Cube identity = file basename minus extension (the reference's
   * storage lays one file per cube download, named by cube code
@@ -113,22 +116,54 @@ private[sources] class CubeTable(paths: Seq[String]) extends Table
 }
 
 private[sources] class CubeScanBuilder(paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = CubeDataSource.schema
+  private var cubeFilters: Seq[Filter] = Nil
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new CubeScan(paths, required)
+  /** Accept `cube` equality/IN predicates for FILE pruning; return
+    * EVERY filter as residual (best-effort pushdown, the parquet
+    * pattern) so Catalyst re-evaluates above the scan and pruning can
+    * never change results.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    cubeFilters = filters.collect {
+      case f @ EqualTo("cube", _: String) => f: Filter
+      case f @ In("cube", _) => f: Filter
+    }.toSeq
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = cubeFilters.toArray
+  override def build(): Scan = new CubeScan(paths, required, cubeFilters)
 }
 
-private[sources] class CubeScan(paths: Seq[String], required: StructType)
-    extends Scan with Batch {
+private[sources] class CubeScan(paths: Seq[String], required: StructType,
+    cubeFilters: Seq[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"genesis-cube ${paths.size} path(s), ReadSchema: ${required.simpleString}"
+    s"genesis-cube ${paths.size} path(s), ReadSchema: ${required.simpleString}" +
+      (if (cubeFilters.nonEmpty)
+        s", PushedFilters: ${cubeFilters.mkString("[", ", ", "]")}"
+      else "")
+
+  /** A file survives when its cube name (basename minus extension)
+    * satisfies every pushed `cube` predicate. */
+  private def keepFile(name: String): Boolean = {
+    val cube = {
+      val dot = name.lastIndexOf('.')
+      if (dot > 0) name.substring(0, dot) else name
+    }
+    cubeFilters.forall {
+      case EqualTo(_, v: String) => cube == v
+      case In(_, vs) => vs.contains(cube)
+      case _ => true
+    }
+  }
 
   /** Driver side: expand directories to files — a filesystem LISTING,
-    * not a Spark job; one [[InputPartition]] per cube file.
+    * not a Spark job; one [[InputPartition]] per surviving cube file.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
@@ -137,9 +172,9 @@ private[sources] class CubeScan(paths: Seq[String], required: StructType)
       val fs = path.getFileSystem(conf)
       val st = fs.getFileStatus(path)
       if (st.isDirectory)
-        fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath.toString)
-      else Seq(path.toString)
-    }.sorted
+        fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath)
+      else Seq(path)
+    }.filter(f => keepFile(f.getName)).map(_.toString).sorted
     files.map(f => CubeFilePartition(f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

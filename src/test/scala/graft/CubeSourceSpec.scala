@@ -63,6 +63,25 @@ class CubeSourceSpec extends SparkSpec {
     assert(df.count() == 10)
   }
 
+  test("a cube predicate prunes to the matching files only") {
+    val dir = Files.createTempDirectory("cube_src_prune")
+    Files.writeString(dir.resolve("a.csv"), CubeOps.fixtureContent)
+    Files.writeString(dir.resolve("b.csv"), CubeOps.areaContent)
+    val df = spark.read.format("genesis-cube").load(dir.toString)
+      .filter(col("cube") === "a")
+    // file-level partition pruning: the non-matching cube never plans
+    assert(df.queryExecution.toRdd.getNumPartitions == 1,
+      "cube = 'a' must plan exactly one input partition")
+    assert(df.count() == 6)
+    assert(df.queryExecution.executedPlan.toString.contains("PushedFilters"),
+      "pushed cube filter missing from scan description")
+    // best-effort contract: a filter the source can't prune still
+    // evaluates correctly above the scan
+    val in = spark.read.format("genesis-cube").load(dir.toString)
+      .filter(col("cube").isin("a", "zzz"))
+    assert(in.queryExecution.toRdd.getNumPartitions == 1 && in.count() == 6)
+  }
+
   test("null-token values parse to NULL with the flag kept, like the parser") {
     val dir = Files.createTempDirectory("cube_src_null")
     Files.writeString(dir.resolve("n.csv"), Seq(

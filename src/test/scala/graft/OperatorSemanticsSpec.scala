@@ -28,6 +28,45 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(out == Map(1L -> 11L)) // equal-date tie → key 11; event 2 dropped
   }
 
+  test("AsOf.asofJoin API: same micro-semantics, left form keeps no-match rows") {
+    import graft.operators.AsOf
+    val events = Seq((1L, "2020-01-10"), (2L, "2020-01-01"))
+      .toDF("event_id", "ets").withColumn("ets", col("ets").cast("timestamp"))
+    val orders = Seq(
+      (10L, 1L, "2020-01-10"), (11L, 1L, "2020-01-10"),
+      (12L, 1L, "2020-01-05"), (13L, 2L, "2020-01-05"))
+      .toDF("okey", "ouser", "odate").withColumn("odate", col("odate").cast("timestamp"))
+    val inner = AsOf.asofJoin(events, orders, "event_id", "ouser",
+        "ets", "odate", "okey")
+      .select("event_id", "okey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inner == Map(1L -> 11L), s"inner form drifted: $inner")
+    val left = AsOf.asofJoin(events, orders, "event_id", "ouser",
+        "ets", "odate", "okey", keepUnmatched = true)
+      .select("event_id", "okey").orderBy("event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(left == Seq(1L -> Some(11L), 2L -> None),
+      s"left form must keep event 2 with NULL order: $left")
+  }
+
+  test("AsOf.asofJoin equals the ranked-window emulation on real data") {
+    import graft.operators.AsOf
+    val e = T.events(spark, sf).select("event_id", "ts", "user_id")
+    val o = T.orders(spark, sf).select("o_orderkey", "o_custkey", "o_orderdate")
+    val api = AsOf.asofJoin(e, o, "user_id", "o_custkey", "ts",
+        "o_orderdate", "o_orderkey")
+      .select("event_id", "o_orderkey")
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val win = e.join(o, col("user_id") === col("o_custkey") &&
+        col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("event_id", "o_orderkey")
+    assert(api.except(win).count() == 0 && win.except(api).count() == 0,
+      "map-side max(struct) API and ranked window disagree")
+  }
+
   test("left join keeps unmatched rows with null-derived zero counts") {
     val c = Seq((1L, "a"), (2L, "b")).toDF("ck", "nm")
     val o = Seq((1L, 100L)).toDF("ok_ck", "ok")

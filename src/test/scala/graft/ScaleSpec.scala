@@ -70,6 +70,40 @@ class ScaleSpec extends SparkSpec {
     }}
   }
 
+  test("cube source scales: many records stream per-file in parallel partitions") {
+    // The DSv2 reader's scale shape on more-than-fixture data: 4 cube
+    // files × 50k data records parse correctly (count + an exact sum —
+    // a dropped or double-parsed record would break either), one
+    // partition per file so files parse in parallel, and a cube
+    // predicate plans only the matching file's partition. Throughput
+    // itself isn't asserted (ambient load makes wall-clock flaky);
+    // correctness-at-size plus the partition shape is the evidence.
+    val dir = java.nio.file.Files.createTempDirectory("cube_scale")
+    val header = Seq(
+      "K;DQ;BIG", "D;DQA;DINSG;1;1", "D;DQZ;JAHR;2",
+      "D;DQI;BEVSTD;ANZ;FEST;GANZ;0", "D;QEI;DINSG;JAHR;BEVSTD")
+    val n = 50000
+    for (f <- 0 until 4) {
+      val sb = new StringBuilder(header.mkString("", "\n", "\n"))
+      var i = 0
+      while (i < n) {
+        sb ++= f"D;$f%02d${i % 1000}%06d;${2019 + i % 3};${i % 97};e\n"
+        i += 1
+      }
+      java.nio.file.Files.writeString(dir.resolve(f"big_$f%02d.csv"),
+        sb.toString)
+    }
+    val df = spark.read.format("genesis-cube").load(dir.toString)
+    assert(df.queryExecution.toRdd.getNumPartitions == 4)
+    assert(df.count() == 4L * n)
+    val expected = 4L * (0 until n).map(_ % 97).sum
+    val got = df.agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(got == expected, s"sum drift: $got vs $expected")
+    val one = df.filter(col("cube") === "big_01")
+    assert(one.queryExecution.toRdd.getNumPartitions == 1 &&
+      one.count() == n)
+  }
+
   test("salted aggregation tolerates caller columns named like its helpers") {
     // Input already has columns "s", "ps", "pn" — the helper must not care.
     val df = (1L to 100L).map(i => (i % 3, i.toDouble, "x", 1, 2))
