@@ -75,6 +75,41 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination (r8) — the named pipeline stage between
+    * dedup and packing: training documents that overlap an evaluation
+    * benchmark leak test answers into the model, so any doc sharing
+    * `minSharedShingles` or more distinct token 3-grams with the
+    * benchmark set is flagged. Returns EVERY corpus doc with its
+    * shared-shingle count and the flag (callers drop
+    * `contaminated`); docs under 3 tokens have no shingles and count 0.
+    *
+    * Shape at 100 TB: the benchmark side collapses to a DISTINCT
+    * shingle set — eval benchmarks are tiny next to a training corpus,
+    * so that set broadcasts and the overlap join never shuffles the
+    * corpus side twice; candidate volume is the corpus's posting list
+    * joined against a benchmark-sized build, not doc×doc. (If the
+    * "benchmark" were itself corpus-sized, cap shingle df like
+    * [[LlmDedup.ngramPairs]] — boilerplate shingles carry no
+    * contamination signal either.)
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      minSharedShingles: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    def postings(df: DataFrame) = graft.T.spread(
+        df.filter(size(split(col("text"), " ")) >= 3))
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles", col("text"), lit(3)))
+          .as("sh"))
+    val bench = postings(benchmark).select("sh").distinct()
+    val shared = postings(docs).join(bench, Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.select("doc_id").join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minSharedShingles)
+          .as("contaminated"))
+  }
+
   /** Deterministic stratified sample — training-mix weights per
     * stratum (e.g. per language). Content-hash Bernoulli: a row is
     * kept iff hash(id, seed) mod 1e6 falls under its stratum's
@@ -220,9 +255,41 @@ object CorpusPipeline {
         .select(col("seq_id"), array_join(col("doc_ids"), ",").as("doc_ids"),
           col("n_docs"), col("n_tokens"))
         .orderBy("seq_id"))
+,
+    // Benchmark decontamination: the doc_id%17 slice plays the eval
+    // benchmark, the rest is the training corpus; ≥5 shared distinct
+    // 3-gram shingles flags a doc (99/470 docs at sf0.01 — a real
+    // split, not a degenerate one). Fully oracled: shingling is plain
+    // string math, no hashing.
+    "corpus_decontaminate" -> ((s, d) => {
+      val docs = graft.T.documents(s, d)
+      decontaminate(docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0), minSharedShingles = 5)
+        .orderBy("doc_id")
+    })
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "corpus_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS sh
+        |  FROM t),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 17 = 0),
+        |ov AS (
+        |  SELECT c.doc_id, count(*) AS n_shared
+        |  FROM sh c JOIN bench b ON c.sh = b.sh
+        |  WHERE c.doc_id % 17 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(ov.n_shared, 0) AS n_shared,
+        |       coalesce(ov.n_shared, 0) >= 5 AS contaminated
+        |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+        |WHERE d.doc_id % 17 <> 0
+        |ORDER BY d.doc_id""".stripMargin
+  )
 
   /** Per-stage retention report for a curation run (one row). */
   def report(docs: DataFrame, minQuality: Double,

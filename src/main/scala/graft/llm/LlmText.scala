@@ -186,6 +186,31 @@ object LlmText {
         .orderBy("doc_id")
     }),
 
+    // Repetition scoring (r8): duplicate-3-gram fraction per document —
+    // the Gopher-style within-doc repetition rule (a doc whose n-grams
+    // repeat heavily is boilerplate/spam, independent of the
+    // cross-doc dedup family). rep3 = 1 − distinct3/total3; the
+    // distinct count reuses the native one-pass Shingles expression
+    // (first-occurrence dedup ≡ list_distinct's count), total3 is
+    // plain arithmetic — pure narrow column math, no shuffle before
+    // the terminal sort. Docs under 3 tokens score NULL (no 3-grams),
+    // flag false.
+    "text_repetition" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val toks = split(col("text"), " ")
+      T.documents(s, d)
+        .select(col("doc_id"),
+          (size(toks) - 2).cast("long").as("total3"),
+          when(size(toks) >= 3,
+            size(call_function("graft_shingles", col("text"), lit(3))))
+            .otherwise(0).cast("long").as("distinct3"))
+        .withColumn("rep3", when(col("total3") >= 1,
+          round(lit(1.0) - col("distinct3").cast("double") / col("total3"), 4)))
+        .withColumn("is_repetitive",
+          coalesce(col("rep3") >= 0.02, lit(false)))
+        .orderBy("doc_id")
+    }),
+
     // Content fingerprints: order-insensitive content hash + an
     // order-sensitive prefix hash (both md5 — portable).
     "text_fingerprint" -> ((s, d) => {
@@ -315,6 +340,27 @@ object LlmText {
         |  round(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+'))::DOUBLE
         |        / len(string_split(text, ' ')), 4) AS ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // 1 cast to DOUBLE explicitly: a bare 1.0 literal is DECIMAL in
+    // DuckDB and would route the subtraction through decimal rules
+    // instead of the double math Spark does.
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(toks) - 2 AS BIGINT) AS total3,
+        |    CAST(CASE WHEN len(toks) >= 3 THEN len(list_distinct(
+        |      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |       for i in range(1, len(toks) - 1)])) ELSE 0 END
+        |      AS BIGINT) AS distinct3
+        |  FROM t)
+        |SELECT doc_id, total3, distinct3,
+        |  CASE WHEN total3 >= 1 THEN
+        |    round(CAST(1 AS DOUBLE) - distinct3::DOUBLE / total3, 4)
+        |  END AS rep3,
+        |  coalesce((CASE WHEN total3 >= 1 THEN
+        |    round(CAST(1 AS DOUBLE) - distinct3::DOUBLE / total3, 4)
+        |  END) >= 0.02, false) AS is_repetitive
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),

@@ -254,6 +254,59 @@ class LlmSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.4)
   }
 
+  test("decontamination flags benchmark overlap, spares disjoint docs") {
+    import graft.llm.CorpusPipeline
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim leak of the benchmark → every shingle shared
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      // partial leak: a 5-token span ⇒ 3 shared 3-gram shingles
+      (2L, "report says the quick brown fox jumps and more words here"),
+      // disjoint vocabulary → zero shared
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      // too short for any shingle
+      (4L, "hi there")).toDF("doc_id", "text")
+    val out = CorpusPipeline.decontaminate(corpus, bench,
+        minSharedShingles = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq((1L, 8L, true), (2L, 3L, true), (3L, 0L, false),
+      (4L, 0L, false)), s"decontamination drifted: $out")
+    // threshold above the partial leak keeps doc 2
+    val strict = CorpusPipeline.decontaminate(corpus, bench,
+        minSharedShingles = 4)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSeq
+    assert(strict == Seq(1L))
+  }
+
+  test("repetition score: looped n-grams score high, varied text scores 0") {
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham spam ham spam ham"), // loop
+      (2L, "one two three four five six seven eight nine ten"), // varied
+      (3L, "too short")).toDF("doc_id", "text")
+    val out = graft.llm.LlmText.queries("text_repetition")(spark, sf)
+    // key runs the real corpus; semantics asserted on the micro frame
+    // through the same column pipeline
+    val toks = split(col("text"), " ")
+    graft.functions.VectorExpressions.register(spark)
+    val m = docs.select(col("doc_id"),
+        (size(toks) - 2).cast("long").as("total3"),
+        when(size(toks) >= 3,
+          size(call_function("graft_shingles", col("text"), lit(3))))
+          .otherwise(0).cast("long").as("distinct3"))
+      .withColumn("rep3", when(col("total3") >= 1,
+        round(lit(1.0) - col("distinct3").cast("double") / col("total3"), 4)))
+      .orderBy("doc_id").collect()
+    // 8 total 3-grams but only 2 distinct ("spam ham spam"/"ham spam ham")
+    assert(m(0).getDouble(3) == 0.75, s"loop doc: ${m(0)}")
+    assert(m(1).getDouble(3) == 0.0)
+    assert(m(2).isNullAt(3), "sub-3-token doc must score NULL")
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "total3", "distinct3", "rep3", "is_repetitive"))
+  }
+
   test("stratified sample is seeded-deterministic and respects the mix") {
     import graft.llm.CorpusPipeline
     val docs = T.documents(spark, sf)
