@@ -235,6 +235,23 @@ object AggOps {
           T.money(col("sum_v")).as("sum_qty"), col("n"))
         .orderBy("l_returnflag")),
 
+    // Fixed-width histogram (r8): bucket = floor(x / width) — the OLAP
+    // distribution profile as ONE hash aggregate over a computed key
+    // (never a per-bucket pass; scales like any groupBy). The division
+    // is the same double op in both engines on the same input doubles,
+    // so bucket assignment is bit-identical; bounds are derived from
+    // the bucket index, all explicit-double math.
+    "agg_histogram" -> ((s, d) => {
+      val width = 60000.0
+      T.orders(s, d)
+        .select(floor(col("o_totalprice") / width).cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .withColumn("lo", col("bucket").cast("double") * width)
+        .withColumn("hi", (col("bucket") + 1).cast("double") * width)
+        .select("bucket", "lo", "hi", "n")
+        .orderBy("bucket")
+    }),
+
     // Ordered list collection — the fact-doc measure-collection shape;
     // sort_array pins element order (SURVEY.md §7.4.5). Emitted as a
     // joined string: the driver comparator cannot hash ARRAY cells
@@ -250,6 +267,17 @@ object AggOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Integer literals cast to DOUBLE explicitly: DuckDB types 60000.0
+    // as DECIMAL and would route the arithmetic through decimal rules.
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / CAST(60000 AS DOUBLE)) AS INT)
+        |         AS bucket,
+        |       CAST(floor(o_totalprice / CAST(60000 AS DOUBLE)) AS INT)
+        |         * CAST(60000 AS DOUBLE) AS lo,
+        |       (CAST(floor(o_totalprice / CAST(60000 AS DOUBLE)) AS INT) + 1)
+        |         * CAST(60000 AS DOUBLE) AS hi,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

@@ -3,9 +3,9 @@ package graft.streaming
 import graft.T
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** §2.10 Streaming operators. The reference is batch-only CLI; these
   * extend the engine to the streaming surface the north star demands.
@@ -85,6 +85,71 @@ object StreamOps {
       .groupByKey(_._1)
       .transformWithState(new RunningCountProcessor,
         TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** A finalized session: emitted by [[SessionFinalizeProcessor]] when
+    * a user's event-time gap exceeds the configured timeout. */
+  final case class SessionOut(user_id: Long, n_events: Long,
+      last_event_ms: Long)
+
+  /** Event-time-TIMER session finalizer — the capability that
+    * separates `transformWithState` from `flatMapGroupsWithState`
+    * (which can only react to ARRIVING rows; a group that goes silent
+    * never gets a callback without processing-time timeouts and their
+    * wall-clock nondeterminism). Per user: accumulate a count, re-arm
+    * one event-time timer at `last event + gapMs`; when the WATERMARK
+    * passes the timer (the user went quiet), [[handleExpiredTimer]]
+    * fires once, emits the session summary, and clears the state — so
+    * state size tracks ACTIVE users only, the property that keeps a
+    * stateful 100 TB stream bounded. Deterministic: timers key off
+    * event time and watermark, never the processing clock.
+    */
+  final class SessionFinalizeProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), SessionOut] {
+    @transient private var count: ValueState[Long] = _
+    @transient private var lastMs: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      lastMs = getHandle.getValueState[Long]("last",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      var n = if (count.exists()) count.get() else 0L
+      var last = if (lastMs.exists()) lastMs.get() else 0L
+      rows.foreach { r => n += 1; last = math.max(last, r._2.getTime) }
+      count.update(n)
+      lastMs.update(last)
+      // ONE armed timer per key: re-arm on every batch with input.
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val out = SessionOut(key,
+        if (count.exists()) count.get() else 0L,
+        if (lastMs.exists()) lastMs.get() else 0L)
+      count.clear(); lastMs.clear()
+      Iterator.single(out)
+    }
+  }
+
+  /** Session summaries over a streaming (user_id, ts) frame, emitted
+    * when the event-time watermark passes `last event + gap`. The
+    * caller supplies the watermark (it defines when timers can fire).
+    */
+  def sessionFinalize(events: DataFrame, gapMs: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionFinalizeProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
 

@@ -13,6 +13,21 @@ class PlanSpec extends SparkSpec {
   private def plan(key: String, ops: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]): String =
     ops(key)(spark, sf).queryExecution.executedPlan.toString
 
+  test("corpus_decontaminate: both joins broadcast the small side") {
+    // The 100 TB shape: the benchmark's distinct shingle set is
+    // eval-corpus-sized (tiny), so the overlap join must broadcast it
+    // — a shuffled overlap join would move the whole corpus posting
+    // list; likewise the per-doc shared-count frame joining back onto
+    // the corpus. No cartesian anywhere (the engine-wide sweep also
+    // covers this key).
+    val p = plan("corpus_decontaminate", graft.llm.CorpusPipeline.queries)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"decontaminate joins must broadcast at this benchmark size: $p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("scan_pruned pushes the shipdate filter into the parquet scan") {
     val p = plan("scan_pruned", ScanOps.queries)
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)

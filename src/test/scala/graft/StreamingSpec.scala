@@ -134,6 +134,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers finalize a quiet user's session at the watermark") {
+    // The transformWithState capability fMGWS lacks: a group that goes
+    // SILENT still gets a callback — deterministically, off event time
+    // and watermark, not the wall clock. User 7 events at 10:00/10:05,
+    // then nothing; once later traffic advances the watermark past
+    // last+30min, the armed timer fires exactly once, emits the
+    // session summary, and clears the state.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+      val in = MemoryStream[(Long, Timestamp)]
+      val out = StreamOps.sessionFinalize(
+        in.toDS().toDF("user_id", "ts").withWatermark("ts", "10 minutes"),
+        gapMs = 30 * 60 * 1000L)
+      val q = out.writeStream.format("memory").queryName("timer_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData((7L, ts("10:00:00")), (7L, ts("10:05:00")))
+        q.processAllAvailable()
+        assert(spark.table("timer_sink").count() == 0,
+          "no session may finalize before the watermark passes the gap")
+        // later traffic (user 8) advances the watermark to 11:50 —
+        // past user 7's 10:35 timer, not past user 8's own 12:30 one
+        in.addData((8L, ts("12:00:00")))
+        q.processAllAvailable()
+        in.addData((8L, ts("12:01:00")))
+        q.processAllAvailable()
+        val rows = spark.table("timer_sink")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(rows.toSeq == Seq((7L, 2L, ts("10:05:00").getTime)),
+          s"exactly user 7's session must finalize: ${rows.toSeq}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("batch transformWithState equals the flatMapGroupsWithState fallback") {
     // stream_stateful's key runs the TWS form in batch (each group seen
     // once, empty initial state) — it must agree row-for-row with the
