@@ -38,6 +38,7 @@ object SparkEntry {
     (SortOps.queries, SortOps.oracle),
     (JoinOps.queries, JoinOps.oracle),
     (BloomJoin.queries, BloomJoin.oracle),
+    (RangeBin.queries, RangeBin.oracle),
     (ZOrder.queries, ZOrder.oracle),
     (WindowOps.queries, WindowOps.oracle),
     (SetOps.queries, SetOps.oracle),

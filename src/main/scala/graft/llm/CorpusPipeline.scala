@@ -256,6 +256,24 @@ object CorpusPipeline {
           col("n_docs"), col("n_tokens"))
         .orderBy("seq_id"))
 ,
+    // Exact-k uniform sample (r8): order by a content hash, take k —
+    // "give me exactly 100 random-but-reproducible docs" (eval slices,
+    // spot-check samples, few-shot pools). sample_stratified's
+    // hash-Bernoulli keeps a FRACTION (k only in expectation); this
+    // keeps an exact count. md5 (not xxhash64) so DuckDB replays the
+    // ranking bit-for-bit. Plan shape is the whole trick:
+    // orderBy(hash).limit(k) compiles to TakeOrderedAndProject — each
+    // partition forwards only its local top-k, one constant-size
+    // reduce, NO global sort shuffle (asserted in PlanSpec). Same
+    // hash → same k docs on any partitioning or cluster size.
+    "sample_uniform_k" -> ((s, d) =>
+      graft.T.documents(s, d)
+        .withColumn("sample_key",
+          md5(concat_ws(":", col("doc_id"), lit(42))))
+        .orderBy("sample_key").limit(100)
+        .select(col("doc_id"), col("lang"), col("sample_key"))
+        .orderBy("doc_id")),
+
     // Benchmark decontamination: the doc_id%17 slice plays the eval
     // benchmark, the rest is the training corpus; ≥5 shared distinct
     // 3-gram shingles flags a doc (99/470 docs at sf0.01 — a real
@@ -270,6 +288,12 @@ object CorpusPipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_uniform_k" ->
+      """SELECT doc_id, lang, sample_key FROM (
+        |  SELECT doc_id, lang,
+        |         md5(CAST(doc_id AS VARCHAR) || ':42') AS sample_key
+        |  FROM documents ORDER BY sample_key LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
     "corpus_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

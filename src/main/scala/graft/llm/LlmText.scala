@@ -222,6 +222,29 @@ object LlmText {
         .orderBy("doc_id")
     }),
 
+    // Context chunking (r8): overlapping token windows of size 32,
+    // stride 24 — the RAG-indexing / long-doc-context-prep shape
+    // (every chunk carries `overlap = size - stride` tokens of its
+    // predecessor so no boundary sentence is split without a copy).
+    // One narrow posexplode per doc — chunk count = ceil(n/stride) is
+    // O(tokens), NOT a shuffle; the terminal sort is the only
+    // exchange. Chunks are keyed (doc_id, chunk_id) so downstream
+    // dedup/packing treats them as first-class documents.
+    "text_chunk" -> ((s, d) => {
+      val sz = 32
+      val stride = 24
+      T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          least(lit(sz), size(col("toks")) - col("col"))
+            .cast("long").as("n_tokens"),
+          array_join(slice(col("toks"), col("col") + 1, lit(sz)), " ")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // PII redaction ([[CorpusPipeline.piiPatternsPortable]]): urls →
     // emails → IPs replaced with typed placeholders, plus a touched
     // flag — the scrub stage a pretraining corpus passes before
@@ -242,6 +265,22 @@ object LlmText {
   )
 
   val oracle: Map[String, String] = Map(
+    // generate_series is end-INCLUSIVE (matches Spark's sequence);
+    // list slicing toks[a:b] is 1-based inclusive and clamps at the
+    // list end exactly like Spark's slice(toks, a, len).
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(0, len(toks) - 1, 24)) AS start
+        |  FROM t)
+        |SELECT doc_id,
+        |       start // 24 AS chunk_id,
+        |       least(32, len(toks) - start) AS n_tokens,
+        |       array_to_string(toks[start + 1 : start + 32], ' ')
+        |         AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -235,6 +235,27 @@ object AggOps {
           T.money(col("sum_v")).as("sum_qty"), col("n"))
         .orderBy("l_returnflag")),
 
+    // Per-group mode (r8): most frequent event_type per user, ties to
+    // the lexicographically smallest — the categorical profile column
+    // ("dominant behavior per entity") every feature pipeline wants.
+    // Two stages: the heavy one is the (user, type) count — a plain
+    // two-phase hash aggregate whose shuffle carries one row per
+    // distinct pair; the argmax then runs per-user over ≤ |type|
+    // counted rows (a bounded window, not a data-sized sort). max_by
+    // can't express the two-level tie-break (max n, then MIN string),
+    // so the ranked form is the deterministic shape.
+    "agg_mode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(desc("n"), asc("event_type"))
+      T.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy("user_id")
+    }),
+
     // Fixed-width histogram (r8): bucket = floor(x / width) — the OLAP
     // distribution profile as ONE hash aggregate over a computed key
     // (never a per-bucket pass; scales like any groupBy). The division
@@ -267,6 +288,17 @@ object AggOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, n,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY n DESC, event_type ASC) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, n
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // Integer literals cast to DOUBLE explicitly: DuckDB types 60000.0
     // as DECIMAL and would route the arithmetic through decimal rules.
     "agg_histogram" ->

@@ -230,6 +230,48 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("text_chunk: stride-indexed starts, full coverage, exact reconstruction") {
+    // Over the sf corpus: chunk i covers tokens [i*stride, i*stride+32);
+    // every token of every doc lands in ≥1 chunk (coverage), and
+    // concatenating each chunk's first `stride` tokens reproduces the
+    // document exactly (the overlap is redundant by construction).
+    val stride = 24
+    val chunks = SparkEntry.queries("text_chunk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val docs = T.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.map(_._1).toSet == docs.keySet, "every doc chunks")
+    for ((docId, text) <- docs) {
+      val n = text.split(" ", -1).length
+      val cs = chunks.filter(_._1 == docId).sortBy(_._2)
+      assert(cs.map(_._2).toSeq == cs.indices.map(_.toLong),
+        s"doc $docId: chunk ids must be dense from 0")
+      assert(cs.map(_._3).sum >= n, s"doc $docId: tokens uncovered")
+      assert(cs.last._3 == n - (cs.size - 1) * stride,
+        s"doc $docId: last chunk length")
+      val rebuilt = cs.map(c =>
+        c._4.split(" ", -1).take(stride).mkString(" ")).mkString(" ")
+      assert(rebuilt == text, s"doc $docId: stride-heads must rebuild text")
+    }
+  }
+
+  test("agg_mode: max count wins, ties break to the smallest value") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "b"), (1L, "b"), (1L, "a"),             // clear winner b
+      (2L, "view"), (2L, "click"),                 // 1-1 tie → click
+      (3L, "z"))                                   // singleton
+      .toDF("user_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("n"), asc("event_type"))
+    val out = events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "b", 2L -> "click", 3L -> "z"))
+  }
+
   test("saltedJoin equals the plain join row-for-row under different partitionings") {
     // Each matching pair meets in exactly one (key, salt) bucket — the
     // big row's — because the small side carries every salt value once.

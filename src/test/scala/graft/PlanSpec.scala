@@ -184,6 +184,17 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size == 4, p)
   }
 
+  test("sample_uniform_k cuts via TakeOrderedAndProject (no global sort)") {
+    // orderBy(hash).limit(k): each partition forwards its local top-k,
+    // one constant-size reduce — the property that makes an exact-k
+    // deterministic sample free at 100 TB. A full-sort plan would show
+    // a rangepartitioning exchange feeding a global Sort instead.
+    val p = plan("sample_uniform_k", graft.llm.CorpusPipeline.queries)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning(sample_key"),
+      s"hash cut must not globally sort by sample_key: $p")
+  }
+
   test("engine-wide sweep: no unlisted cartesian/nested-loop join in ANY key") {
     // The blanket version of the targeted checks above: every declared
     // query's physical plan, with an explicit allowlist naming exactly
