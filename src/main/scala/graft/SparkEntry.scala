@@ -39,6 +39,7 @@ object SparkEntry {
     (JoinOps.queries, JoinOps.oracle),
     (BloomJoin.queries, BloomJoin.oracle),
     (RangeBin.queries, RangeBin.oracle),
+    (TimeSeries.queries, TimeSeries.oracle),
     (ZOrder.queries, ZOrder.oracle),
     (WindowOps.queries, WindowOps.oracle),
     (SetOps.queries, SetOps.oracle),

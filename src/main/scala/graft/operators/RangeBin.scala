@@ -59,6 +59,41 @@ object RangeBin {
       .drop(p("__bin")).drop(i("__bin"))
   }
 
+  /** Keyless interval×interval OVERLAP join (`aLo <= bHi && bLo <=
+    * aHi`) via the same bin quantization — the second pure-range shape
+    * ([[binnedRangeJoin]] covers point∈interval). BOTH sides replicate
+    * to every bin they overlap, so a matching pair now meets in EVERY
+    * shared bin; the dedup rule that keeps the join distinct-free is
+    * the standard one: count the pair only in the bin that contains
+    * `max(aLo, bLo)` — two overlapping intervals both cover the later
+    * start, so exactly one shared bin qualifies, by construction.
+    * The predicate is column math in the join condition (codegen'd),
+    * not a post-join `distinct` (which would be a second shuffle over
+    * the matched-pair volume).
+    *
+    * Replication factor per side = `span/binWidth + 1`; pick
+    * `binWidth` ≈ the typical interval span, same knob as
+    * [[binnedRangeJoin]]. Inputs' column sets must be disjoint.
+    */
+  def binnedIntervalJoin(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!left.columns.contains("__bin") &&
+      !right.columns.contains("__bin"),
+      "input already has a __bin column")
+    val l = left.withColumn("__bin",
+      explode(sequence(floor(col(lLo) / binWidth),
+                       floor(col(lHi) / binWidth))))
+    val r = right.withColumn("__bin",
+      explode(sequence(floor(col(rLo) / binWidth),
+                       floor(col(rHi) / binWidth))))
+    l.join(r, l("__bin") === r("__bin") &&
+        l(lLo) <= r(rHi) && r(rLo) <= l(lHi) &&
+        l("__bin") === floor(greatest(l(lLo), r(rLo)) / binWidth))
+      .drop(l("__bin")).drop(r("__bin"))
+  }
+
   /** Incident-window attribution over `events`: every event that falls
     * inside the 10-minute window opened by any high-value error event
     * (value ≥ 250, ~0.1% of rows) — across ALL users, so there is
@@ -81,6 +116,30 @@ object RangeBin {
           incidents, "lo", "hi", binWidth = 600L)
         .select("incident_id", "event_id")
         .orderBy("incident_id", "event_id")
+    }),
+
+    // Keyless interval×interval overlap: error-alert windows (30 min
+    // after any error with value ≥ 100) against signup-activity
+    // windows (±15 min around any signup with value ≥ 100), across
+    // ALL users — "which alerts coincided with signup activity",
+    // genuinely no equi key. 86 pairs at sf0.01. Same epoch-second
+    // integer math as join_range_bin.
+    "join_interval_bin" -> ((s, d) => {
+      val e = T.events(s, d)
+        .select(col("event_id"), expr("unix_seconds(ts)").as("es"),
+                col("event_type"), col("value"))
+      val alerts = e
+        .filter(col("event_type") === "error" && col("value") >= 100)
+        .select(col("event_id").as("alert_id"), col("es").as("a_lo"),
+                (col("es") + 1800L).as("a_hi"))
+      val signups = e
+        .filter(col("event_type") === "signup" && col("value") >= 100)
+        .select(col("event_id").as("signup_id"),
+                (col("es") - 900L).as("s_lo"), (col("es") + 900L).as("s_hi"))
+      binnedIntervalJoin(alerts, "a_lo", "a_hi",
+          signups, "s_lo", "s_hi", binWidth = 1800L)
+        .select("alert_id", "signup_id")
+        .orderBy("alert_id", "signup_id")
     })
   )
 
@@ -96,6 +155,22 @@ object RangeBin {
         |  FROM e WHERE event_type = 'error' AND value >= 250)
         |SELECT i.incident_id, e.event_id
         |FROM e JOIN i ON e.es BETWEEN i.lo AND i.hi
-        |ORDER BY incident_id, event_id""".stripMargin
+        |ORDER BY incident_id, event_id""".stripMargin,
+    "join_interval_bin" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |         CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS es,
+        |         event_type, value
+        |  FROM events),
+        |a AS (
+        |  SELECT event_id AS alert_id, es AS a_lo, es + 1800 AS a_hi
+        |  FROM e WHERE event_type = 'error' AND value >= 100),
+        |s AS (
+        |  SELECT event_id AS signup_id, es - 900 AS s_lo,
+        |         es + 900 AS s_hi
+        |  FROM e WHERE event_type = 'signup' AND value >= 100)
+        |SELECT a.alert_id, s.signup_id
+        |FROM a JOIN s ON a.a_lo <= s.s_hi AND s.s_lo <= a.a_hi
+        |ORDER BY alert_id, signup_id""".stripMargin
   )
 }

@@ -55,6 +55,56 @@ class RangeBinSpec extends SparkSpec {
     }
   }
 
+  private def intervalNaive(as: Seq[(Long, Long, Long)],
+      bs: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
+    (for {
+      (aid, alo, ahi) <- as
+      (bid, blo, bhi) <- bs
+      if alo <= bhi && blo <= ahi
+    } yield (aid, bid)).toSet
+
+  private def binnedIv(as: Seq[(Long, Long, Long)],
+      bs: Seq[(Long, Long, Long)], w: Long): Seq[(Long, Long)] = {
+    val a = as.toDF("aid", "alo", "ahi")
+    val b = bs.toDF("bid", "blo", "bhi")
+    RangeBin.binnedIntervalJoin(a, "alo", "ahi", b, "blo", "bhi", w)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+  }
+
+  test("interval join matches naive incl. touch/containment; no dups; width-invariant") {
+    // touch at a point (ahi == blo), full containment, identical
+    // intervals, long multi-bin span vs short one, disjoint pair
+    val as = Seq((1L, 0L, 10L), (2L, 5L, 100L), (3L, 20L, 20L),
+      (4L, 200L, 210L))
+    val bs = Seq((1L, 10L, 15L), (2L, 0L, 300L), (3L, 20L, 20L),
+      (4L, 101L, 150L), (5L, 211L, 220L))
+    val want = intervalNaive(as, bs)
+    for (w <- Seq(1L, 7L, 10L, 64L, 1000L)) {
+      val got = binnedIv(as, bs, w)
+      assert(got.toSet == want, s"width $w")
+      assert(got.size == want.size,
+        s"width $w: a pair must meet only in max(lo)'s bin — no dups")
+    }
+  }
+
+  test("driver key join_interval_bin: matches a cross+filter replay") {
+    val e = T.events(spark, sf)
+      .select(col("event_id"), expr("unix_seconds(ts)").as("es"),
+        col("event_type"), col("value"))
+    val a = e.filter(col("event_type") === "error" && col("value") >= 100)
+      .select(col("event_id").as("aid"), col("es").as("alo"),
+        (col("es") + 1800L).as("ahi"))
+    val b = e.filter(col("event_type") === "signup" && col("value") >= 100)
+      .select(col("event_id").as("bid"), (col("es") - 900L).as("blo"),
+        (col("es") + 900L).as("bhi"))
+    val want = a.crossJoin(b)
+      .filter(col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    val got = RangeBin.queries("join_interval_bin")(spark, sf)
+      .select("alert_id", "signup_id").as[(Long, Long)].collect()
+    assert(got.toSet == want && got.length == want.size)
+  }
+
   test("plan: equi-join on the bin, never nested-loop or cartesian") {
     val p = RangeBin.queries("join_range_bin")(spark, sf)
       .queryExecution.executedPlan.toString
