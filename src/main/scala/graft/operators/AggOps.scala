@@ -256,6 +256,40 @@ object AggOps {
         .orderBy("user_id")
     }),
 
+    // IQR outlier detection (r8): flag rows outside the Tukey fences
+    // [q1 − 1.5·IQR, q3 + 1.5·IQR] of their group — the statistical
+    // quality gate (anomalous meter readings, corrupt numeric fields)
+    // done with ORDER STATISTICS, not mean/stddev: a z-score rule is
+    // itself dragged by the outliers it hunts AND its double sums are
+    // partition-order-dependent; percentiles are exact and
+    // associativity-free, so the fences are engine-reproducible. The
+    // 1e-6 guard band on the comparison absorbs the engines'
+    // interpolation-formula noise (~1e-12) without ever flipping a
+    // 2-decimal data value (≥ 1e-2 from any fence±1e-6). Fence table
+    // is |groups| rows → broadcast join; at 100 TB swap the exact
+    // percentile for approx_percentile (agg_approx_percentile's GK
+    // sketch) — the fences move ≤ the sketch bound, the shape is
+    // identical.
+    "agg_outlier" -> ((s, d) => {
+      val e = T.events(s, d).select("event_id", "event_type", "value")
+      val fences = e.groupBy("event_type")
+        .agg(expr("percentile(value, array(0.25D, 0.75D))").as("ps"))
+        .select(col("event_type"),
+          (element_at(col("ps"), 1) -
+            lit(1.5) * (element_at(col("ps"), 2) - element_at(col("ps"), 1)))
+            .as("lo"),
+          (element_at(col("ps"), 2) +
+            lit(1.5) * (element_at(col("ps"), 2) - element_at(col("ps"), 1)))
+            .as("hi"))
+      e.join(broadcast(fences), Seq("event_type"))
+        .filter(col("value") < col("lo") - lit(1e-6) ||
+                col("value") > col("hi") + lit(1e-6))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("lo"), 4).as("lo_fence"),
+          round(col("hi"), 4).as("hi_fence"))
+        .orderBy("event_id")
+    }),
+
     // Fixed-width histogram (r8): bucket = floor(x / width) — the OLAP
     // distribution profile as ONE hash aggregate over a computed key
     // (never a per-bucket pass; scales like any groupBy). The division
@@ -288,6 +322,23 @@ object AggOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Identical fence expression shape (q1 − 1.5·(q3−q1)) so the
+    // double math replays; guard band keeps the flag noise-immune.
+    "agg_outlier" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.25) AS q1,
+        |         quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+        |         q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM f)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       round(lo, 4) AS lo_fence, round(hi, 4) AS hi_fence
+        |FROM events e JOIN g USING (event_type)
+        |WHERE e.value < lo - 0.000001 OR e.value > hi + 0.000001
+        |ORDER BY event_id""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS n

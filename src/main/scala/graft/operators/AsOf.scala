@@ -55,4 +55,39 @@ object AsOf {
       .select(left.columns.map(col) ++
         right.columns.map(c => col(s"__best.row.$c").as(c)): _*)
   }
+
+  /** Nearest-neighbor-in-time join — the BIDIRECTIONAL as-of: for
+    * every left row, the right row minimizing `|rightTime − leftTime|`
+    * among rows sharing the key, either direction ("closest reading
+    * to the incident", "order nearest the session"). Pinned ties:
+    * equidistant candidates break to the EARLIER right time, then the
+    * smallest `rightTieBreak` — min(struct) lexicographic, total.
+    *
+    * Same shape as [[asofJoin]] and the same 100 TB argument: equi-
+    * join on the key, then a map-side-combining `min(struct(dist,
+    * time, tieBreak, payload))` — never a ranked window over the join
+    * output. Time columns must cast losslessly to long (pass epoch
+    * seconds; a raw µs timestamp cast truncates, so second-truncate
+    * first if sub-second distances matter).
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: String, keepUnmatched: Boolean = false): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both have: " +
+        overlap.mkString(", "))
+    require(right.columns.contains(rightTieBreak),
+      s"tie-break column $rightTieBreak not in right side")
+    val payload = struct(right.columns.map(col): _*).alias("row")
+    val dist = abs(col(rightTime).cast("long") - col(leftTime).cast("long"))
+    left.join(right, col(leftKey) === col(rightKey),
+        if (keepUnmatched) "left" else "inner")
+      .groupBy(left.columns.map(col): _*)
+      .agg(min(struct(dist.as("d"), col(rightTime).cast("long").as("t"),
+          col(rightTieBreak).as("tb"), payload)).as("__best"))
+      .select(left.columns.map(col) ++
+        right.columns.map(c => col(s"__best.row.$c").as(c)): _*)
+  }
 }

@@ -171,6 +171,28 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // Nearest-in-time join ([[AsOf.nearestJoin]], r8): each event's
+    // closest URGENT order of the same user in EITHER direction — the
+    // bidirectional as-of ("order nearest the session"). Epoch-second
+    // longs on both sides so the distance math is exact integer;
+    // equidistant ties pin to the earlier order, then the smaller key.
+    "join_nearest" -> ((s, d) => {
+      val e = T.events(s, d).select(col("event_id"), col("user_id"),
+        expr("unix_seconds(ts)").as("es"))
+      val o = T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"),
+          // o_orderdate is TIMESTAMP_NTZ: no direct long cast in
+          // Spark 4 — NTZ→TIMESTAMP reads it in the session tz (UTC,
+          // GraftSession) so unix_seconds matches DuckDB's
+          // extract(epoch FROM ...) on the same naive value.
+          unix_seconds(col("o_orderdate").cast("timestamp")).as("od_s"))
+      AsOf.nearestJoin(e, o, "user_id", "o_custkey", "es", "od_s",
+          "o_orderkey")
+        .select(col("event_id"), col("es"), col("o_orderkey"), col("od_s"),
+          abs(col("od_s") - col("es")).as("dist_s"))
+        .orderBy("event_id")
+    }),
+
     // Interval overlap: orders of the same customer within ±3 days of
     // each other. Equi key (custkey) + range residual → sort-merge with
     // a post-filter, NOT a nested loop: scales like a normal join.
@@ -286,6 +308,26 @@ object JoinOps {
         |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
         |       o_orderkey,
         |       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // Nearest: ranked replay with the same pinned tie order
+    // (distance, earlier time, smaller key).
+    "join_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS es
+        |  FROM events),
+        |o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(floor(extract(epoch FROM o_orderdate)) AS BIGINT)
+        |           AS od_s
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |j AS (
+        |  SELECT e.event_id, e.es, o.o_orderkey, o.od_s,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY abs(o.od_s - e.es), o.od_s, o.o_orderkey) AS rn
+        |  FROM e JOIN o ON e.user_id = o.o_custkey)
+        |SELECT event_id, es, o_orderkey, od_s,
+        |       abs(od_s - es) AS dist_s
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "join_interval" ->
       """SELECT a.o_orderkey AS k1, b.o_orderkey AS k2

@@ -33,6 +33,22 @@ object ScanOps {
 
   def ensureJsonl(): String = T.ensureFile(jsonlPath, jsonlContent)
 
+  /** CSV fixture exercising the RFC-4180 corners a naive split gets
+    * wrong: quoted embedded delimiter, escaped double-quote, empty
+    * field → typed NULL, and a header row. Write-once like the jsonl
+    * fixture so the driver's DuckDB pass reads identical bytes.
+    */
+  val csvContent: String = Seq(
+    "id,name,qty,price",
+    "1,\"widget, large\",3,19.99",
+    "2,\"say \"\"hi\"\"\",1,5.5",
+    "3,plain,,7.25",
+    "4,multi word,10,0.1").mkString("\n")
+
+  val csvPath = "/tmp/graft_items.csv"
+
+  def ensureCsv(): String = T.ensureFile(csvPath, csvContent)
+
   val queries: Map[String, Q] = Map(
     // Columnar scan + projection; pushdown shows as ReadSchema pruning.
     // Sort covers EVERY projected column: (l_orderkey, l_linenumber) is
@@ -69,6 +85,21 @@ object ScanOps {
         .orderBy("doc_id")
     }),
 
+    // CSV source (r8) with the same production posture as scan_jsonl:
+    // EXPLICIT schema (no inference pass), PERMISSIVE malformed
+    // handling, RFC-4180 quoting. The fixture plants the quoting
+    // corners; empty numeric fields surface as typed NULLs.
+    "scan_csv" -> ((s, _) => {
+      val path = ensureCsv()
+      s.read.option("header", "true")
+        // Spark's csv default escape is backslash; RFC-4180 (and
+        // DuckDB) escape a quote by doubling it — align explicitly.
+        .option("escape", "\"")
+        .schema("id LONG, name STRING, qty LONG, price DOUBLE")
+        .csv(path)
+        .orderBy("id")
+    }),
+
     // Schema-from-text parse analogue: the reference derives each cube's
     // layout from its header then splits delimited records
     // [R: genesapi/cube.py — UNVERIFIED]; here: tokenize and project
@@ -99,6 +130,12 @@ object ScanOps {
          |  format='newline_delimited',
          |  columns={'doc_id':'BIGINT','text':'VARCHAR','source':'VARCHAR'})
          |ORDER BY doc_id""".stripMargin,
+    "scan_csv" ->
+      s"""SELECT id, name, qty, price FROM read_csv('$csvPath',
+         |  header=true,
+         |  columns={'id':'BIGINT','name':'VARCHAR',
+         |           'qty':'BIGINT','price':'DOUBLE'})
+         |ORDER BY id""".stripMargin,
     "scan_text_parse" ->
       """SELECT doc_id,
         |       string_split(text, ' ')[1] AS tok0,

@@ -50,6 +50,66 @@ class OperatorSemanticsSpec extends SparkSpec {
       s"left form must keep event 2 with NULL order: $left")
   }
 
+  test("AsOf.nearestJoin: either direction, pinned ties, left form") {
+    import graft.operators.AsOf
+    // event 1 at t=100: candidates at 90 (d=10) and 105 (d=5) → 105;
+    // event 2 at t=50: equidistant 40/60 (d=10) → earlier (40), and
+    // two orders at t=40 → smaller key 21; event 3 has no candidate.
+    val events = Seq((1L, 100L), (2L, 50L), (3L, 999L))
+      .toDF("event_id", "ets")
+      .withColumn("grp", when(col("event_id") === 3L, 9L).otherwise(1L))
+    val orders = Seq(
+      (10L, 1L, 90L), (11L, 1L, 105L),
+      (21L, 1L, 40L), (22L, 1L, 40L), (23L, 1L, 60L))
+      .toDF("okey", "ogrp", "ot")
+    val inner = AsOf.nearestJoin(events, orders, "grp", "ogrp",
+        "ets", "ot", "okey")
+      .select("event_id", "okey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inner == Map(1L -> 11L, 2L -> 21L), s"nearest drifted: $inner")
+    val left = AsOf.nearestJoin(events, orders, "grp", "ogrp",
+        "ets", "ot", "okey", keepUnmatched = true)
+      .select("event_id", "okey").orderBy("event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(left == Seq(1L -> Some(11L), 2L -> Some(21L), 3L -> None))
+  }
+
+  test("agg_outlier: only rows beyond the Tukey fences flag") {
+    import spark.implicits._
+    // one group, values 1..8 plus 100: q1=3, q3=7 (exact indices),
+    // fences [-3, 13] → only 100 is an outlier
+    val e = ((1 to 8).map(_.toDouble) :+ 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "t", v) }
+      .toDF("event_id", "event_type", "value")
+    val fences = e.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.25D, 0.75D))").as("ps"))
+      .select(col("event_type"),
+        (element_at(col("ps"), 1) -
+          lit(1.5) * (element_at(col("ps"), 2) - element_at(col("ps"), 1)))
+          .as("lo"),
+        (element_at(col("ps"), 2) +
+          lit(1.5) * (element_at(col("ps"), 2) - element_at(col("ps"), 1)))
+          .as("hi"))
+    val out = e.join(broadcast(fences), Seq("event_type"))
+      .filter(col("value") < col("lo") - lit(1e-6) ||
+              col("value") > col("hi") + lit(1e-6))
+      .select("value").as[Double].collect().toSeq
+    assert(out == Seq(100.0), s"fences [-3,13] must flag only 100: $out")
+  }
+
+  test("scan_csv: RFC-4180 quoting corners parse to typed columns") {
+    val rows = SparkEntry.queries("scan_csv")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getDouble(3)))
+      .toSeq
+    assert(rows == Seq(
+      (1L, "widget, large", Some(3L), 19.99),   // quoted delimiter
+      (2L, "say \"hi\"", Some(1L), 5.5),        // escaped quote
+      (3L, "plain", None, 7.25),                // empty field → NULL
+      (4L, "multi word", Some(10L), 0.1)))
+  }
+
   test("AsOf.asofJoin equals the ranked-window emulation on real data") {
     import graft.operators.AsOf
     val e = T.events(spark, sf).select("event_id", "ts", "user_id")
