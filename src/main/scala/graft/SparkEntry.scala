@@ -51,6 +51,7 @@ object SparkEntry {
     (graft.llm.LlmDedup.queries, graft.llm.LlmDedup.oracle),
     (graft.llm.CorpusPipeline.queries, graft.llm.CorpusPipeline.oracle),
     (graft.llm.LlmText.queries, graft.llm.LlmText.oracle),
+    (graft.llm.LlmGraph.queries, graft.llm.LlmGraph.oracle),
     (graft.llm.LlmVector.queries, graft.llm.LlmVector.oracle),
     (graft.llm.Multimodal.queries, graft.llm.Multimodal.oracle)
   )

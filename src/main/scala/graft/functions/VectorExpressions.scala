@@ -70,6 +70,7 @@ object VectorExpressions {
   private val ident = FunctionIdentifier("graft_dot")
   private val mhIdent = FunctionIdentifier("graft_minhash")
   private val shIdent = FunctionIdentifier("graft_shingles")
+  private val nfcIdent = FunctionIdentifier("graft_nfc")
 
   /** Register once per session; safe to call repeatedly. */
   def register(spark: SparkSession): Unit = {
@@ -87,6 +88,10 @@ object VectorExpressions {
       new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
       (children: Seq[Expression]) => Shingles(children.head,
         intLiteral("graft_shingles", children(1))))
+    spark.sessionState.functionRegistry.registerFunction(
+      nfcIdent,
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head))
   }
 
   /** Second arguments of the custom functions must be integral literals

@@ -1,0 +1,178 @@
+package graft.llm
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.12 Link-graph analytics for corpus curation: PageRank-style
+  * quality propagation over an edge table.
+  *
+  * Web-scale curation ranks pages by LINK structure, not just content
+  * (a page cited by many well-cited pages is likelier to be worth
+  * keeping than an orphan), and the same propagation scores entities
+  * in a citation or co-occurrence graph. This is the batch-iterative
+  * shape [[LlmDedup.connectedComponents]] already uses — a fixed
+  * number of join+aggregate rounds, all data-sized state in
+  * DataFrames, nothing on the driver.
+  */
+object LlmGraph {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Rank scale: ranks live in [0, nodes·SCALE] as integers. 10^12
+    * keeps 12 decimal digits of rank resolution while the damping
+    * products stay far inside Long range (85 · nodes · SCALE at the
+    * ~10^5-node fixture scale is ~10^19/100 — headroom; for a
+    * billion-node web graph drop SCALE to 10^9, same 2-digit safety
+    * argument).
+    */
+  val Scale = 1000000000000L
+
+  /** PageRank over directed `edges(src, dst)` — `iterations` synchronous
+    * rounds of `pr' = 0.15·SCALE + 0.85·Σ_in (pr_src div deg_src)` in
+    * INTEGER arithmetic.
+    *
+    * Integer-scaled on purpose (same reason [[LlmVector]]'s Lloyd
+    * iterations use exact decimals): double-sum PageRank is
+    * partition-order-dependent — ranks drift ULPs between runs and
+    * engines, and 3 iterations of drift compound past any rounding
+    * fence. `div` before the sum and `div` after the damping multiply
+    * are exact, associative, and replayed identically by any engine
+    * with 64-bit integer division, so the final ranks are
+    * bit-identical everywhere — an oracle-able fixpoint loop.
+    *
+    * Scale shape: each round is one equi-join of edges to the rank
+    * table on `src` (both shuffle-partitioned on the same key — with
+    * the edge table bucketed by src the join is exchange-free on the
+    * big side) and one map-side-combining sum to `dst`. No driver
+    * state, no collect; lineage grows one join per round, so callers
+    * running deep iteration counts should localCheckpoint every few
+    * rounds (the [[LlmDedup.connectedComponents]] pattern) — at the
+    * 3-5 rounds that already separate hubs from orphans, plan growth
+    * is immaterial.
+    *
+    * Callers model an UNDIRECTED graph by passing both directions.
+    * Nodes are taken FROM the edge set (an isolated node has no rank
+    * mass to give or receive); every node with an out-edge also has an
+    * in-edge in the undirected form, so no rank mass is lost to
+    * danglers there — for genuinely directed graphs, danglers keep
+    * their base 0.15·SCALE and their lost mass is the standard
+    * uniform-teleport approximation.
+    */
+  def pagerank(edges: DataFrame, iterations: Int): DataFrame = {
+    require(edges.columns.toSeq == Seq("src", "dst"),
+      s"edges must be exactly (src, dst), got: ${edges.columns.mkString(",")}")
+    // No explicit repartition: the degree agg and the deg join both
+    // require clustering on src, so EnsureRequirements inserts ONE
+    // src exchange and ReusedExchange shares it between them — and if
+    // the caller passes edges ALREADY partitioned by src (the
+    // graph_pagerank key does; a production edge table would be
+    // bucketed by src), even that exchange disappears.
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // The degree-annotated edge list is read EVERY round — without a
+    // pin each iteration's plan re-derives it from the source scan
+    // (explain showed the edge subtree cloned per round). Pins.repin,
+    // not bare persist: bounded slot, cold per invocation (honest
+    // bench timing), full plan kept visible for PlanSpec's join-shape
+    // sweep. At cluster scale this materialization is the one you'd
+    // write to a bucketed-by-src table instead.
+    // Pinned PRE-PARTITIONED on src: InMemoryTableScan preserves the
+    // cached partitioning, so every round's join reads the edges
+    // in place — the rank table (node-count sized, ≪ edges) is the
+    // only side that moves. This is the distributed-PageRank
+    // invariant: edges never re-shuffle across iterations.
+    // Both sides hang off the SAME src exchange (ReusedExchange), so
+    // this join moves nothing; shuffle_hash skips SMJ's per-side sort.
+    // No broadcast: deg is node-count sized — fine here, not at 10^9
+    // nodes, and the co-partitioned join is free anyway.
+    val withDeg = graft.Pins.repin("llm.pagerankEdges",
+      edges.join(deg.hint("shuffle_hash"), "src"))
+    // Initial ranks come FROM THE PIN, not from `deg`: deg's plan hangs
+    // off the unpinned edge subtree, so using it here would replay the
+    // full edge derivation (scan + distinct) a second time per run.
+    val pr0 = withDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(Scale).as("pr"))
+    var pr = pr0
+    var i = 0
+    while (i < iterations) {
+      // shuffle_hash with ranks as build side: no per-round sort of
+      // the edge frame (SMJ would sort both sides every iteration);
+      // a rank-table partition is node-count/N — hash-buildable at
+      // any graph size that has sane N.
+      pr = withDeg.join(pr.hint("shuffle_hash"),
+          withDeg("src") === pr("node"))
+        .select(col("dst"), expr("pr div deg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("s"))
+        .select(col("dst").as("node"),
+          (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("pr"))
+      i += 1
+    }
+    pr
+  }
+
+  val queries: Map[String, Q] = Map(
+    // PageRank over the bipartite part↔supplier co-occurrence graph
+    // (an edge per distinct lineitem pairing, both directions =
+    // undirected): highly-ranked suppliers are those supplying many
+    // well-connected parts — the link-quality signal, 3 rounds. Node
+    // ids disjoint by parity: part → 2k, supplier → 2k+1.
+    "graph_pagerank" -> ((s, d) => {
+      // Both directions exploded BEFORE the distinct: `fwd.union(
+      // fwd.reversed)` plans the scan+distinct subtree TWICE; one
+      // explode + one distinct over 2× rows is one scan and one
+      // shuffle. Same edge set (reversal is a bijection on pairs).
+      val p = col("l_partkey") * 2
+      val su = col("l_suppkey") * 2 + 1
+      // repartition(src) BEFORE the distinct: hashpartitioning(src)
+      // satisfies the distinct's (src,dst) clustering AND everything
+      // pagerank needs, so this is the plan's ONLY edge-sized
+      // exchange (the pre-distinct shuffle forgoes map-side combine —
+      // right when pairs repeat a few times, as here; a
+      // heavily-duplicated edge source would distinct first).
+      val edges = T.lineitem(s, d)
+        .select(explode(array(
+          struct(p.as("src"), su.as("dst")),
+          struct(su.as("src"), p.as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst")
+      pagerank(edges, 3)
+        .select(
+          when(expr("node % 2") === 0, "part").otherwise("supplier")
+            .as("node_type"),
+          expr("node div 2").as("id"), col("pr"))
+        .orderBy(desc("pr"), col("node_type"), col("id"))
+        .limit(100)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // The same 3 rounds unrolled as a CTE chain; `//` is DuckDB's
+    // integer (floor) division — identical to Spark's `div` on the
+    // all-positive ranks, so the ranks are bit-equal.
+    "graph_pagerank" ->
+      """WITH f AS (
+        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem),
+        |e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS pr
+        |       FROM deg),
+        |r1 AS (SELECT e.dst AS node,
+        |         150000000000 + (85 * sum(r.pr // d.deg)) // 100 AS pr
+        |       FROM e JOIN r0 r ON e.src = r.node
+        |              JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         150000000000 + (85 * sum(r.pr // d.deg)) // 100 AS pr
+        |       FROM e JOIN r1 r ON e.src = r.node
+        |              JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |         150000000000 + (85 * sum(r.pr // d.deg)) // 100 AS pr
+        |       FROM e JOIN r2 r ON e.src = r.node
+        |              JOIN deg d ON e.src = d.src GROUP BY e.dst)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+        |         AS node_type,
+        |       node // 2 AS id, pr
+        |FROM r3 ORDER BY pr DESC, node_type, id LIMIT 100""".stripMargin
+  )
+}

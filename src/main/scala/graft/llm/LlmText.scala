@@ -261,6 +261,32 @@ object LlmText {
           (CorpusPipeline.scrubPiiPortable(col("text")) =!= col("text"))
             .as("pii_found"))
         .orderBy("doc_id")
+    }),
+
+    // Canonical text normalization (r8): Unicode NFC → lowercase →
+    // whitespace collapse → trim, the transform every downstream hash
+    // (dedup_*, text_fingerprint) silently assumes — composed vs
+    // decomposed accents are DIFFERENT strings to xxhash64/md5 until
+    // NFC folds them. NFC runs through the native codegen'd
+    // [[graft.functions.NfcNormalize]] expression (Spark has no
+    // built-in; a UDF here would put a codegen barrier in front of
+    // the whole corpus). The sf corpus text is ASCII (already NFC),
+    // so a decomposed/spacing suffix is planted per row to exercise
+    // the composition path on real data — both engines append the
+    // same bytes, so the oracle replays it.
+    "text_normalize" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      // "Cafe" + combining acute (U+0301) + doubled spaces + NBSP-free
+      // tail; NFC composes e+0301 → é, the regex collapses the runs.
+      val planted = concat(col("text"), lit(" Café  NAÏVE\tx "))
+      T.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(
+            lower(call_function("graft_nfc", planted)),
+            "\\s+", " ").as("text_norm"))
+        .withColumn("text_norm", trim(col("text_norm")))
+        .withColumn("n_chars_norm", length(col("text_norm")).cast("long"))
+        .orderBy("doc_id")
     })
   )
 
@@ -413,7 +439,22 @@ object LlmText {
          |FROM read_json('${graft.operators.ScanOps.jsonlPath}',
          |  format='newline_delimited',
          |  columns={'doc_id':'BIGINT','text':'VARCHAR','source':'VARCHAR'})
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // Same decomposed suffix via chr(769)=U+0301, chr(776)=U+0308,
+    // chr(9)=tab; utf8proc's NFC == the JDK's NFC (both implement the
+    // Unicode canonical-composition algorithm).
+    "text_normalize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' Cafe' || chr(769) || '  NAI' || chr(776) ||
+        |           'VE' || chr(9) || 'x ' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       trim(regexp_replace(lower(nfc_normalize(t)),
+        |                           '\s+', ' ', 'g')) AS text_norm,
+        |       length(trim(regexp_replace(lower(nfc_normalize(t)),
+        |                           '\s+', ' ', 'g'))) AS n_chars_norm
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 
   /** The oracle's scrub expression is GENERATED from the same pattern

@@ -124,6 +124,31 @@ object WindowOps {
         .orderBy("user_id", "session_id")
     }),
 
+    // Gaps-and-islands (r8): maximal runs of CONSECUTIVE active days
+    // per user — retention streaks, sensor-uptime spans, contiguous
+    // coverage audit. The classic trick: within a user, day −
+    // row_number() is CONSTANT exactly while days are consecutive, so
+    // that difference IS the island id — pure integer math, no
+    // iteration, no self-join. Two shuffles total at any scale: the
+    // (user, day) distinct agg, then the user-partitioned window (the
+    // island groupBy reuses the window's user partitioning clustered
+    // one level finer — hashpartitioning(user, grp) — Spark re-shuffles
+    // subtotal-sized island rows, not events).
+    "win_islands" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+      T.events(s, d)
+        .groupBy(col("user_id"), to_date(tsec).as("day")).agg(count(lit(1)))
+        .withColumn("grp",
+          datediff(col("day"), lit("1970-01-01").cast("date")) -
+            row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(T.dstr(min(col("day"))).as("streak_start"),
+          T.dstr(max(col("day"))).as("streak_end"),
+          count(lit(1)).as("len_days"))
+        .select("user_id", "streak_start", "streak_end", "len_days")
+        .orderBy("user_id", "streak_start")
+    }),
+
     // first/last/nth over the FULL partition frame (default frame stops
     // at currentRow, which silently breaks last_value).
     "win_firstlast" -> ((s, d) => {
@@ -188,6 +213,23 @@ object WindowOps {
         |ORDER BY o_orderkey""".stripMargin,
     // DuckDB sum(int) is HUGEINT — cast the running session id back to
     // BIGINT so the schema matches Spark's long.
+    // Same day − row_number() island id; datediff pins both engines
+    // to integer day arithmetic.
+    "win_islands" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(date_trunc('second', ts) AS DATE) AS day
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, day,
+        |    datediff('day', DATE '1970-01-01', day)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d)
+        |SELECT user_id,
+        |       strftime(min(day), '%Y-%m-%d') AS streak_start,
+        |       strftime(max(day), '%Y-%m-%d') AS streak_end,
+        |       count(*) AS len_days
+        |FROM r GROUP BY user_id, grp
+        |ORDER BY user_id, streak_start""".stripMargin,
     "win_session" ->
       """WITH e AS (
         |  SELECT user_id, event_id, date_trunc('second', ts) AS tsec,

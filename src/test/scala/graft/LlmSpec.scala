@@ -431,4 +431,26 @@ class LlmSpec extends SparkSpec {
     // histogram is normalized: sums to ~1
     f1.foreach(f => assert(math.abs(f.sum - 1f) < 1e-3))
   }
+
+  test("LlmGraph.pagerank: hand-computed path graph, hub dominance, determinism") {
+    import spark.implicits._
+    import graft.llm.LlmGraph
+    // Undirected path a(1)—b(2)—c(3): deg a=1, b=2, c=1. One round
+    // from uniform SCALE ranks (S = 10^12, damping 85/100 integer):
+    //   pr(a) = 0.15S + (85 · S/2) div 100 = 150e9 + 425e9 = 575e9
+    //   pr(b) = 0.15S + (85 · 2S)  div 100 = 150e9 + 1700e9 = 1850e9
+    val fwd = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val r1 = LlmGraph.pagerank(edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 575000000000L, 2L -> 1850000000000L,
+      3L -> 575000000000L), r1.toString)
+    // More rounds keep the hub on top and total mass ≈ conserved
+    // (integer floors only ever LOSE sub-unit mass, never create it)
+    val r3 = LlmGraph.pagerank(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(2L) > r3(1L) && r3(1L) == r3(3L), r3.toString)
+    assert(r3.values.sum <= 3L * LlmGraph.Scale &&
+      r3.values.sum > 3L * LlmGraph.Scale - 1000L, r3.values.sum.toString)
+  }
 }

@@ -110,6 +110,30 @@ class OperatorSemanticsSpec extends SparkSpec {
       (4L, "multi word", Some(10L), 0.1)))
   }
 
+  test("win_islands: consecutive-day runs split exactly at gaps") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // user 1: days 1,2,3 | 5 | 10,11 → three islands of len 3,1,2;
+    // user 2: one day → one island of len 1
+    val days = Seq((1L, 1), (1L, 2), (1L, 3), (1L, 5), (1L, 10), (1L, 11),
+      (2L, 7)).map { case (u, off) => (u, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(off.toLong).toString)) }
+      .toDF("user_id", "day")
+    val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+    val islands = days
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(graft.T.dstr(min(col("day"))).as("s"), count(lit(1)).as("len"))
+      .select("user_id", "s", "len")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(islands == Set(
+      (1L, "2024-01-02", 3L), (1L, "2024-01-06", 1L),
+      (1L, "2024-01-11", 2L), (2L, "2024-01-08", 1L)), islands.toString)
+  }
+
   test("AsOf.asofJoin equals the ranked-window emulation on real data") {
     import graft.operators.AsOf
     val e = T.events(spark, sf).select("event_id", "ts", "user_id")

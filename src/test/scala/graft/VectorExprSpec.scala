@@ -110,4 +110,28 @@ class VectorExprSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [graft_minhash"), plan)
   }
+
+  test("graft_nfc: composes decomposed sequences, identity on normal text, codegen'd") {
+    VectorExpressions.register(spark)
+    // e + U+0301 → é; I + U+0308 → Ï; ASCII unchanged; empty ok;
+    // null passes through (UnaryExpression null-safe path)
+    val df = Seq(
+      (1L, Some("Café")), (2L, Some("NAÏVE")),
+      (3L, Some("plain ascii")), (4L, Some("")), (5L, None))
+      .toDF("id", "t")
+    val got = df.select(col("id"), call_function("graft_nfc", col("t")))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == Map(1L -> "Café", 2L -> "NAÏVE",
+      3L -> "plain ascii", 4L -> "", 5L -> null), got.toString)
+    // already-NFC strings take the allocation-free fast path and
+    // compare reference-equal through compute()
+    val s = org.apache.spark.unsafe.types.UTF8String.fromString("abc")
+    assert(graft.functions.NfcNormalize.compute(s) eq s)
+    // stays inside whole-stage codegen over a parquet scan
+    val plan = T.documents(spark, sf)
+      .select(call_function("graft_nfc", col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_nfc"), plan)
+  }
 }
