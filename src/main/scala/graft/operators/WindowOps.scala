@@ -149,6 +149,48 @@ object WindowOps {
         .orderBy("user_id", "streak_start")
     }),
 
+    // Ordered conversion funnel (r8): how far does each user get
+    // through view → click → purchase, with ORDER enforced (a click
+    // before the first view doesn't count — the funnel is a sequence,
+    // not a set; that's what separates this from three filters) and a
+    // per-step conversion window (1 day — without one, any long-lived
+    // user eventually completes and the funnel degenerates; with it
+    // the sf fixture splits 90/35/25 across stages). The sequential
+    // dependency chains through window passes: t1 = first view, t2 =
+    // first click in (t1, t1+1d], t3 = first purchase in (t2, t2+1d]
+    // — each min(when) references the previous pass's column. All
+    // three windows and the per-user collapse share one user_id
+    // partitioning: ONE event-sized shuffle at any scale, then a
+    // stage-count agg over user-sized rows. Null comparisons do the
+    // stage gating for free (es > null → null → min skips it).
+    "win_funnel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      val es = unix_timestamp(tsec)
+      val step = 86400L
+      T.events(s, d)
+        .select(col("user_id"), col("event_type"), es.as("es"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("es"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" &&
+            col("es") > col("t1") && col("es") <= col("t1") + step,
+            col("es"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            col("es") > col("t2") && col("es") <= col("t2") + step,
+            col("es"))).over(w))
+        .groupBy("user_id")
+        .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+        .select(
+          when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"),
+          (col("t3") - col("t1")).as("secs"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_users"),
+          round(avg(col("secs")), 2).as("avg_secs_view_to_purchase"))
+        .orderBy("stage")
+    }),
+
     // first/last/nth over the FULL partition frame (default frame stops
     // at currentRow, which silently breaks last_value).
     "win_firstlast" -> ((s, d) => {
@@ -230,6 +272,34 @@ object WindowOps {
         |       count(*) AS len_days
         |FROM r GROUP BY user_id, grp
         |ORDER BY user_id, streak_start""".stripMargin,
+    // Same chained window-min funnel; avg(BIGINT) is DOUBLE in both
+    // engines, secs is only ever non-null at stage 3.
+    "win_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS es
+        |  FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN es END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND es > t1
+        |                          AND es <= t1 + 86400 THEN es END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND es > t2
+        |                          AND es <= t2 + 86400 THEN es END)
+        |         OVER (PARTITION BY user_id) AS t3 FROM w2),
+        |u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        |      FROM w3 GROUP BY 1),
+        |st AS (SELECT user_id,
+        |         CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |                   WHEN t2 IS NOT NULL THEN 2
+        |                   WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        |              AS BIGINT) AS stage,
+        |         t3 - t1 AS secs
+        |       FROM u)
+        |SELECT stage, count(*) AS n_users,
+        |       CAST(round(avg(secs), 2) AS DOUBLE)
+        |         AS avg_secs_view_to_purchase
+        |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
     "win_session" ->
       """WITH e AS (
         |  SELECT user_id, event_id, date_trunc('second', ts) AS tsec,

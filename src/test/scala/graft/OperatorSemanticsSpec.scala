@@ -134,6 +134,62 @@ class OperatorSemanticsSpec extends SparkSpec {
       (1L, "2024-01-11", 2L), (2L, "2024-01-08", 1L)), islands.toString)
   }
 
+  test("win_funnel idiom: order enforced, conversion window gates, secs exact") {
+    import spark.implicits._
+    // u1 completes: view@0 → click@100 → purchase@200 (secs = 200)
+    // u2 stalls at view: only click is BEFORE the view (order!)
+    // u3 stalls at click: purchase outside the 1-day window from t2
+    // u4 never views → stage 0 even with click+purchase present
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "click", 100L), (1L, "purchase", 200L),
+      (2L, "click", 50L), (2L, "view", 60L),
+      (3L, "view", 0L), (3L, "click", 10L), (3L, "purchase", 10 + 86401L),
+      (4L, "click", 5L), (4L, "purchase", 6L))
+      .toDF("user_id", "event_type", "es")
+    val w = Window.partitionBy("user_id")
+    val step = 86400L
+    val staged = ev
+      .withColumn("t1", min(when(col("event_type") === "view", col("es"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("es") > col("t1") && col("es") <= col("t1") + step, col("es"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("es") > col("t2") && col("es") <= col("t2") + step, col("es"))).over(w))
+      .groupBy("user_id")
+      .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"),
+        (col("t3") - col("t1")).as("secs"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(staged == Map(1L -> (3L, 200L), 2L -> (1L, -1L),
+      3L -> (2L, -1L), 4L -> (0L, -1L)), staged.toString)
+  }
+
+  test("ts_interp: observed rows pass through, gap rows on the exact line") {
+    val out = graft.operators.TimeSeries.queries("ts_interp")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    // observed days: interp_v === day_v bit-for-bit
+    out.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getDouble(3) == r.getDouble(4), r.toString)
+    }
+    // gap days: recompute the line in Scala from the flanking observed
+    // rows (same IEEE ops, so exact equality is the right assertion)
+    val byUser = out.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      val obs = sorted.filter(!_.isNullAt(3)).map(r => r.getLong(1) -> r.getDouble(3))
+      sorted.filter(_.isNullAt(3)).foreach { r =>
+        val d = r.getLong(1)
+        val (ps, pv) = obs.filter(_._1 < d).last
+        val (ns, nv) = obs.filter(_._1 > d).head
+        val expect = pv + (nv - pv) * ((d - ps).toDouble / (ns - ps).toDouble)
+        assert(r.getDouble(4) == expect, s"$d: ${r.getDouble(4)} != $expect")
+      }
+    }
+  }
+
   test("AsOf.asofJoin equals the ranked-window emulation on real data") {
     import graft.operators.AsOf
     val e = T.events(spark, sf).select("event_id", "ts", "user_id")
