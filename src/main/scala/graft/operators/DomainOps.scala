@@ -94,6 +94,36 @@ object DomainOps {
         .orderBy("user_id")
     }),
 
+    // SCD Type-2 build (r8): compress a change-event history into
+    // versioned dimension rows with [valid_from, valid_to) intervals —
+    // the warehouse-modeling dual of dedup_version (which keeps ONLY
+    // the latest state; SCD2 keeps every state with its validity
+    // span). Change detection and interval stitching are two window
+    // passes over the SAME o_custkey partitioning — one shuffle total:
+    // lag() marks rows whose tracked attribute differs from the
+    // previous row (version starts), then lead() over the surviving
+    // rows closes each version with the next one's start date. The
+    // open version gets the 9999-12-31 sentinel + is_current, the
+    // standard SCD2 convention, so point-in-time lookups are a plain
+    // BETWEEN (and compose with AsOf.asofJoin for fact stitching).
+    "scd2_build" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("od").asc, col("o_orderkey").asc)
+      T.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderpriority").as("prio"), col("o_orderdate").as("od"))
+        .withColumn("prev", lag(col("prio"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("prio"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("vt", lead(col("od"), 1).over(w))
+        .select(col("o_custkey"), col("version"),
+          col("prio").as("o_orderpriority"),
+          T.dstr(col("od")).as("valid_from"),
+          coalesce(T.dstr(col("vt")), lit("9999-12-31")).as("valid_to"),
+          col("vt").isNull.as("is_current"))
+        .orderBy("o_custkey", "version")
+    }),
+
     // 3-level hierarchical rollup over the joined region tree — the
     // AGS Land→Kreis→Gemeinde prefix aggregation analogue.
     "region_rollup" -> ((s, d) => {
@@ -159,6 +189,29 @@ object DomainOps {
         |SELECT user_id, event_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts, event_type
         |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // Same lag-filter-lead replay; row_number/lead recompute over the
+    // filtered rows in both engines identically.
+    "scd2_build" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority AS prio,
+        |         o_orderdate AS od,
+        |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |v AS (
+        |  SELECT o_custkey, o_orderkey, prio, od FROM o
+        |  WHERE prev IS NULL OR prev <> prio),
+        |r AS (
+        |  SELECT o_custkey, prio, od,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    lead(od) OVER w AS vt
+        |  FROM v WINDOW w AS (PARTITION BY o_custkey
+        |                      ORDER BY od, o_orderkey))
+        |SELECT o_custkey, version, prio AS o_orderpriority,
+        |       strftime(od, '%Y-%m-%d') AS valid_from,
+        |       coalesce(strftime(vt, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+        |       vt IS NULL AS is_current
+        |FROM r ORDER BY o_custkey, version""".stripMargin,
     "region_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region_name,
         |       coalesce(n_name, 'ALL') AS nation_name,

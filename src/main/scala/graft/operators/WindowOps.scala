@@ -191,6 +191,30 @@ object WindowOps {
         .orderBy("stage")
     }),
 
+    // Cohort retention (r8): the product-analytics triangle — users
+    // bucketed by their FIRST active week (the cohort), counted at
+    // each later week they return. Week index is pure integer math
+    // (days since the Monday 1970-01-05, `div 7`) so both engines
+    // bucket identically with no locale/week-start semantics in play.
+    // Shape mirrors win_islands: a (user, week) distinct agg, then a
+    // user-partitioned window for the per-user min — two shuffles at
+    // any scale, and the final (cohort, offset) agg runs over rows
+    // already unique per (user, week), so a plain count IS the
+    // distinct-user count (no count-distinct shuffle).
+    "win_retention" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      T.events(s, d)
+        .groupBy(col("user_id"),
+          expr("datediff(to_date(date_trunc('second', ts)), " +
+            "date '1970-01-05') div 7").cast("long").as("week"))
+        .agg(count(lit(1)))
+        .withColumn("cohort", min(col("week")).over(w))
+        .groupBy(col("cohort").as("cohort_week"),
+          (col("week") - col("cohort")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // first/last/nth over the FULL partition frame (default frame stops
     // at currentRow, which silently breaks last_value).
     "win_firstlast" -> ((s, d) => {
@@ -300,6 +324,21 @@ object WindowOps {
         |       CAST(round(avg(secs), 2) AS DOUBLE)
         |         AS avg_secs_view_to_purchase
         |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
+    // Same integer week bucketing (days since a fixed Monday, integer
+    // div); rows are unique per (user, week) so count(*) = users.
+    "win_retention" ->
+      """WITH uw AS (
+        |  SELECT user_id,
+        |    datediff('day', DATE '1970-01-05',
+        |      CAST(date_trunc('second', ts) AS DATE)) // 7 AS week
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT user_id, week,
+        |    min(week) OVER (PARTITION BY user_id) AS cohort
+        |  FROM uw)
+        |SELECT cohort AS cohort_week, week - cohort AS week_offset,
+        |       count(*) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     "win_session" ->
       """WITH e AS (
         |  SELECT user_id, event_id, date_trunc('second', ts) AS tsec,

@@ -436,4 +436,57 @@ class OperatorSemanticsSpec extends SparkSpec {
         s"${salted.size} vs ${plain.size} rows")
     }
   }
+
+  test("win_retention idiom: cohort = first week, offsets count returners") {
+    // u1 first active week 0, returns weeks 1 and 3 (two rows in week 1
+    // collapse to one); u2 first active week 1 only; u3 first week 0,
+    // returns week 1 → cohort 0 has offsets {0:2, 1:1, 3:1}, cohort 1
+    // has {0:1}.
+    val uw = Seq((1L, 0L), (1L, 1L), (1L, 1L), (1L, 3L),
+        (2L, 1L), (3L, 0L), (3L, 1L))
+      .toDF("user_id", "week")
+    val w = Window.partitionBy("user_id")
+    val out = uw.groupBy("user_id", "week").agg(count(lit(1)))
+      .withColumn("cohort", min(col("week")).over(w))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("off"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 2L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L), out.toString)
+  }
+
+  test("scd2_build idiom: versions split on change, intervals chain, one current") {
+    // Customer 1: A,A,B,A over days 1..4 → versions A[1,3) B[3,4)
+    // A[4,∞); customer 2: single state → one open version.
+    val hist = Seq(
+      (1L, 101L, "A", "2024-01-01"), (1L, 102L, "A", "2024-01-02"),
+      (1L, 103L, "B", "2024-01-03"), (1L, 104L, "A", "2024-01-04"),
+      (2L, 201L, "X", "2024-01-05"))
+      .toDF("ck", "ok", "st", "od").withColumn("od", col("od").cast("timestamp"))
+    val w = Window.partitionBy("ck").orderBy(col("od").asc, col("ok").asc)
+    val scd = hist
+      .withColumn("prev", lag(col("st"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("st"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("vt", lead(col("od"), 1).over(w))
+      .select(col("ck"), col("version"), col("st"),
+        T.dstr(col("od")).as("vf"),
+        coalesce(T.dstr(col("vt")), lit("9999-12-31")).as("vt"),
+        col("vt").isNull.as("cur"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getBoolean(5))).toSet
+    assert(scd == Set(
+      (1L, 1L, "A", "2024-01-01", "2024-01-03", false),
+      (1L, 2L, "B", "2024-01-03", "2024-01-04", false),
+      (1L, 3L, "A", "2024-01-04", "9999-12-31", true),
+      (2L, 1L, "X", "2024-01-05", "9999-12-31", true)), scd.toString)
+    // Exactly one current version per entity, and intervals chain:
+    // each non-current version's valid_to = the next version's
+    // valid_from (no gaps, no overlaps).
+    val byCk = scd.groupBy(_._1)
+    assert(byCk.forall { case (_, vs) => vs.count(_._6) == 1 })
+    for ((_, vs) <- byCk; v <- vs if !v._6)
+      assert(vs.exists(n => n._2 == v._2 + 1 && n._4 == v._5))
+  }
 }
