@@ -129,6 +129,55 @@ object CorpusPipeline {
         / 1000000.0 < frac)
   }
 
+  /** Target-proportion training-mix rebalance — the static data-mixing
+    * stage of a pretraining pipeline (fix the domain/language mix at
+    * e.g. 50% en / 20% de / … by DOWNSAMPLING overrepresented strata;
+    * the DoReMi-style reweighting story with fixed weights).
+    *
+    * [[stratifiedSample]] applies CALLER-GIVEN fractions; this derives
+    * them FROM the data: the largest total hitting the target mix
+    * exactly without upsampling is `N = min_i floor(count_i·W/w_i)`
+    * (the binding stratum keeps everything, rate 1.0), and stratum i
+    * keeps `w_i·N/(W·count_i)` of its rows.
+    *
+    * Every arithmetic step is exact integer math (BigInt on the
+    * driver, mirrored by HUGEINT in the oracle SQL), and the keep
+    * decision is a string compare of the row's 60-bit md5 prefix
+    * against a per-stratum hex threshold — md5, not xxhash64, so a
+    * DuckDB oracle replays the SELECTION bit-for-bit (the first
+    * sampling key where the oracle checks the sampled ROWS, not just
+    * invariants). Both sides are zero-padded to 16 hex chars so the
+    * lexicographic compare IS the numeric compare, including the
+    * rate-1.0 sentinel threshold 2^60 = '1000000000000000'.
+    *
+    * Scale shape: one stratum-count aggregate collected to the driver
+    * (bounded: one row per stratum — the langid-profile pattern), then
+    * a pure per-row filter with the thresholds compiled into a literal
+    * when-chain — no join, no extra shuffle, partitioning-invariant
+    * (same seed → same rows on any cluster). Strata absent from
+    * `weights` drop, mirroring [[stratifiedSample]].
+    */
+  def corpusMix(docs: DataFrame, stratumCol: String, idCol: String,
+      weights: Map[String, Long], seed: Long): DataFrame = {
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val wsum = weights.values.sum
+    val counts = docs.groupBy(stratumCol).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (k, _) => counts.contains(k) }
+    require(present.nonEmpty, "no stratum in `weights` present in the data")
+    val n = present.map { case (k, w) => BigInt(counts(k)) * wsum / w }.min
+    val two60 = BigInt(1) << 60
+    val thresholds = present.map { case (k, w) =>
+      // ≤ 2^60 by construction (rate ≤ 1) — fits a Long for %016x.
+      k -> f"${((BigInt(w) * n * two60) / (BigInt(wsum) * counts(k))).toLong}%016x"
+    }
+    val th = thresholds.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(concat(lit("0"),
+      substring(md5(concat_ws(":", col(idCol), lit(seed))), 1, 15)) < th)
+  }
+
   /** Greedy sequence packing: group documents into fixed-token-budget
     * training sequences. Distributed form: shard by doc-id hash, pack
     * greedily within each shard by cumulative token count (one window
@@ -274,6 +323,19 @@ object CorpusPipeline {
         .select(col("doc_id"), col("lang"), col("sample_key"))
         .orderBy("doc_id")),
 
+    // Target-mix rebalance (r8): derive per-language keep rates that
+    // hit a 50/20/15/10/5 en/de/fr/es/zh mix exactly (in expectation)
+    // without upsampling — de is the binding stratum on the fixture
+    // (rate 1.0, keeps all rows). Fully oracled: integer thresholds +
+    // md5 selection replay bit-for-bit in DuckDB, unlike the xxhash64
+    // sampling keys.
+    "corpus_mix" -> ((s, d) =>
+      corpusMix(graft.T.documents(s, d), "lang", "doc_id",
+          Map("en" -> 50L, "de" -> 20L, "fr" -> 15L, "es" -> 10L,
+              "zh" -> 5L), seed = 42L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // Benchmark decontamination: the doc_id%17 slice plays the eval
     // benchmark, the rest is the training corpus; ≥5 shared distinct
     // 3-gram shingles flags a doc (99/470 docs at sf0.01 — a real
@@ -288,6 +350,22 @@ object CorpusPipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same integer threshold derivation in HUGEINT (exact, mirrors the
+    // driver-side BigInt), same 16-char zero-padded hex compare.
+    "corpus_mix" ->
+      """WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |wt AS (SELECT * FROM (VALUES ('en', 50), ('de', 20), ('fr', 15),
+        |                             ('es', 10), ('zh', 5)) AS t(lang, w)),
+        |j AS (SELECT wt.lang, w, c FROM wt JOIN cnt USING (lang)),
+        |n AS (SELECT min(c * 100 // w) AS n FROM j),
+        |th AS (SELECT lang,
+        |  printf('%016x', CAST(CAST(w AS HUGEINT) * (SELECT n FROM n)
+        |    * 1152921504606846976 // (100 * c) AS BIGINT)) AS thresh
+        |  FROM j)
+        |SELECT doc_id, lang FROM documents d JOIN th USING (lang)
+        |WHERE '0' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)
+        |      < thresh
+        |ORDER BY doc_id""".stripMargin,
     "sample_uniform_k" ->
       """SELECT doc_id, lang, sample_key FROM (
         |  SELECT doc_id, lang,

@@ -47,6 +47,47 @@ class PipelineSpec extends SparkSpec {
       "bins bounded by budget + one document")
   }
 
+  test("corpus_mix: selection replays exactly, binding stratum keeps all rows") {
+    import graft.llm.CorpusPipeline
+    val weights = Map("en" -> 50L, "de" -> 20L, "fr" -> 15L, "es" -> 10L,
+      "zh" -> 5L)
+    val docs = T.documents(spark, sf)
+    val out = CorpusPipeline.corpusMix(docs, "lang", "doc_id", weights, 42L)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // Independent driver-side replay of the whole derivation — counts,
+    // achievable total, thresholds, md5 selection — over the full
+    // 500-doc fixture: the operator's selection must match EXACTLY,
+    // not just in aggregate.
+    val all = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val counts = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val wsum = weights.values.sum
+    val n = weights.collect { case (k, w) if counts.contains(k) =>
+      BigInt(counts(k)) * wsum / w }.min
+    val two60 = BigInt(1) << 60
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = all.filter { case (id, lang) =>
+      weights.get(lang).exists { w =>
+        val t = (BigInt(w) * n * two60) / (BigInt(wsum) * counts(lang))
+        ("0" + md5hex(s"$id:42").take(15)) < f"${t.toLong}%016x"
+      }
+    }
+    assert(out.toSet == expected.toSet,
+      s"selection drifted: ${out.length} vs ${expected.length} rows")
+    // The binding stratum (the one that fixes N) has rate exactly 1.0
+    // — every one of its rows must survive, hitting the 2^60 sentinel
+    // threshold path.
+    val binding = weights.keys.filter(counts.contains)
+      .minBy(k => BigInt(counts(k)) * wsum / weights(k))
+    assert(out.count(_._2 == binding) == counts(binding),
+      s"binding stratum $binding must keep all ${counts(binding)} rows")
+    // And at least one stratum is genuinely thinned (non-degenerate).
+    assert(out.length < all.count(p => weights.contains(p._2)),
+      "mix must downsample at least one stratum")
+  }
+
   test("curate maxBandDf valve: generous cap keeps drop decisions identical") {
     import graft.llm.CorpusPipeline
     // A cap above every real band bucket's occupancy must not change
