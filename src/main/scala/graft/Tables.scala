@@ -12,9 +12,12 @@ import org.apache.spark.sql.types.DecimalType
   *     a raw double sum at sf0.1 magnitudes can differ between engines
   *     by more than a 4-dp rounding step.
   *   - Every declared query ends in a total-order sort on a unique key.
-  *   - `events.ts` is ns-precision parquet (Spark truncates to µs,
-  *     DuckDB keeps ns): always second-truncate / string-format before
-  *     comparing or emitting.
+  *   - `events.ts` arrives in whatever precision the fixture generator
+  *     last used (ns-as-LongType, µs TIMESTAMP_NTZ, or TIMESTAMP);
+  *     [[T.events]] normalizes all three to a session-zone TIMESTAMP,
+  *     so downstream code sees one dtype regardless of fixture vintage.
+  *     Still second-truncate / string-format before comparing or
+  *     emitting (DuckDB may keep finer precision than Spark).
   */
 object T {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -28,16 +31,42 @@ object T {
   def orders(s: SparkSession, d: String)     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String)   = t(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4's reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set here defensively
-    * and in every session builder) the column surfaces as epoch-nanos
-    * LongType; convert via integer `div` — NOT double division, which
-    * loses precision above 2^53 (epoch-nanos ≈ 1.7e18).
+  /** Schema-adaptive `events` loader. The fixture generator has shipped
+    * `ts` in three shapes across rounds, so branch on the LOADED dtype
+    * rather than assuming one:
+    *   - parquet TIMESTAMP(NANOS): Spark 4's reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]) unless
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set here
+    *     defensively), which surfaces epoch-nanos as LongType → convert
+    *     via integer `div` (double division loses precision above 2^53;
+    *     epoch-nanos ≈ 1.7e18).
+    *   - timestamp[us] → TIMESTAMP_NTZ: cast to session-zone TIMESTAMP.
+    *     The session is pinned UTC engine-wide, so the naive wall-clock
+    *     value is preserved bit-for-bit (same trick join_nearest uses
+    *     for o_orderdate).
+    *   - TIMESTAMP: pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(t(s, d, "events"))
+  }
+
+  /** Normalize a `ts` column of any fixture vintage to TIMESTAMP.
+    * Exposed separately from [[events]] so streaming reads (which go
+    * through `readStream`, not this loader) apply the identical
+    * branching.
+    */
+  def normalizeTs(raw: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema(colName).dataType match {
+      case LongType =>
+        raw.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn(colName, col(colName).cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"$colName has unsupported dtype $other — extend T.normalizeTs for this fixture shape")
+    }
   }
 
   def documents(s: SparkSession, d: String)  = t(s, d, "documents")

@@ -149,7 +149,10 @@ object LlmGraph {
   val oracle: Map[String, String] = Map(
     // The same 3 rounds unrolled as a CTE chain; `//` is DuckDB's
     // integer (floor) division — identical to Spark's `div` on the
-    // all-positive ranks, so the ranks are bit-equal.
+    // all-positive ranks, so the ranks are bit-equal. Each round's pr
+    // is CAST back to BIGINT because DuckDB widens sum(BIGINT) to
+    // HUGEINT, which the driver's pandas bridge turns into float64 —
+    // same bytes-level trap as the win_session running sum.
     "graph_pagerank" ->
       """WITH f AS (
         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -159,15 +162,15 @@ object LlmGraph {
         |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS pr
         |       FROM deg),
         |r1 AS (SELECT e.dst AS node,
-        |         150000000000 + (85 * sum(r.pr // d.deg)) // 100 AS pr
+        |         CAST(150000000000 + (85 * sum(r.pr // d.deg)) // 100 AS BIGINT) AS pr
         |       FROM e JOIN r0 r ON e.src = r.node
         |              JOIN deg d ON e.src = d.src GROUP BY e.dst),
         |r2 AS (SELECT e.dst AS node,
-        |         150000000000 + (85 * sum(r.pr // d.deg)) // 100 AS pr
+        |         CAST(150000000000 + (85 * sum(r.pr // d.deg)) // 100 AS BIGINT) AS pr
         |       FROM e JOIN r1 r ON e.src = r.node
         |              JOIN deg d ON e.src = d.src GROUP BY e.dst),
         |r3 AS (SELECT e.dst AS node,
-        |         150000000000 + (85 * sum(r.pr // d.deg)) // 100 AS pr
+        |         CAST(150000000000 + (85 * sum(r.pr // d.deg)) // 100 AS BIGINT) AS pr
         |       FROM e JOIN r2 r ON e.src = r.node
         |              JOIN deg d ON e.src = d.src GROUP BY e.dst)
         |SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END

@@ -195,9 +195,9 @@ class StreamingSpec extends SparkSpec {
     val src = java.nio.file.Paths.get(s"$sf/events.parquet")
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(src, dir.resolve("part-0.parquet"))
-    val schema = spark.read.parquet(dir.toString).schema // ts LONG under nanosAsLong
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val schema = spark.read.parquet(dir.toString).schema // ts dtype varies by fixture vintage
+    val stream = T.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
       .groupBy(window(date_trunc("second", col("ts")), "1 hour"))
       .agg(count(lit(1)).as("n"))
     val q = stream.writeStream.format("memory").queryName("fs_sink")
