@@ -162,7 +162,12 @@ object Bench {
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     // loadavg before/after make a loaded run self-describing: a high
     // pair says "numbers include ambient noise", without guessing.
-    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"errors":$errs,"retried":$retr,"loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg())},"sf":"$sfDir"}"""
+    // `value` sums only the TIMED keys (errors report -1, excluded), so
+    // the summary carries both counts explicitly: `nqueries` = declared
+    // sweep size, `timed` = keys the total actually covers. A consumer
+    // reading the JSON alone can tell a complete 130-key sweep from one
+    // where 30 keys errored out, without parsing prose.
+    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"timed":${results.count(_._2 >= 0)},"errors":$errs,"retried":$retr,"loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg())},"sf":"$sfDir"}"""
     println(summary)
     // COMMITTED detail artifact (r7 verdict #1): the driver records
     // only the last ~2.3 KB of stdout, which head-truncates the

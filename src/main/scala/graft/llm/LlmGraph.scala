@@ -86,25 +86,39 @@ object LlmGraph {
     // nodes, and the co-partitioned join is free anyway.
     val withDeg = graft.Pins.repin("llm.pagerankEdges",
       edges.join(deg.hint("shuffle_hash"), "src"))
-    // Initial ranks come FROM THE PIN, not from `deg`: deg's plan hangs
-    // off the unpinned edge subtree, so using it here would replay the
-    // full edge derivation (scan + distinct) a second time per run.
-    val pr0 = withDeg.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(Scale).as("pr"))
-    var pr = pr0
-    var i = 0
+    // One synchronous round: damp-and-sum per-edge contributions to dst.
+    def step(contribs: DataFrame): DataFrame =
+      contribs.groupBy("dst")
+        .agg(sum("contrib").as("s"))
+        .select(col("dst").as("node"),
+          (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("pr"))
+    if (iterations == 0)
+      // Degenerate zero-round form: every edge-participating node at
+      // the uniform initial rank (from the pin — re-deriving via `deg`
+      // would replay the whole edge subtree a second time).
+      return withDeg.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(Scale).as("pr"))
+    // Round 1 is algebraic: every initial rank is the SAME constant
+    // `Scale`, so contrib = Scale div deg needs no rank table at all —
+    // no initial-distinct shuffle, no first join. One full join round
+    // (plus its rank-side shuffle) deleted with bit-identical output;
+    // the unrolled oracle's r1 is exactly this simplification.
+    var pr = step(withDeg.select(
+      col("dst"), expr(s"${Scale}L div deg").as("contrib")))
+    var i = 1
     while (i < iterations) {
       // shuffle_hash with ranks as build side: no per-round sort of
       // the edge frame (SMJ would sort both sides every iteration);
       // a rank-table partition is node-count/N — hash-buildable at
-      // any graph size that has sane N.
+      // any graph size that has sane N. The rank table leaves step()
+      // hash-partitioned on node (dst→node is an alias), and the
+      // pinned edges are already clustered on src, so the per-round
+      // join moves NOTHING — the groupBy(dst) re-shuffle inside
+      // step() is each round's single exchange.
       pr = withDeg.join(pr.hint("shuffle_hash"),
           withDeg("src") === pr("node"))
         .select(col("dst"), expr("pr div deg").as("contrib"))
-        .groupBy("dst")
-        .agg(sum("contrib").as("s"))
-        .select(col("dst").as("node"),
-          (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("pr"))
+      pr = step(pr)
       i += 1
     }
     pr
