@@ -178,6 +178,78 @@ object CorpusPipeline {
       substring(md5(concat_ws(":", col(idCol), lit(seed))), 1, 15)) < th)
   }
 
+  /** Epoch-weighted corpus upsampling WITH repetition — the "2.5 epochs
+    * of Wikipedia, 0.5 epochs of CommonCrawl" semantics of real
+    * pretraining data recipes. [[corpusMix]] can only THIN strata
+    * toward a target mix; hitting a recipe that wants some stratum
+    * seen MORE than once per pass needs repetition, and repetition
+    * must be deterministic or two pipeline runs train on different
+    * token streams.
+    *
+    * Epochs are given in integer HUNDREDTHS (250 = 2.5 epochs) so all
+    * derivation is exact integer math: a doc in a stratum with E
+    * hundredths emits `E div 100` full copies plus one extra copy iff
+    * its 60-bit md5 prefix clears the `E mod 100` fractional
+    * threshold — the [[corpusMix]] hex-compare, so a DuckDB oracle
+    * replays the exact emitted ROWS, repetition included. Copies are
+    * numbered 1..n so downstream packing can interleave epochs
+    * deterministically.
+    *
+    * Scale shape: zero aggregation, zero joins — a literal when-chain
+    * per row then one `explode(sequence(...))` whose output is
+    * row-count × mean-epochs (the training set you asked for, not a
+    * blowup). Partitioning-invariant: the copy count is a pure
+    * function of (id, stratum, seed). Strata absent from `epochs`
+    * drop, mirroring [[corpusMix]]/[[stratifiedSample]].
+    */
+  def corpusUpsample(docs: DataFrame, stratumCol: String, idCol: String,
+      epochsHundredths: Map[String, Long], seed: Long): DataFrame = {
+    require(epochsHundredths.values.forall(_ >= 0), "epochs must be >= 0")
+    val two60 = BigInt(1) << 60
+    // Per-stratum full-copy count and fractional-gate threshold (16-hex
+    // zero-padded so lexicographic = numeric, the corpusMix contract).
+    val full = epochsHundredths.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, e)) =>
+        when(col(stratumCol) === k, lit(e / 100)).otherwise(acc)
+    }
+    val gate = epochsHundredths.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, e)) =>
+        when(col(stratumCol) === k,
+          lit(f"${(BigInt(e % 100) * two60 / 100).toLong}%016x")).otherwise(acc)
+    }
+    val nCopies = (full + when(concat(lit("0"),
+      substring(md5(concat_ws(":", col(idCol), lit(seed))), 1, 15)) < gate,
+      1L).otherwise(0L)).as("n_copies")
+    docs.select(col(idCol), col(stratumCol), nCopies)
+      // sequence(1, 0) in Spark infers step -1 and yields [1, 0] — a
+      // zero-copy row must be filtered out BEFORE the explode, not
+      // relied on to produce an empty array.
+      .filter(col("n_copies") >= 1)
+      .select(col(idCol), col(stratumCol),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
+  /** Deterministic train/val/test split — the reproducible-slice
+    * assignment every training pipeline needs before anything else
+    * touches the data. One md5 rank per row, compared against exact
+    * integer ppm-of-2^60 cut points: same (id, seed) → same split on
+    * any partitioning, any cluster, any engine. Pure per-row column
+    * math: no shuffle, no join, no state.
+    */
+  def trainValTestSplit(docs: DataFrame, idCol: String,
+      pctTrain: Int, pctVal: Int, seed: Long): DataFrame = {
+    require(pctTrain > 0 && pctVal >= 0 && pctTrain + pctVal < 100,
+      "need 0 < train, 0 <= val, train + val < 100 (test takes the rest)")
+    val two60 = BigInt(1) << 60
+    def hex(pct: Int) = f"${(BigInt(pct) * two60 / 100).toLong}%016x"
+    val r = concat(lit("0"),
+      substring(md5(concat_ws(":", col(idCol), lit(seed))), 1, 15))
+    docs.withColumn("split",
+      when(r < lit(hex(pctTrain)), "train")
+        .when(r < lit(hex(pctTrain + pctVal)), "val")
+        .otherwise("test"))
+  }
+
   /** Greedy sequence packing: group documents into fixed-token-budget
     * training sequences. Distributed form: shard by doc-id hash, pack
     * greedily within each shard by cumulative token count (one window
@@ -336,6 +408,23 @@ object CorpusPipeline {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // Epoch-weighted upsampling (r9): de seen 2.5×, fr 2×, en 1.5×,
+    // es 1.2×, zh halved — repetition AND thinning in one recipe.
+    // Fully oracled row-for-row, copies included.
+    "corpus_upsample" -> ((s, d) =>
+      corpusUpsample(graft.T.documents(s, d), "lang", "doc_id",
+          Map("en" -> 150L, "de" -> 250L, "fr" -> 200L, "es" -> 120L,
+              "zh" -> 50L), seed = 42L)
+        .orderBy("doc_id", "copy")),
+
+    // Deterministic 80/10/10 train/val/test split (r9). Fully oracled:
+    // the assignment replays bit-for-bit.
+    "sample_split" -> ((s, d) =>
+      trainValTestSplit(graft.T.documents(s, d), "doc_id",
+          pctTrain = 80, pctVal = 10, seed = 42L)
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id")),
+
     // Benchmark decontamination: the doc_id%17 slice plays the eval
     // benchmark, the rest is the training corpus; ≥5 shared distinct
     // 3-gram shingles flags a doc (99/470 docs at sf0.01 — a real
@@ -366,6 +455,31 @@ object CorpusPipeline {
         |WHERE '0' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)
         |      < thresh
         |ORDER BY doc_id""".stripMargin,
+    // Same hundredths→(full, fractional-threshold) integer derivation;
+    // generate_series(1, 0) is empty in DuckDB so zero-copy rows
+    // vanish without the Spark-side explicit filter.
+    "corpus_upsample" ->
+      """WITH ep AS (SELECT * FROM (VALUES ('en', 150), ('de', 250),
+        |                 ('fr', 200), ('es', 120), ('zh', 50)) AS t(lang, e)),
+        |n AS (SELECT doc_id, d.lang, e // 100 +
+        |  CASE WHEN '0' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)
+        |       < printf('%016x', CAST(CAST(e % 100 AS HUGEINT)
+        |           * 1152921504606846976 // 100 AS BIGINT))
+        |  THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN ep USING (lang))
+        |SELECT doc_id, lang,
+        |       unnest(generate_series(1, n_copies)) AS copy
+        |FROM n ORDER BY doc_id, copy""".stripMargin,
+    "sample_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN '0' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)
+        |         < printf('%016x', CAST(CAST(80 AS HUGEINT)
+        |             * 1152921504606846976 // 100 AS BIGINT)) THEN 'train'
+        |       WHEN '0' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)
+        |         < printf('%016x', CAST(CAST(90 AS HUGEINT)
+        |             * 1152921504606846976 // 100 AS BIGINT)) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_uniform_k" ->
       """SELECT doc_id, lang, sample_key FROM (
         |  SELECT doc_id, lang,

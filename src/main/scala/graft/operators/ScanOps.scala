@@ -49,6 +49,41 @@ object ScanOps {
 
   def ensureCsv(): String = T.ensureFile(csvPath, csvContent)
 
+  /** Write-once hive-partitioned copy of `events`, partitioned by
+    * `event_type` — the layout a 100 TB event store actually uses, so
+    * the engine's partition-DIRECTORY pruning surface (skip whole
+    * directories at planning time, before any file is opened) is
+    * exercised distinctly from `scan_pruned`'s row-group pushdown
+    * (skip pages inside files already opened). Staged like the
+    * jsonl/csv fixtures: build in a temp dir, atomic rename into
+    * place, losers of a cross-JVM race delete their copy — a reader
+    * sees a complete directory or none.
+    */
+  def ensureHivePartitioned(s: SparkSession, d: String): String = {
+    val name = d.replaceAll("[^A-Za-z0-9.]+", "_")
+    val dest = new java.io.File(s"/tmp/graft_hive_events_$name")
+    def ready = new java.io.File(dest, "_SUCCESS").exists()
+    if (!ready) ScanOps.synchronized {
+      if (!ready) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(java.nio.file.Paths.get("/tmp"), ".hive_stage")
+          .toFile
+        T.events(s, d).write.partitionBy("event_type")
+          .mode("overwrite").parquet(tmp.toString)
+        // A half-written dest (no _SUCCESS: a crashed writer) is dead
+        // weight — clear it so the rename can land.
+        if (dest.exists() && !ready) deleteRec(dest)
+        if (!tmp.renameTo(dest)) deleteRec(tmp) // lost the race: theirs won
+      }
+    }
+    dest.toString
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+    f.delete()
+  }
+
   val queries: Map[String, Q] = Map(
     // Columnar scan + projection; pushdown shows as ReadSchema pruning.
     // Sort covers EVERY projected column: (l_orderkey, l_linenumber) is
@@ -100,6 +135,23 @@ object ScanOps {
         .orderBy("id")
     }),
 
+    // Hive-partitioned read with partition-directory pruning (r9): the
+    // event_type filter resolves against DIRECTORY NAMES at planning
+    // time — 3 of 5 partitions are never listed, opened, or read
+    // (PartitionFilters in explain, asserted in PlanSpec), the scan
+    // mechanism that makes a 100 TB date/type-partitioned store
+    // queryable at all. Distinct from scan_pruned: that skips row
+    // groups INSIDE opened files via statistics; this skips whole
+    // subtrees via the catalog/layout.
+    "scan_hive_parts" -> ((s, d) => {
+      val path = ensureHivePartitioned(s, d)
+      s.read.parquet(path)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          T.tstr(col("ts")).as("ts_s"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // Schema-from-text parse analogue: the reference derives each cube's
     // layout from its header then splits delimited records
     // [R: genesapi/cube.py — UNVERIFIED]; here: tokenize and project
@@ -141,6 +193,13 @@ object ScanOps {
         |       string_split(text, ' ')[1] AS tok0,
         |       string_split(text, ' ')[2] AS tok1,
         |       string_split(text, ' ')[3] AS tok2
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Oracle reads the ORIGINAL single-file table: the partitioned copy
+    // holds the same rows, so only the engine-side access path differs.
+    "scan_hive_parts" ->
+      """SELECT event_id, user_id, event_type,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |ORDER BY event_id""".stripMargin
   )
 }

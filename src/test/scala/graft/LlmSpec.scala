@@ -453,4 +453,96 @@ class LlmSpec extends SparkSpec {
     assert(r3.values.sum <= 3L * LlmGraph.Scale &&
       r3.values.sum > 3L * LlmGraph.Scale - 1000L, r3.values.sum.toString)
   }
+
+  test("LlmGraph.components: hand graph, long-path compression, fixture validity") {
+    import spark.implicits._
+    import graft.llm.LlmGraph
+    // Two components {1,2,3} ∪ {10,11} plus a LONG path 20—…—29 whose
+    // diameter (9) exceeds the handful of rounds plain one-hop
+    // propagation would cover if pointer jumping were broken — the
+    // min label 20 must cross all 9 hops.
+    val fwd = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++
+      (20L until 29L).map(i => (i, i + 1))).toDF("src", "dst")
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val got = LlmGraph.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L) ++
+      (20L to 29L).map(_ -> 20L).toMap
+    assert(got == want, got.toString)
+    // Key-level validity on the fixture: every edge's endpoints agree
+    // on their component (the defining property a wrong fixpoint
+    // breaks first), and each component's representative is a member.
+    val out = LlmGraph.queries("graph_components")(spark, sf)
+      .select(when(col("node_type") === "part", col("id") * 2)
+        .otherwise(col("id") * 2 + 1).as("node"), col("component"))
+    val p = col("l_partkey") * 2
+    val su = col("l_suppkey") * 2 + 1
+    val fix = T.lineitem(spark, sf)
+      .filter(col("l_quantity") === 50 && col("l_partkey") % 10 === 0 &&
+        col("l_suppkey") % 2 === 0)
+      .select(p.as("src"), su.as("dst")).distinct()
+    val viol = fix
+      .join(out.select(col("node").as("src"), col("component").as("cs")), "src")
+      .join(out.select(col("node").as("dst"), col("component").as("cd")), "dst")
+      .filter(col("cs") =!= col("cd"))
+    assert(viol.count() == 0, "edge endpoints in different components")
+    val badRep = out.groupBy("component").agg(min("node").as("mn"))
+      .filter(col("component") =!= col("mn"))
+    assert(badRep.count() == 0, "component label must be its min member")
+  }
+
+  test("corpus_upsample: exact copy counts replayed, both directions exercised") {
+    import graft.llm.CorpusPipeline
+    val docs = T.documents(spark, sf)
+    val out = CorpusPipeline.corpusUpsample(docs, "lang", "doc_id",
+      Map("en" -> 150L, "de" -> 250L, "fr" -> 200L, "es" -> 120L,
+          "zh" -> 50L), seed = 42L)
+    // Driver-side replay of the integer derivation for every doc.
+    val two60 = BigInt(1) << 60
+    val eps = Map("en" -> 150L, "de" -> 250L, "fr" -> 200L,
+      "es" -> 120L, "zh" -> 50L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex15(id: Long): String = {
+      val h = md.digest(s"$id:42".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "0" + h.take(15)
+    }
+    val want = docs.select("doc_id", "lang").collect().flatMap { r =>
+      val (id, lang) = (r.getLong(0), r.getString(1))
+      val e = eps(lang)
+      val extra =
+        if (hex15(id) < f"${(BigInt(e % 100) * two60 / 100).toLong}%016x") 1 else 0
+      (1L to (e / 100 + extra)).map(c => (id, lang, c))
+    }.toSet
+    val got = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+    // The recipe must actually exercise BOTH directions on the fixture:
+    // some doc repeated (epochs > 1) and some doc dropped (zh at 0.5).
+    assert(want.exists(_._3 >= 2), "no doc was upsampled")
+    val zhIds = docs.filter(col("lang") === "zh").count()
+    val zhKept = got.filter(_._2 == "zh").map(_._1).size
+    assert(zhKept > 0 && zhKept < zhIds, s"zh kept $zhKept of $zhIds")
+  }
+
+  test("sample_split: total, disjoint, deterministic, roughly proportional") {
+    import graft.llm.CorpusPipeline
+    val docs = T.documents(spark, sf)
+    val out = CorpusPipeline.trainValTestSplit(docs, "doc_id", 80, 10, 42L)
+    assert(out.count() == docs.count(), "split must cover every row")
+    val byId = out.groupBy("doc_id").agg(countDistinct("split").as("n"))
+      .filter(col("n") =!= 1)
+    assert(byId.count() == 0, "a row lands in exactly one split")
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(math.abs(counts.getOrElse("train", 0L) / n - 0.8) < 0.1, counts.toString)
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+    // Partitioning-invariance: the assignment is a pure row function.
+    val re = CorpusPipeline.trainValTestSplit(
+      T.spread(docs), "doc_id", 80, 10, 42L)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(re == out.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
 }

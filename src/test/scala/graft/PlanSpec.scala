@@ -33,6 +33,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
   }
 
+  test("scan_hive_parts prunes partition DIRECTORIES, not just row groups") {
+    // The event_type filter must land in PartitionFilters (resolved
+    // against directory names at planning time — 3 of 5 partitions
+    // never opened), NOT survive as a post-scan data filter.
+    val p = plan("scan_hive_parts", ScanOps.queries)
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
+      s"event_type must be a partition filter: $p")
+  }
+
   test("scan_parquet prunes columns at the reader") {
     val p = plan("scan_parquet", ScanOps.queries)
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
