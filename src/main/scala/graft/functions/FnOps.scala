@@ -142,7 +142,57 @@ object FnOps {
           concat(col("l_linenumber").cast("string"), lit("-"), col("l_returnflag"))
             .as("ln_flag"),
           col("l_shipdate").cast("date").cast("string").as("ship_str"))
-        .orderBy("l_orderkey", "l_linenumber", "qty_int", "price_str", "ship_str"))
+        .orderBy("l_orderkey", "l_linenumber", "qty_int", "price_str", "ship_str")),
+
+    // Struct family (r9): build, access nested fields, and ORDER —
+    // struct comparison is lexicographic in both engines, which makes
+    // min(struct(a, b)) the codegen-friendly two-level argmin (the
+    // agg_minmax_by key does one level via max_by; the struct form
+    // composes to any depth and carries the full tuple out in one
+    // aggregate). Struct stays INTERNAL: fields are unpacked in the
+    // final projection (the house no-STRUCT-finals rule).
+    "fn_struct" -> ((s, d) => {
+      val pk = struct(col("o_totalprice").as("p"), col("o_orderkey").as("k"))
+      T.orders(s, d)
+        .select(col("o_custkey"),
+          pk.as("s"),
+          struct(col("o_orderstatus").as("st"),
+            struct(col("o_orderpriority").as("prio"),
+              col("o_orderkey").as("key")).as("inner")).as("n"))
+        .groupBy("o_custkey")
+        .agg(
+          min(col("s")).as("mn"),
+          max(col("s")).as("mx"),
+          min(col("n.inner.key")).as("min_key"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_custkey"),
+          col("mn.p").as("min_price"), col("mn.k").as("min_price_key"),
+          col("mx.p").as("max_price"), col("mx.k").as("max_price_key"),
+          col("min_key"), col("n_orders"))
+        .orderBy("o_custkey")
+    }),
+
+    // URL family (r9): extract → parse host/path/query-param →
+    // canonicalize, over the planted-URL jsonl fixture — the
+    // URL-grounded curation surface (domain blocklists, per-site
+    // quality priors, URL-canonical dedup keys) every web-corpus
+    // pipeline needs before content work. parse_url is codegen'd
+    // column work; the oracle replays it with anchored regexes (same
+    // answers on well-formed http(s) URLs — the fixture's population).
+    "fn_url" -> ((s, _) => {
+      val path = graft.operators.ScanOps.ensureJsonl()
+      s.read.schema("doc_id LONG, text STRING, source STRING").json(path)
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(text, 'https?://\\\\S+', 0)"))
+            .as("url"))
+        .select(col("doc_id"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("id")).as("qid"),
+          concat(lower(parse_url(col("url"), lit("HOST"))),
+            parse_url(col("url"), lit("PATH"))).as("canonical"))
+        .orderBy("doc_id", "url")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -233,6 +283,33 @@ object FnOps {
         |  CAST(l_linenumber AS VARCHAR) || '-' || l_returnflag AS ln_flag,
         |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, qty_int, price_str, ship_str""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, qty_int, price_str, ship_str""".stripMargin,
+    // struct_pack comparison is lexicographic field-by-field in DuckDB,
+    // matching Spark's struct ordering — a price tie falls through to
+    // the key field identically on both engines.
+    "fn_struct" ->
+      """SELECT o_custkey,
+        |  (min(struct_pack(p := o_totalprice, k := o_orderkey))).p AS min_price,
+        |  (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS min_price_key,
+        |  (max(struct_pack(p := o_totalprice, k := o_orderkey))).p AS max_price,
+        |  (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS max_price_key,
+        |  min(o_orderkey) AS min_key,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Anchored-regex replay of java.net.URI's host/path/query split —
+    // identical on the well-formed http(s) URLs the fixture plants.
+    "fn_url" ->
+      """SELECT doc_id, u AS url,
+        |  regexp_extract(u, 'https?://([^/?#:]+)', 1) AS host,
+        |  regexp_extract(u, 'https?://[^/?#]+(/[^?#]*)', 1) AS path,
+        |  nullif(regexp_extract(u, '[?&]id=([^&#]*)', 1), '') AS qid,
+        |  lower(regexp_extract(u, 'https?://([^/?#:]+)', 1)) ||
+        |    regexp_extract(u, 'https?://[^/?#]+(/[^?#]*)', 1) AS canonical
+        |FROM (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://\S+'))
+        |        AS u
+        |      FROM read_json('/tmp/graft_docs_pii.jsonl',
+        |        format='newline_delimited',
+        |        columns={'doc_id':'BIGINT','text':'VARCHAR','source':'VARCHAR'}))
+        |ORDER BY doc_id, url""".stripMargin
   )
 }

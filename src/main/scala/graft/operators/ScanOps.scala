@@ -26,7 +26,9 @@ object ScanOps {
     """{"doc_id": 2, "text": "server at 192.168.10.5 and 10.0.0.1 responded", "source": "logs"}""",
     """{"doc_id": 3, "text": "visit https://example.org/page?id=7 for details", "source": "web"}""",
     """{"doc_id": 4, "text": "clean text with no identifiers at all", "source": "book"}""",
-    """{"doc_id": 5, "text": "mixed http://a.io/x note x@y.de from 172.16.0.9", "source": "web"}""")
+    """{"doc_id": 5, "text": "mixed http://a.io/x note x@y.de from 172.16.0.9", "source": "web"}""",
+    """{"doc_id": 6, "text": "docs at https://WWW.Example.COM/docs/guide?x=2&id=9 and mirror http://cdn.example.com:8080/static/v2/app.js today", "source": "web"}""",
+    """{"doc_id": 7, "text": "see https://blog.example.org/posts/2024/01/intro#section-2 plus https://api.example.net/v1/items?id=42 ok", "source": "web"}""")
     .mkString("\n")
 
   val jsonlPath = "/tmp/graft_docs_pii.jsonl"
