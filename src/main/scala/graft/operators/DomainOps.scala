@@ -27,6 +27,24 @@ object DomainOps {
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Shared SCD2 core for `scd2_build` (which formats it) and
+    * `join_pit` (which joins facts against it): change-event history →
+    * versioned rows with typed [od, vt) spans — lag() marks version
+    * starts, lead() over the survivors closes each span; one
+    * o_custkey shuffle for both window passes.
+    */
+  private def scd2Raw(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("od").asc, col("o_orderkey").asc)
+    T.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderpriority").as("prio"), col("o_orderdate").as("od"))
+      .withColumn("prev", lag(col("prio"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("prio"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("vt", lead(col("od"), 1).over(w))
+  }
+
   val queries: Map[String, Q] = Map(
     // Long→wide pivot: measures become columns (fact building).
     "pivot_wide" -> ((s, d) =>
@@ -106,22 +124,41 @@ object DomainOps {
     // open version gets the 9999-12-31 sentinel + is_current, the
     // standard SCD2 convention, so point-in-time lookups are a plain
     // BETWEEN (and compose with AsOf.asofJoin for fact stitching).
-    "scd2_build" -> ((s, d) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("od").asc, col("o_orderkey").asc)
-      T.orders(s, d)
-        .select(col("o_custkey"), col("o_orderkey"),
-          col("o_orderpriority").as("prio"), col("o_orderdate").as("od"))
-        .withColumn("prev", lag(col("prio"), 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("prio"))
-        .withColumn("version", row_number().over(w).cast("long"))
-        .withColumn("vt", lead(col("od"), 1).over(w))
+    "scd2_build" -> ((s, d) =>
+      scd2Raw(s, d)
         .select(col("o_custkey"), col("version"),
           col("prio").as("o_orderpriority"),
           T.dstr(col("od")).as("valid_from"),
           coalesce(T.dstr(col("vt")), lit("9999-12-31")).as("valid_to"),
           col("vt").isNull.as("is_current"))
-        .orderBy("o_custkey", "version")
+        .orderBy("o_custkey", "version")),
+
+    // Point-in-time dimension lookup (r9): stitch each fact to the SCD2
+    // version that was valid AT its date — the query SCD2 exists to
+    // serve ("what was this customer's priority tier when the order
+    // shipped"). Plan shape is the load-bearing part: an EQUI join on
+    // the dimension key with the [valid_from, valid_to) range as a
+    // RESIDUAL predicate — shuffle-bounded on o_custkey like any
+    // equi-join (versions-per-key is small by construction), never a
+    // range-only BNLJ (the engine-wide PlanSpec cartesian sweep pins
+    // this). Half-open intervals make boundary facts land in the newer
+    // version deterministically; every fact matches exactly one
+    // version because the dimension derives from the same history.
+    "join_pit" -> ((s, d) => {
+      val dim = scd2Raw(s, d)
+        .select(col("o_custkey").as("d_cust"), col("version"),
+          col("prio"), col("od").as("vf"), col("vt"),
+          col("vt").isNull.as("is_current"))
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").as("od"))
+        .join(dim, col("o_custkey") === col("d_cust") &&
+          col("od") >= col("vf") &&
+          (col("vt").isNull || col("od") < col("vt")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          T.dstr(col("od")).as("order_date"), col("version"),
+          col("prio").as("prio_at_order"), col("is_current"))
+        .orderBy("o_orderkey")
     }),
 
     // 3-level hierarchical rollup over the joined region tree — the
@@ -212,6 +249,32 @@ object DomainOps {
         |       coalesce(strftime(vt, '%Y-%m-%d'), '9999-12-31') AS valid_to,
         |       vt IS NULL AS is_current
         |FROM r ORDER BY o_custkey, version""".stripMargin,
+    // Same versioned CTE; the PIT join replays the equi + half-open
+    // residual exactly.
+    "join_pit" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority AS prio,
+        |         o_orderdate AS od,
+        |         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |v AS (
+        |  SELECT o_custkey, o_orderkey, prio, od FROM o
+        |  WHERE prev IS NULL OR prev <> prio),
+        |r AS (
+        |  SELECT o_custkey, prio, od,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    lead(od) OVER w AS vt
+        |  FROM v WINDOW w AS (PARTITION BY o_custkey
+        |                      ORDER BY od, o_orderkey))
+        |SELECT f.o_orderkey, f.o_custkey,
+        |       strftime(f.o_orderdate, '%Y-%m-%d') AS order_date,
+        |       r.version, r.prio AS prio_at_order,
+        |       r.vt IS NULL AS is_current
+        |FROM orders f JOIN r ON f.o_custkey = r.o_custkey
+        |  AND f.o_orderdate >= r.od
+        |  AND (r.vt IS NULL OR f.o_orderdate < r.vt)
+        |ORDER BY f.o_orderkey""".stripMargin,
     "region_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region_name,
         |       coalesce(n_name, 'ALL') AS nation_name,
