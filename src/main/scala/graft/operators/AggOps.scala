@@ -307,6 +307,41 @@ object AggOps {
         .orderBy("bucket")
     }),
 
+    // Per-group least-squares regression (r9): slope/intercept/r² of
+    // value over time per event type — the trend-per-segment OLAP
+    // aggregate. Built-in regr_slope/regr_r2 accumulate in DOUBLES, so
+    // their results are partition-order-dependent (and engine-drifty);
+    // here the five MOMENT SUMS (Σx, Σx², Σy, Σy², Σxy) are exact
+    // DECIMAL aggregates — associative, order-free — and all downstream
+    // math is a fixed per-group scalar expression tree on identical
+    // inputs, hence bit-identical on any engine with binary64. Same
+    // map-side-combining two-phase hash aggregate as any sum; x is
+    // centered on a constant epoch so x² stays well inside the exact
+    // DECIMAL(37) product range. The oracle replays the identical tree.
+    "agg_linreg" -> ((s, d) => {
+      val x = (unix_timestamp(col("ts")) - lit(1704067200L))
+      val e = T.events(s, d).select(col("event_type"),
+        x.cast("decimal(18,0)").as("x"), T.dec(col("value")).as("y"))
+      val m = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+      val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
+      val sxyD = col("sxy").cast("double")
+      val num = nD * sxyD - sxD * syD
+      val den = nD * sxxD - sxD * sxD
+      m.select(col("event_type"), col("n"),
+          (num / den).as("slope"),
+          ((syD - (num / den) * sxD) / nD).as("intercept"),
+          ((num * num) / (den * (nD * syyD - syD * syD))).as("r2"))
+        .orderBy("event_type")
+    }),
+
     // Ordered list collection — the fact-doc measure-collection shape;
     // sort_array pins element order (SURVEY.md §7.4.5). Emitted as a
     // joined string: the driver comparator cannot hash ARRAY cells
@@ -361,6 +396,41 @@ object AggOps {
         |         * CAST(60000 AS DOUBLE) AS hi,
         |       count(*) AS n
         |FROM orders GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
+    // Exact-decimal moment sums, then the identical double expression
+    // tree — slope/intercept/r2 replay bit-for-bit (only the SUMS are
+    // order-sensitive; they are decimal-exact on both engines).
+    "agg_linreg" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(floor(extract(epoch FROM ts)) AS BIGINT)
+        |         - 1704067200 AS DECIMAL(18,0)) AS x,
+        |    CAST(value AS DECIMAL(18,4)) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(x*x) AS sxx,
+        |    sum(y) AS sy, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |  (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |     - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+        |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+        |  ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |   * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))) /
+        |  ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |   * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r2
+        |FROM m ORDER BY event_type""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
