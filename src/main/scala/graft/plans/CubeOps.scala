@@ -238,6 +238,34 @@ object CubeOps {
           col("measure"), col("value").cast("double").as("value"),
           col("quality"), col("revision"))
         .orderBy("region", "dims_json", "time", "measure")
+    }),
+
+    // Revision diff (r9): added/removed/changed/unchanged per cell
+    // between two revisions of the same cube — the incremental-sync
+    // report a catalog updater emits before applying cube_latest's
+    // merge ("what did this GENESIS release actually change"). FULL
+    // OUTER join on the cell key; PRESENCE markers distinguish
+    // "absent from revision" from "present with NULL value" (GENESIS
+    // null tokens make value-NULL a real state), and the value compare
+    // is null-safe (<=>). At catalog scale this is an equi-join on the
+    // cell key — shuffle-bounded, broadcastable when one revision is a
+    // small delta.
+    "cube_diff" -> ((s, _) => {
+      def cells(path: String, valueAs: String, marker: String) =
+        CubePipeline.normalized(CubeParser.parse(s, path, "12411"))
+          .select(col("region"), to_json(col("dims")).as("dims_json"),
+            col("time"), col("value").cast("double").as(valueAs),
+            lit(true).as(marker))
+      val a = cells(ensureFixture(), "old_value", "in_v1")
+      val b = cells(ensureFixtureV2(), "new_value", "in_v2")
+      a.join(b, Seq("region", "dims_json", "time"), "full_outer")
+        .select(col("region"), col("dims_json"), col("time"),
+          when(coalesce(col("in_v1"), lit(false)) === false, "added")
+            .when(coalesce(col("in_v2"), lit(false)) === false, "removed")
+            .when(col("old_value") <=> col("new_value"), "unchanged")
+            .otherwise("changed").as("status"),
+          col("old_value"), col("new_value"))
+        .orderBy("region", "dims_json", "time")
     })
   )
 
@@ -438,6 +466,35 @@ object CubeOps {
          |  '{"GES":"' || ges || '"}' AS dims_json, t AS "time",
          |  'BEVSTD' AS measure, value, quality, revision
          |FROM r WHERE rn = 1
-         |ORDER BY region, dims_json, "time", measure""".stripMargin
+         |ORDER BY region, dims_json, "time", measure""".stripMargin,
+    // Same cell extraction from both CSVs; FULL OUTER on the cell key
+    // with presence markers, null-safe value compare via
+    // IS NOT DISTINCT FROM.
+    "cube_diff" ->
+      s"""WITH r1 AS (${duckDataOf(fixturePath)}),
+         |r2 AS (${duckDataOf(fixtureV2Path)}),
+         |a AS (
+         |  SELECT c1 AS region, '{"GES":"' || c2 || '"}' AS dims_json,
+         |    CAST(c3 AS INT) AS t,
+         |    CASE WHEN c4 IN $duckNull THEN NULL
+         |         ELSE CAST(c4 AS DOUBLE) END AS old_value,
+         |    true AS in_v1
+         |  FROM r1),
+         |b AS (
+         |  SELECT c1 AS region, '{"GES":"' || c2 || '"}' AS dims_json,
+         |    CAST(c3 AS INT) AS t,
+         |    CASE WHEN c4 IN $duckNull THEN NULL
+         |         ELSE CAST(c4 AS DOUBLE) END AS new_value,
+         |    true AS in_v2
+         |  FROM r2)
+         |SELECT region, dims_json, t AS "time",
+         |  CASE WHEN coalesce(in_v1, false) = false THEN 'added'
+         |       WHEN coalesce(in_v2, false) = false THEN 'removed'
+         |       WHEN old_value IS NOT DISTINCT FROM new_value
+         |         THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  old_value, new_value
+         |FROM a FULL OUTER JOIN b USING (region, dims_json, t)
+         |ORDER BY region, dims_json, "time"""".stripMargin
   )
 }
