@@ -86,6 +86,36 @@ object ScanOps {
     f.delete()
   }
 
+  /** Write-once pair of parquet directories with EVOLVED schemas: v1
+    * carries (o_orderkey, o_totalprice) for even keys, v2 adds
+    * o_orderpriority for odd keys — the years-of-data reality a 100 TB
+    * store accumulates (columns appear over time; old files never get
+    * rewritten). Same staging discipline as the hive fixture.
+    */
+  def ensureEvolved(s: SparkSession, d: String): (String, String) = {
+    val name = d.replaceAll("[^A-Za-z0-9.]+", "_")
+    val v1 = new java.io.File(s"/tmp/graft_evolved_v1_$name")
+    val v2 = new java.io.File(s"/tmp/graft_evolved_v2_$name")
+    def ready(f: java.io.File) = new java.io.File(f, "_SUCCESS").exists()
+    def stage(dest: java.io.File)(df: org.apache.spark.sql.DataFrame): Unit =
+      if (!ready(dest)) ScanOps.synchronized {
+        if (!ready(dest)) {
+          val tmp = java.nio.file.Files
+            .createTempDirectory(java.nio.file.Paths.get("/tmp"), ".evo_stage")
+            .toFile
+          df.write.mode("overwrite").parquet(tmp.toString)
+          if (dest.exists() && !ready(dest)) deleteRec(dest)
+          if (!tmp.renameTo(dest)) deleteRec(tmp)
+        }
+      }
+    val o = T.orders(s, d)
+    stage(v1)(o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice")))
+    stage(v2)(o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")))
+    (v1.toString, v2.toString)
+  }
+
   val queries: Map[String, Q] = Map(
     // Columnar scan + projection; pushdown shows as ReadSchema pruning.
     // Sort covers EVERY projected column: (l_orderkey, l_linenumber) is
@@ -154,6 +184,23 @@ object ScanOps {
         .orderBy("event_id")
     }),
 
+    // Schema-evolution read (r9): one logical dataset whose files were
+    // written YEARS apart with different schemas — mergeSchema=true
+    // unions the per-file schemas at planning time and null-fills the
+    // columns a file predates. Without it Spark trusts one random
+    // file's footer and silently DROPS the newer columns; at 100 TB
+    // nobody rewrites old files when a column lands, so this read mode
+    // is how evolved stores stay queryable. (Not the default because
+    // footer-merging costs a planning pass per file — turn it on per
+    // evolved dataset, or keep schemas in a catalog.)
+    "scan_evolved" -> ((s, d) => {
+      val (v1, v2) = ensureEvolved(s, d)
+      s.read.option("mergeSchema", "true").parquet(v1, v2)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+
     // Schema-from-text parse analogue: the reference derives each cube's
     // layout from its header then splits delimited records
     // [R: genesapi/cube.py — UNVERIFIED]; here: tokenize and project
@@ -196,6 +243,14 @@ object ScanOps {
         |       string_split(text, ' ')[2] AS tok1,
         |       string_split(text, ' ')[3] AS tok2
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Oracle reconstructs the evolved union from the ORIGINAL table:
+    // even-key files predate the priority column, so those rows read
+    // back NULL — the null-fill IS the semantics under test.
+    "scan_evolved" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+        |    AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // Oracle reads the ORIGINAL single-file table: the partitioned copy
     // holds the same rows, so only the engine-side access path differs.
     "scan_hive_parts" ->
