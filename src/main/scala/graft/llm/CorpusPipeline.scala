@@ -435,10 +435,75 @@ object CorpusPipeline {
       decontaminate(docs.filter(col("doc_id") % 17 =!= 0),
           docs.filter(col("doc_id") % 17 === 0), minSharedShingles = 5)
         .orderBy("doc_id")
+    }),
+
+    // Per-source corpus dashboard (r9): the report a data curator
+    // reads before touching mix weights — volume (docs/tokens), size
+    // distribution (exact median — order statistics, engine-portable),
+    // language spread, dominant-language share. One two-phase hash
+    // aggregate over a narrow projection; every stat is shuffle-
+    // bounded by |sources| output rows. The dominant language uses
+    // agg_mode's two-level tie-break (max count, then min lang) via
+    // max_by on the (count, reversed-lang) pair — deterministic.
+    "corpus_report" -> ((s, d) => {
+      val docs = graft.T.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+      val langCounts = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("lc"))
+      // agg_mode's ranked-argmax: rank langs per source by (count
+      // desc, lang asc) — the window runs over ≤ |langs| counted rows
+      // per source, never docs.
+      val dominant = langCounts
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(col("lc").desc, col("lang").asc)))
+        .groupBy("source")
+        .agg(max(when(col("rk") === 1, col("lang"))).as("top_lang"),
+          count(lit(1)).as("n_langs"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("toks").as("total_tokens"),
+          expr("percentile(n_chars, 0.5D)").as("med_chars"),
+          round(sum(when(col("lang") === "en", 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("en_share"))
+        .join(dominant, Seq("source"))
+        .select("source", "n_docs", "total_tokens", "med_chars",
+          "n_langs", "top_lang", "en_share")
+        .orderBy("source")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Identical ranked-argmax for the dominant lang; sums cast off
+    // HUGEINT; quantile_cont = Spark's exact percentile (agg_outlier
+    // precedent).
+    "corpus_report" ->
+      """WITH docs AS (
+        |  SELECT source, lang, n_chars,
+        |         len(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |lc AS (SELECT source, lang, count(*) AS lc
+        |       FROM docs GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT source,
+        |         max(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+        |         count(*) AS n_langs
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |          ORDER BY lc DESC, lang ASC) AS rk FROM lc)
+        |  GROUP BY source),
+        |base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |         quantile_cont(n_chars, 0.5) AS med_chars,
+        |         round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |                    AS DOUBLE) / count(*), 6) AS en_share
+        |  FROM docs GROUP BY source)
+        |SELECT b.source AS source, n_docs, total_tokens, med_chars,
+        |       n_langs, top_lang, en_share
+        |FROM base b JOIN dom USING (source)
+        |ORDER BY b.source""".stripMargin,
+
     // Same integer threshold derivation in HUGEINT (exact, mirrors the
     // driver-side BigInt), same 16-char zero-padded hex compare.
     "corpus_mix" ->

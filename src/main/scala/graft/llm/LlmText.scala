@@ -287,10 +287,85 @@ object LlmText {
         .withColumn("text_norm", trim(col("text_norm")))
         .withColumn("n_chars_norm", length(col("text_norm")).cast("long"))
         .orderBy("doc_id")
+    }),
+
+    // Corpus-LM perplexity scoring (r9): the quality filter one tier
+    // above text_quality's surface stats — train an add-one-smoothed
+    // bigram LM on the corpus ITSELF, score each doc by its mean
+    // negative log-prob (cross entropy) and perplexity. Docs whose
+    // token transitions the corpus has never seen score high — the
+    // classic gibberish/boilerplate separator (the real pipeline swaps
+    // in a held-out KenLM; the Spark shape is identical).
+    //
+    // Scale shape: unigram counts are vocab-sized (broadcast-able);
+    // bigram counts shuffle on the bigram key, bounded by corpus token
+    // volume with map-side combine; per-doc scoring joins the doc's
+    // DISTINCT bigrams (weighted by multiplicity — the join carries
+    // distinct-per-doc rows, not token instances) against the count
+    // tables. Σ m·ln(p) is the one double accumulation — ~dozen terms
+    // per doc, fenced by round (§7.5).
+    "text_perplexity" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val toks = T.spread(docs)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bi = toks
+        .withColumn("nxt", lead("tok", 1).over(w))
+        .filter(col("nxt").isNotNull)
+      // Per-doc multiplicities FIRST: all downstream joins carry one
+      // row per (doc, bigram), not per token instance.
+      val bid = bi.groupBy("doc_id", "tok", "nxt")
+        .agg(count(lit(1)).as("m"))
+      val bic = bi.groupBy("tok", "nxt").agg(count(lit(1)).as("cb"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+      val vsz = uni.agg(count(lit(1)).as("vsz"))
+      bid.join(bic, Seq("tok", "nxt"))
+        .join(uni, Seq("tok"))
+        .crossJoin(broadcast(vsz))
+        .select(col("doc_id"), col("m"),
+          (col("m").cast("double") *
+            log((col("cb") + 1).cast("double") /
+                (col("cu") + col("vsz")).cast("double"))).as("mlp"))
+        .groupBy("doc_id")
+        .agg(sum("m").as("n_bigrams"),
+          round(-sum(col("mlp")) / sum("m"), 6).as("xent"),
+          round(exp(-sum(col("mlp")) / sum("m")), 4).as("ppl"))
+        .orderBy("doc_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Bigrams via list_zip of the shifted slices (UNNEST order within
+    // a doc is irrelevant — everything re-aggregates); ln() is natural
+    // log in both engines (DuckDB's log() is log10 — avoid); the
+    // double math is the identical expression tree on identical exact
+    // integer counts, fenced by round. CAST(sum AS BIGINT) dodges the
+    // HUGEINT→float64 pandas trap.
+    "text_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |toks AS (SELECT doc_id, unnest(l) AS tok FROM d),
+        |bi AS (
+        |  SELECT doc_id, p[1] AS tok, p[2] AS nxt
+        |  FROM d, UNNEST(list_zip(l[1:len(l)-1], l[2:len(l)])) AS t(p)),
+        |bid AS (
+        |  SELECT doc_id, tok, nxt, count(*) AS m FROM bi GROUP BY 1, 2, 3),
+        |bic AS (SELECT tok, nxt, count(*) AS cb FROM bi GROUP BY 1, 2),
+        |uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY 1),
+        |v AS (SELECT count(*) AS vsz FROM uni),
+        |sc AS (
+        |  SELECT doc_id, m,
+        |         CAST(m AS DOUBLE) *
+        |           ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + vsz AS DOUBLE))
+        |           AS mlp
+        |  FROM bid JOIN bic USING (tok, nxt) JOIN uni USING (tok)
+        |       CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |       round(-sum(mlp) / sum(m), 6) AS xent,
+        |       round(exp(-sum(mlp) / sum(m)), 4) AS ppl
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // generate_series is end-INCLUSIVE (matches Spark's sequence);
     // list slicing toks[a:b] is 1-based inclusive and clamps at the
     // list end exactly like Spark's slice(toks, a, len).

@@ -407,6 +407,40 @@ object LlmVector {
           size(col("embedding")).cast("long").as("dim"),
           round(norm(col("embedding")), 4).as("emb_norm"))
         .orderBy("doc_id")
+    }),
+
+    // Int8 scalar quantization (r9): the vector-store compression step
+    // — per-vector min/max scale, 8-bit codes, 4× smaller than
+    // float32 (the storage/bandwidth knob every ANN deployment turns
+    // before anything else). Emitted as audit scalars, not arrays
+    // (house rule): the code checksum pins every code exactly; the max
+    // reconstruction error bounds the quantization loss (≤ half a
+    // step = (mx−mn)/510 + float noise). Pure narrow column math —
+    // lambda transforms over the vector compile to codegen'd loops,
+    // zero exchanges before the terminal sort. All math in DOUBLE on
+    // BOTH engines: the float elements cast up exactly, and the
+    // identical expression tree on identical inputs is bit-equal
+    // (§7.5), so even round-at-.5 code boundaries agree.
+    "embed_quantize" -> ((s, d) => {
+      val emb = transform(col("embedding"), x => x.cast("double"))
+      T.embeddings(s, d)
+        .select(col("vec_id"), emb.as("e"))
+        .select(col("vec_id"),
+          array_min(col("e")).as("mn"), array_max(col("e")).as("mx"),
+          col("e"))
+        .select(col("vec_id"), col("mn"), col("mx"),
+          transform(col("e"), x =>
+            round((x - col("mn")) / (col("mx") - col("mn")) * 255, 0)
+              .cast("long")).as("codes"),
+          col("e"))
+        .select(col("vec_id"),
+          round(col("mn"), 6).as("mn_r"), round(col("mx"), 6).as("mx_r"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+          round(array_max(
+            zip_with(col("e"), col("codes"), (x, c) =>
+              abs(x - (col("mn") + c.cast("double") / 255.0 *
+                (col("mx") - col("mn")))))), 6).as("max_err"))
+        .orderBy("vec_id")
     })
   )
 
@@ -551,6 +585,28 @@ object LlmVector {
         |  round(sqrt(list_sum(list_transform(embedding,
         |    x -> x::DOUBLE * x::DOUBLE))), 4) AS emb_norm
         |FROM documents JOIN embeddings ON doc_id = vec_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // All-double math, identical expression tree; round() ties (codes
+    // at exact .5) go away-from-zero in both engines; list_sum off
+    // HUGEINT.
+    "embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx
+        |      FROM e),
+        |c AS (
+        |  SELECT vec_id, mn, mx, e,
+        |         list_transform(e, x ->
+        |           CAST(round((x - mn) / (mx - mn) * 255, 0) AS BIGINT))
+        |           AS codes
+        |  FROM m)
+        |SELECT vec_id, round(mn, 6) AS mn_r, round(mx, 6) AS mx_r,
+        |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |       round(list_max(list_transform(list_zip(e, codes), p ->
+        |         abs(p[1] - (mn + CAST(p[2] AS DOUBLE) / 255.0
+        |                     * (mx - mn))))), 6) AS max_err
+        |FROM c ORDER BY vec_id""".stripMargin
   )
 }

@@ -353,7 +353,49 @@ object AggOps {
         .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",")
           .as("orderkeys"))
         .orderBy("c_custkey")
-    })
+    }),
+
+    // Shannon entropy per group (r9): the behavioral-diversity /
+    // anomaly signal (a user whose event mix is all one type scores 0;
+    // a uniform 5-type mix scores log2(5)). Computed in the
+    // numerically-stable factored form H = log2(n) − Σ c·log2(c) / n
+    // over INTEGER counts, so the only transcendental inputs are exact
+    // integers — log2 may differ from DuckDB's libm by an ULP, fenced
+    // by round(·, 6) (§7.5's transcendental rule, same as fn_math's
+    // sqrt). Two-phase hash aggregate twice (types-per-user, then
+    // user) — shuffle carries one row per (user, type), never events.
+    "agg_entropy" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n_events"),
+          count(lit(1)).as("n_types"),
+          round(
+            log2(sum("c")) -
+              sum(col("c").cast("double") * log2(col("c"))) / sum("c"),
+            6).as("entropy"))
+        .orderBy("user_id")),
+
+    // Weighted mean per group (r9): the unit-scaling shape (GENESIS
+    // values carry per-cube scale factors; training mixes weight by
+    // source). Numerator and denominator are EXACT decimal sums
+    // (partition-order independent); the one division happens once
+    // per output row on their double images — both engines divide the
+    // same two doubles, so the quotient is bit-identical (IEEE), then
+    // round(·, 6) for the emit.
+    "agg_weighted" -> ((s, d) =>
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          T.money(sum(T.dec(col("l_extendedprice")) * T.dec(col("l_quantity"))))
+            .as("sum_wx"),
+          T.money(sum(T.dec(col("l_quantity")))).as("sum_w"),
+          round(
+            sum(T.dec(col("l_extendedprice")) * T.dec(col("l_quantity")))
+              .cast("double") /
+              sum(T.dec(col("l_quantity"))).cast("double"),
+            6).as("wavg_price"))
+        .orderBy("l_returnflag"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -515,6 +557,29 @@ object AggOps {
         |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
         |         AS orderkeys
         |FROM customer JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    // Same factored form over the same integer counts; round(·, 6)
+    // fences the ULP gap between Java's and libm's log2.
+    "agg_entropy" ->
+      """WITH ct AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, sum(c) AS n_events, count(*) AS n_types,
+        |       round(log2(sum(c))
+        |             - sum(CAST(c AS DOUBLE) * log2(c)) / sum(c),
+        |             6) AS entropy
+        |FROM ct GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_weighted" ->
+      """SELECT l_returnflag,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                 * CAST(l_quantity AS DECIMAL(18,4))), 2)
+        |       AS DOUBLE) AS sum_wx,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
+        |       AS DOUBLE) AS sum_w,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                 * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |        / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE),
+        |        6) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -263,10 +263,68 @@ object DomainOps {
           coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
           col("n_cust"), col("sum_bal"))
         .orderBy("region_name", "nation_name", "segment")
+    }),
+
+    // CDC changelog apply (r9): the lakehouse MERGE — fold an
+    // insert/update/delete event log into a base snapshot, last writer
+    // wins. The canonical two-stage shape: (1) collapse the changelog
+    // to ONE final row per key (window rank on the unique (ts,
+    // event_id) sequence — at 100 TB this is the stage that shrinks
+    // billions of change rows to |touched keys|), then (2) one
+    // key-sized full-outer join against the base applies the merge
+    // CASE. Never base×changelog; the join is broadcast-able whenever
+    // the collapsed delta is small (the steady-state CDC case).
+    // Changelog from `events`: 'error' deletes, 'signup' inserts a NEW
+    // key (disjoint id space — signups create customers), anything
+    // else updates; last op per key by (ts, event_id) wins.
+    "cdc_apply" -> ((s, d) => {
+      val log = T.events(s, d).select(
+        when(col("event_type") === "signup", col("user_id") + 2000000L)
+          .otherwise(col("user_id")).as("k"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("value").as("new_bal"), col("ts"), col("event_id"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val last = log.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("k", "op", "new_bal")
+      T.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_acctbal"))
+        .join(last, Seq("k"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(col("k").as("cust_id"),
+          when(col("op").isNull, "unchanged")
+            .when(col("c_acctbal").isNull, "inserted")
+            .otherwise("updated").as("status"),
+          coalesce(col("new_bal"), col("c_acctbal")).as("bal"))
+        .orderBy("cust_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "cdc_apply" ->
+      """WITH log AS (
+        |  SELECT CASE WHEN event_type = 'signup' THEN user_id + 2000000
+        |              ELSE user_id END AS k,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         value AS new_bal, ts, event_id
+        |  FROM events),
+        |last AS (
+        |  SELECT k, op, new_bal FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k
+        |             ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM log) WHERE rn = 1),
+        |m AS (
+        |  SELECT COALESCE(c.c_custkey, l.k) AS cust_id,
+        |         c.c_acctbal, l.op, l.new_bal
+        |  FROM (SELECT c_custkey, c_acctbal FROM customer) c
+        |  FULL OUTER JOIN last l ON c.c_custkey = l.k)
+        |SELECT cust_id,
+        |       CASE WHEN op IS NULL THEN 'unchanged'
+        |            WHEN c_acctbal IS NULL THEN 'inserted'
+        |            ELSE 'updated' END AS status,
+        |       COALESCE(new_bal, c_acctbal) AS bal
+        |FROM m WHERE COALESCE(op, '') <> 'D'
+        |ORDER BY cust_id""".stripMargin,
     "facts_nest" ->
       """WITH ps AS (
         |  SELECT o_custkey, o_orderstatus, count(*) AS n

@@ -221,7 +221,31 @@ object JoinOps {
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_items"),
           T.money(sum(T.dec(col("l_extendedprice")))).as("gross"))
-        .orderBy("s_nationkey"))
+        .orderBy("s_nationkey")),
+
+    // Null-safe equi-join (r9): `<=>` treats NULL as a JOINABLE value
+    // (NULL matches NULL, exactly one way) — the dimension-lookup
+    // semantics when "unknown" is itself a dimension member. The
+    // planner keeps EqualNullSafe as an equi-key, so this stays a
+    // hash/merge join (the engine-wide PlanSpec cartesian sweep pins
+    // it) — the naive rewrite `a = b OR (a IS NULL AND b IS NULL)`
+    // degrades to a nested-loop. Keys: pending orders ('P') carry a
+    // NULL priority; the dim derives from the same data so every key
+    // (incl. NULL) has exactly one dim row.
+    "join_nullsafe" -> ((s, d) => {
+      val keyed = T.orders(s, d)
+        .withColumn("prio_k",
+          when(col("o_orderstatus") === "P", lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")))
+      val dim = keyed.groupBy("prio_k")
+        .agg(count(lit(1)).as("n_in_class"))
+        .withColumnRenamed("prio_k", "dim_k")
+      keyed.join(dim, col("prio_k") <=> col("dim_k"))
+        .select(col("o_orderkey"),
+          coalesce(col("prio_k"), lit("UNKNOWN")).as("prio"),
+          col("n_in_class"))
+        .orderBy("o_orderkey")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -343,6 +367,19 @@ object JoinOps {
         |    AS DOUBLE) AS gross
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey
-        |ORDER BY s_nationkey""".stripMargin
+        |ORDER BY s_nationkey""".stripMargin,
+    // IS NOT DISTINCT FROM = Spark's <=>.
+    "join_nullsafe" ->
+      """WITH keyed AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderstatus = 'P' THEN NULL
+        |              ELSE o_orderpriority END AS prio_k
+        |  FROM orders),
+        |dim AS (
+        |  SELECT prio_k AS dim_k, count(*) AS n_in_class
+        |  FROM keyed GROUP BY 1)
+        |SELECT o_orderkey, COALESCE(prio_k, 'UNKNOWN') AS prio, n_in_class
+        |FROM keyed JOIN dim ON prio_k IS NOT DISTINCT FROM dim_k
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -30,7 +30,32 @@ object SetOps {
         .select(col("c_nationkey").as("nk"))
         .except(T.supplier(s, d).filter(col("s_acctbal") > 9000)
           .select(col("s_nationkey").as("nk")))
-        .orderBy("nk"))
+        .orderBy("nk")),
+
+    // BAG semantics (r9): EXCEPT ALL subtracts multiplicities
+    // (max(m_left − m_right, 0) copies survive) — the reconciliation
+    // shape when duplicates are DATA (ledger entries, repeated
+    // measurements), where distinct-set EXCEPT silently conflates
+    // them. Spark plans exceptAll as a counted anti-form: aggregate
+    // both sides to (row, ±count), sum, re-generate — one shuffle on
+    // the row key, never row×row.
+    "set_except_all" -> ((s, d) =>
+      T.orders(s, d).select(col("o_custkey").as("ck"))
+        .exceptAll(T.orders(s, d)
+          .filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("ck")))
+        .groupBy("ck").agg(count(lit(1)).as("n_residual"))
+        .orderBy("ck")),
+
+    // INTERSECT ALL keeps min(m_left, m_right) copies — the "how many
+    // matched on BOTH sides, counting repeats" reconciliation query.
+    "set_intersect_all" -> ((s, d) =>
+      T.orders(s, d).select(col("o_custkey").as("ck"))
+        .intersectAll(T.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("ck")))
+        .groupBy("ck").agg(count(lit(1)).as("n_matched"))
+        .orderBy("ck"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -48,6 +73,21 @@ object SetOps {
       """SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9900
         |EXCEPT
         |SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9000
-        |ORDER BY nk""".stripMargin
+        |ORDER BY nk""".stripMargin,
+    // The grouped count over the surviving bag collapses any
+    // engine-side row-emission order difference.
+    "set_except_all" ->
+      """SELECT ck, count(*) AS n_residual FROM (
+        |  SELECT o_custkey AS ck FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY ck ORDER BY ck""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT ck, count(*) AS n_matched FROM (
+        |  SELECT o_custkey AS ck FROM orders
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS ck FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY ck ORDER BY ck""".stripMargin
   )
 }

@@ -112,10 +112,168 @@ object TimeSeries {
                 (col("ns") - col("ps")).cast("double")))
             .as("interp_v"))
         .orderBy("user_id", "day_s")
+    }),
+
+    // EWMA smoothing (r9): the exponentially-weighted moving average
+    // every monitoring/feature pipeline runs over raw event values.
+    // The textbook recursion s_n = α·x_n + (1-α)·s_{n-1} is
+    // order-DEPENDENT floating point — ULP drift compounds down the
+    // series and diverges between engines (the pagerank lesson). Two
+    // choices make it exact and oracle-able:
+    //   (a) α = 1/2, so every weight is a short dyadic (2^-j) that is
+    //       EXACT in decimal;
+    //   (b) an 8-term cap: past 8 lags a weight is < 1/128 of the
+    //       newest — below money-scale resolution — so the capped
+    //       closed form Σ_j coef(j)·x_{n-j} replaces the unbounded
+    //       recursion. coef(j) = 2^-(j+1) for interior terms and
+    //       2^-(m-1) for the OLDEST surviving term (m = min(n, 8)),
+    //       which makes each row's weights sum to exactly 1 — no
+    //       renormalizing division, the one non-exact step.
+    // Execution shape: one window (8 lags + row_number share the same
+    // WindowExec frame over (user_id | ts, event_id)) = ONE shuffle on
+    // user_id; all the coefficient math is codegen'd decimal
+    // arithmetic. At 100 TB this is the same cost as any per-entity
+    // ordered window — and the 8-lag closed form is embarrassingly
+    // frame-local where the recursion would be a sequential scan.
+    "ts_ewma" -> ((s, d) =>
+      ewmaCapped(
+        T.events(s, d).select(col("user_id"), col("event_id"),
+          col("ts"), col("value")),
+        Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .select(col("user_id"), col("rn"), T.tstr(col("ts")).as("t"),
+          col("value"),
+          col("ewma"))
+        .orderBy("user_id", "rn")),
+
+    // Time-series anomaly detection (r9): flag events whose value
+    // breaks from the series' own recent behavior — residual against
+    // the one-step-ahead EWMA forecast (lag(ewma, 1): the smoothed
+    // state BEFORE this observation), fenced by far-outlier Tukey
+    // bounds (k=3) on each user's OWN residual distribution (a global
+    // threshold can't serve entities with different volatilities).
+    // Residuals are exact-double subtractions of deterministic inputs
+    // — emitted unrounded; fences are exact order-statistics
+    // (agg_outlier's rationale: a z-score rule is dragged by the
+    // outliers it hunts). Shape: the EWMA window + residual lag share
+    // one user_id shuffle; the fence table is |users| rows —
+    // broadcast-able at any scale.
+    "ts_anomaly" -> ((s, d) => {
+      val ew = ewmaCapped(
+        T.events(s, d).select(col("user_id"), col("event_id"),
+          col("ts"), col("value")),
+        Window.partitionBy("user_id").orderBy("ts", "event_id"))
+      val r = ew.withColumn("resid",
+          col("value") - lag(col("ewma"), 1).over(
+            Window.partitionBy("user_id").orderBy("rn")))
+        .filter(col("resid").isNotNull)
+      val f = r.groupBy("user_id").agg(
+        expr("percentile(resid, 0.25D)").as("q1"),
+        expr("percentile(resid, 0.75D)").as("q3"))
+      r.join(broadcast(f), "user_id")
+        .filter(col("resid") < col("q1") - (col("q3") - col("q1")) * 3 - 1e-6 ||
+                col("resid") > col("q3") + (col("q3") - col("q1")) * 3 + 1e-6)
+        .select(col("user_id"), col("rn"), T.tstr(col("ts")).as("t"),
+          col("value"), col("resid"))
+        .orderBy("user_id", "rn")
     })
   )
 
+  /** Append `rn` (window row_number) and `ewma` — the capped exact
+    * EWMA over `value` — to `df`. Exposed as API for callers smoothing
+    * their own frames; the coefficient scheme is documented on the
+    * ts_ewma key above.
+    */
+  def ewmaCapped(df: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // 2^-j as exact decimal literals, j = 0..7.
+    val pow2 = (0 to 7).map(j =>
+      lit(BigDecimal(1) / BigDecimal(BigInt(1) << j))
+        .cast(DecimalType(9, 7)))
+    val zero = lit(BigDecimal(0)).cast(DecimalType(9, 7))
+    val rn = col("rn")
+    // coef_j: the oldest surviving term (rn == j+1) takes 2^-j so the
+    // row's weights telescope to 1; interior terms take 2^-(j+1); j=7
+    // keeps 2^-7 for ALL rn >= 8 (the cap).
+    def coef(j: Int) =
+      if (j == 7) when(rn >= 8, pow2(7)).otherwise(zero)
+      else when(rn === j + 1, pow2(j))
+        .when(rn > j + 1, pow2(j + 1)).otherwise(zero)
+    val terms = (0 to 7).map(j =>
+      coef(j) * coalesce(col(s"l$j"), lit(BigDecimal(0))
+        .cast(DecimalType(18, 4))))
+    df.withColumn("rn", row_number().over(w))
+      .withColumns(
+        (0 to 7).map(j => s"l$j" ->
+          lag(T.dec(col("value")), j).over(w)).toMap)
+      .withColumn("ewma", round(terms.reduce(_ + _), 4).cast("double"))
+      .drop((0 to 7).map(j => s"l$j"): _*)
+  }
+
+  /** Shared CTE core of the EWMA oracles, generated: 8 lag columns +
+    * the same telescoped coefficient CASE per term as [[ewmaCapped]].
+    * Everything is exact DECIMAL on both sides, so round(·, 4) of the
+    * identical rational cannot diverge. Yields CTEs `b` (lags) and
+    * `ew` (user_id, rn, ts, event_id, value, ewma).
+    */
+  private val ewmaCoreSql: String = {
+    val lags = (0 to 7).map(j =>
+      s"lag(CAST(value AS DECIMAL(18,4)), $j) OVER w AS l$j").mkString(",\n         ")
+    def p2(j: Int) = (BigDecimal(1) / BigDecimal(BigInt(1) << j)).toString
+    val terms = (0 to 7).map { j =>
+      val c =
+        if (j == 7)
+          s"CASE WHEN rn >= 8 THEN CAST(${p2(7)} AS DECIMAL(9,7)) ELSE CAST(0 AS DECIMAL(9,7)) END"
+        else
+          s"CASE WHEN rn = ${j + 1} THEN CAST(${p2(j)} AS DECIMAL(9,7)) WHEN rn > ${j + 1} THEN CAST(${p2(j + 1)} AS DECIMAL(9,7)) ELSE CAST(0 AS DECIMAL(9,7)) END"
+      s"($c) * COALESCE(l$j, CAST(0 AS DECIMAL(18,4)))"
+    }.mkString("\n       + ")
+    s"""b AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         row_number() OVER w AS rn,
+       |         $lags
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |ew AS (
+       |  SELECT user_id, rn, ts, event_id, value,
+       |         CAST(round(
+       |           $terms
+       |         , 4) AS DOUBLE) AS ewma
+       |  FROM b)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "ts_ewma" ->
+      s"""WITH $ewmaCoreSql
+         |SELECT user_id, rn,
+         |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, value, ewma
+         |FROM ew ORDER BY user_id, rn""".stripMargin,
+
+    // One-step-ahead forecast residual = value − lag(ewma): exact
+    // doubles minus exact doubles — bit-identical unrounded; the
+    // Tukey fences replay agg_outlier's verified quantile_cont parity,
+    // with the same 1e-6 guard band and syntactically parallel
+    // arithmetic so borderline comparisons cannot diverge.
+    "ts_anomaly" ->
+      s"""WITH $ewmaCoreSql,
+         |r AS (
+         |  SELECT user_id, rn, ts, value,
+         |         value - lag(ewma, 1) OVER
+         |           (PARTITION BY user_id ORDER BY rn) AS resid
+         |  FROM ew),
+         |f AS (
+         |  SELECT user_id,
+         |         quantile_cont(resid, 0.25) AS q1,
+         |         quantile_cont(resid, 0.75) AS q3
+         |  FROM r WHERE resid IS NOT NULL GROUP BY user_id)
+         |SELECT r.user_id AS user_id, r.rn,
+         |       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS t,
+         |       r.value, r.resid
+         |FROM r JOIN f ON r.user_id = f.user_id
+         |WHERE r.resid IS NOT NULL
+         |  AND (r.resid < q1 - (q3 - q1) * 3 - 1e-6 OR
+         |       r.resid > q3 + (q3 - q1) * 3 + 1e-6)
+         |ORDER BY r.user_id, r.rn""".stripMargin,
     // make_timestamp(µs) keeps the rendered day tz-naive (DuckDB's
     // to_timestamp returns TIMESTAMPTZ, whose strftime would shift
     // with the host tz); IGNORE NULLS mirrors Spark's last(_, true).

@@ -227,6 +227,35 @@ object WindowOps {
           nth_value(col("event_type"), 2).over(w).as("second_type"))
         .distinct()
         .orderBy("user_id")
+    }),
+
+    // Event-sequence pattern matching (r9) — the MATCH_RECOGNIZE
+    // shape: encode each user's ordered event history as a compact
+    // symbol string (one char per event), then count regex motifs.
+    // The regex IS the pattern automaton: `v[^e]*?p` = a view that
+    // converts to a purchase with no error between (lazy `*?` keeps
+    // matches non-overlapping-minimal — both engines scan
+    // leftmost-non-overlapping); `e+` = error bursts (a run counts
+    // once, however long). Sequence-per-entity is bounded by that
+    // entity's event count — at 100 TB sessionize first (win_session)
+    // so the collected string is session-bounded, the same
+    // contract as agg_collect; the regex scan itself is narrow
+    // per-row column work after ONE user_id shuffle.
+    "win_pattern" -> ((s, d) => {
+      val seqs = T.events(s, d)
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c")))),
+          x => x.getField("c")), "").as("seq"))
+      seqs.select(col("user_id"),
+          length(col("seq")).cast("long").as("n_events"),
+          size(regexp_extract_all(col("seq"), lit("v[^e]*?p"), lit(0)))
+            .cast("long").as("n_conversions"),
+          size(regexp_extract_all(col("seq"), lit("e+"), lit(0)))
+            .cast("long").as("n_error_bursts"),
+          substring(col("seq"), 1, 5).as("head5"))
+        .orderBy("user_id")
     })
   )
 
@@ -369,6 +398,21 @@ object WindowOps {
         |WINDOW w AS (PARTITION BY user_id
         |             ORDER BY date_trunc('second', ts) ASC, event_id ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    // string_agg(... ORDER BY) builds the identical symbol string; RE2
+    // and Java regex agree on leftmost-non-overlapping lazy matching
+    // for these patterns (no backtracking-only constructs).
+    "win_pattern" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), ''
+        |                    ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       length(seq) AS n_events,
+        |       len(regexp_extract_all(seq, 'v[^e]*?p')) AS n_conversions,
+        |       len(regexp_extract_all(seq, 'e+')) AS n_error_bursts,
+        |       substr(seq, 1, 5) AS head5
+        |FROM seqs ORDER BY user_id""".stripMargin
   )
 }

@@ -489,4 +489,200 @@ class OperatorSemanticsSpec extends SparkSpec {
     for ((_, vs) <- byCk; v <- vs if !v._6)
       assert(vs.exists(n => n._2 == v._2 + 1 && n._4 == v._5))
   }
+
+  test("ewmaCapped: exact closed form matches the α=1/2 recursion, caps at 8") {
+    import graft.operators.TimeSeries
+    // 10 values for one user: closed form must equal the textbook
+    // recursion s_n = (x_n + s_{n-1})/2 for n <= 8 (weights telescope
+    // to 1), then switch to the 8-term capped window.
+    val xs = Seq(8.0, 4.0, 6.0, 2.0, 10.0, 0.0, 4.0, 8.0, 16.0, 2.0)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      (1L, i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"), x)
+    }.toDF("user_id", "event_id", "ts", "value")
+    val out = TimeSeries.ewmaCapped(df,
+        Window.partitionBy("user_id").orderBy("ts", "event_id"))
+      .orderBy("rn").select("ewma").collect().map(_.getDouble(0))
+    // Reference: exact recursion on BigDecimal for n<=8; for n>8 the
+    // capped form Σ_{j=0..6} x_{n-j}/2^{j+1} + x_{n-7}/128.
+    var s = BigDecimal(xs.head)
+    val expect = xs.indices.map { i =>
+      if (i == 0) BigDecimal(xs(0))
+      else if (i < 8) { s = (BigDecimal(xs(i)) + s) / 2; s }
+      else (0 to 6).map(j => BigDecimal(xs(i - j)) / BigDecimal(2).pow(j + 1))
+        .sum + BigDecimal(xs(i - 7)) / 128
+    }.map(_.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.toSeq == expect, s"got ${out.toSeq}, want $expect")
+  }
+
+  test("triangleCounts: K4 corners in 3 triangles each, pendant node absent") {
+    import graft.llm.LlmGraph
+    // K4 on {1,2,3,4} (4 triangles, each node in C(3,2)=3) plus a
+    // pendant edge 4-5: node 5 touches no triangle and must be absent.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val out = LlmGraph.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), out.toString)
+  }
+
+  test("cdc_apply: last-op-wins merge — deletes absent, inserts disjoint, unchanged match base") {
+    val out = SparkEntry.queries("cdc_apply")(spark, sf)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // Keys unique; statuses from the closed set; inserted keys live in
+    // the disjoint signup id space.
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(r => Set("unchanged", "updated", "inserted")(r._2)))
+    // Inserted = a key the base doesn't have: the disjoint signup id
+    // space, or an upsert to an unknown key (user ids below the base's
+    // key floor).
+    val baseKeys = T.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(rows.filter(_._2 == "inserted")
+      .forall(r => !baseKeys.contains(r._1)))
+    assert(rows.filter(_._2 == "inserted").exists(_._1 > 2000000L),
+      "fixture must exercise the signup-insert path")
+    // Independent recomputation of the delete set: keys whose LAST
+    // non-signup event is an 'error' must be absent from the output.
+    val ev = T.events(spark, sf)
+      .filter(col("event_type") =!= "signup")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1 && col("event_type") === "error")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(ev.nonEmpty, "fixture must exercise the delete path")
+    assert(rows.forall(r => !ev.contains(r._1)),
+      s"deleted keys leaked: ${rows.map(_._1).toSet.intersect(ev)}")
+    // Unchanged rows carry the base balance verbatim.
+    val base = T.customer(spark, sf)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.filter(_._2 == "unchanged")
+      .forall(r => base(r._1) == r._3))
+  }
+
+  test("join_nullsafe: NULL keys join exactly once, class size = pending count") {
+    val out = SparkEntry.queries("join_nullsafe")(spark, sf)
+    val nP = T.orders(spark, sf)
+      .filter(col("o_orderstatus") === "P").count()
+    assert(nP > 0, "fixture must have pending orders")
+    val unknown = out.filter(col("prio") === "UNKNOWN").collect()
+    // every pending order matched the NULL dim row exactly once
+    assert(unknown.length == nP)
+    assert(unknown.forall(_.getLong(2) == nP))
+    assert(out.count() == T.orders(spark, sf).count())
+  }
+
+  test("text_perplexity: n_bigrams = tokens − 1, scores positive") {
+    val out = SparkEntry.queries("text_perplexity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val ntok = T.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    for ((id, nb, xent, ppl) <- out) {
+      assert(nb == ntok(id) - 1, s"doc $id: $nb bigrams vs ${ntok(id)} tokens")
+      assert(xent > 0 && ppl > 1, s"doc $id: xent=$xent ppl=$ppl")
+    }
+  }
+
+  test("set bag ops: right ⊆ left makes multiplicities exactly computable") {
+    // The except_all right side (open orders) is a sub-multiset of the
+    // left (all orders), so surviving multiplicity = m_all − m_open
+    // exactly; intersect_all with a sub-multiset keeps m_right copies.
+    val o = T.orders(spark, sf)
+    val per = o.groupBy("o_custkey").agg(
+        count(lit(1)).as("m_all"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("m_open"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("m_urgent"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val ex = SparkEntry.queries("set_except_all")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((ck, (mAll, mOpen, _)) <- per if mAll > mOpen)
+      assert(ex(ck) == mAll - mOpen, s"ck $ck")
+    assert(ex.keySet == per.filter { case (_, (a, o2, _)) => a > o2 }.keySet)
+    val in = SparkEntry.queries("set_intersect_all")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((ck, (_, _, mUrg)) <- per if mUrg > 0)
+      assert(in(ck) == mUrg, s"ck $ck")
+    assert(in.keySet == per.filter(_._2._3 > 0).keySet)
+  }
+
+  test("win_pattern: motif counts bounded by symbol counts") {
+    val out = SparkEntry.queries("win_pattern")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val per = T.events(spark, sf).groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    var convSeen = false
+    for ((u, n, conv, bursts, head) <- out) {
+      val (nn, p, e) = per(u)
+      assert(n == nn)
+      assert(conv <= p, s"user $u: more conversions than purchases")
+      assert(bursts <= e)
+      assert(head.length == math.min(5L, n) && head.matches("[cepsv]*"))
+      if (conv > 0) convSeen = true
+    }
+    assert(convSeen, "fixture must exercise the conversion motif")
+  }
+
+  test("ts_anomaly: flagged residuals are a small tail, never the bulk") {
+    val out = SparkEntry.queries("ts_anomaly")(spark, sf)
+    val n = out.count()
+    val total = T.events(spark, sf).count()
+    assert(n > 0, "fixture must produce at least one anomaly")
+    assert(n < total / 10, s"$n of $total flagged — fences too tight")
+  }
+
+  test("embed_quantize: reconstruction error bounded by half a quantization step") {
+    val out = SparkEntry.queries("embed_quantize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.length == T.embeddings(spark, sf).count())
+    for ((id, mn, mx, codeSum, maxErr) <- out) {
+      assert(mn < mx, s"vec $id: degenerate range")
+      // 64 codes, each in [0, 255] → sum within [0, 64·255].
+      assert(codeSum >= 0 && codeSum <= 64L * 255, s"vec $id: $codeSum")
+      // Round-to-nearest: error ≤ half a step (mx−mn)/255/2, plus the
+      // 1e-6 the emitted rounding can add.
+      assert(maxErr <= (mx - mn) / 510.0 + 2e-6,
+        s"vec $id: err $maxErr exceeds half-step ${(mx - mn) / 510.0}")
+    }
+  }
+
+  test("corpus_report: volumes reconcile with direct counts") {
+    val out = SparkEntry.queries("corpus_report")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getString(5), r.getDouble(6)))
+    val total = T.documents(spark, sf).count()
+    assert(out.map(_._2).sum == total, "per-source docs must sum to corpus")
+    for ((src, nDocs, toks, nLangs, topLang, enShare) <- out) {
+      assert(nDocs > 0 && toks >= nDocs, s"$src")
+      assert(nLangs >= 1 && nLangs <= 5)
+      assert(Set("de", "en", "es", "fr", "zh")(topLang), s"$src: $topLang")
+      assert(enShare >= 0.0 && enShare <= 1.0)
+    }
+  }
+
+  test("agg_entropy: one-type users score 0, all scores within [0, log2(5)]") {
+    val out = SparkEntry.queries("agg_entropy")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    val lim = math.log(5) / math.log(2) + 1e-9
+    for ((u, n, k, h) <- out) {
+      assert(h >= 0 && h <= lim, s"user $u entropy $h out of range")
+      if (k == 1) assert(h == 0.0, s"single-type user $u must score 0")
+      assert(k <= n)
+    }
+  }
 }

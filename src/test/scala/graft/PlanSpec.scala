@@ -216,9 +216,11 @@ class PlanSpec extends SparkSpec {
     // shape. Everything else must stay equi-join.
     // zorder_key crossJoins a broadcast ONE-ROW min/max stats frame —
     // same constant-side shape as text_tfidf's corpus totals.
+    // text_perplexity broadcasts its ONE-ROW vocab-size frame the same
+    // way (the |V| smoothing denominator).
     val allowCartesian = Set("join_cross")
     val allowBnlj = Set("join_cross", "join_theta", "text_tfidf", "text_vocab",
-      "zorder_key")
+      "zorder_key", "text_perplexity")
     val bad = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
