@@ -332,6 +332,33 @@ object LlmText {
           round(-sum(col("mlp")) / sum("m"), 6).as("xent"),
           round(exp(-sum(col("mlp")) / sum("m")), 4).as("ppl"))
         .orderBy("doc_id")
+    }),
+
+    // One BPE merge iteration (r9): the candidate ranking at the heart
+    // of subword-tokenizer training — count adjacent symbol pairs
+    // within words, weighted by corpus word frequency, rank the merge
+    // candidates. (Full BPE loops this with a re-segmentation per
+    // merge; iteration 1 over character symbols is deterministic and
+    // oracle-able, and the Spark shape — weighted pair counts off a
+    // word-frequency table — IS the per-iteration workload.) Adjacent
+    // char pairs are 2-char substrings, so pair extraction is a narrow
+    // index-lambda over each DISTINCT word: the heavy count rides the
+    // (word, n) frequency table (vocab-sized), never token instances.
+    "text_bpe_merges" -> ((s, d) => {
+      val words = T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      words.filter(length(col("word")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, length(word) - 1), " +
+            "i -> substring(word, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), asc("pair")).limit(10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("cnt"), asc("pair"))))
+        .select("rank", "pair", "cnt")
+        .orderBy("rank")
     })
   )
 
@@ -365,6 +392,24 @@ object LlmText {
         |       round(-sum(mlp) / sum(m), 6) AS xent,
         |       round(exp(-sum(mlp) / sum(m)), 4) AS ppl
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same 2-char-substring pair extraction over the distinct-word
+    // frequency table; top-10 by (count desc, pair asc).
+    "text_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT w AS word, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT p.pair, sum(n) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(
+        |      generate_series(1, length(word) - 1),
+        |      i -> substr(word, i, 2))) AS pair
+        |    FROM words WHERE length(word) >= 2) p
+        |  GROUP BY p.pair)
+        |SELECT row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank,
+        |       pair, CAST(cnt AS BIGINT) AS cnt
+        |FROM pairs ORDER BY cnt DESC, pair ASC LIMIT 10""".stripMargin,
 
     // generate_series is end-INCLUSIVE (matches Spark's sequence);
     // list slicing toks[a:b] is 1-based inclusive and clamps at the

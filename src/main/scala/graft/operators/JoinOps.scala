@@ -245,6 +245,44 @@ object JoinOps {
           coalesce(col("prio_k"), lit("UNKNOWN")).as("prio"),
           col("n_in_class"))
         .orderBy("o_orderkey")
+    }),
+
+    // Blocked fuzzy join (r9) — entity resolution over misspelled
+    // names: match each corrupted name back to the clean catalog
+    // within edit distance 2. The scale discipline is BLOCKING: a raw
+    // similarity join is n² (and a `levenshtein(a,b) <= 2` join
+    // predicate is a nested-loop); instead the probe side explodes
+    // one EQUI block key per plausible (first-char, length) bucket
+    // (an edit changes length by at most 1, and we block on the
+    // surviving first char — the standard ER blocking tradeoff,
+    // documented recall loss for first-char edits), so the planner
+    // sees an ordinary hash join and levenshtein only runs on
+    // same-bucket candidates. Best match = (distance, name) ranked —
+    // deterministic. The corruption (3rd char dropped) is derived
+    // from the data itself so the key self-oracles.
+    "join_fuzzy" -> ((s, d) => {
+      val clean = T.part(s, d).select(col("p_name")).distinct()
+        .withColumn("bk", struct(substring(col("p_name"), 1, 1).as("c"),
+          length(col("p_name")).as("l")))
+      val dirty = clean.select(
+          concat(substring(col("p_name"), 1, 2),
+            expr("substring(p_name, 4)")).as("dirty_name"))
+        .distinct()
+        .select(col("dirty_name"), explode(expr(
+          "transform(sequence(-1, 1), dl -> " +
+            "struct(substring(dirty_name, 1, 1) AS c, " +
+            "length(dirty_name) + dl AS l))")).as("bk"))
+      dirty.join(clean, "bk")
+        .withColumn("dist", levenshtein(col("dirty_name"), col("p_name")))
+        .filter(col("dist") <= 2)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("dirty_name")
+            .orderBy(col("dist"), col("p_name"))))
+        .filter(col("rk") === 1)
+        .select(col("dirty_name"), col("p_name").as("matched"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("dirty_name")
     })
   )
 
@@ -380,6 +418,26 @@ object JoinOps {
         |  FROM keyed GROUP BY 1)
         |SELECT o_orderkey, COALESCE(prio_k, 'UNKNOWN') AS prio, n_in_class
         |FROM keyed JOIN dim ON prio_k IS NOT DISTINCT FROM dim_k
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    // Identical blocking (3 exploded (first-char, length) buckets) and
+    // unit-cost edit distance; both engines implement classic
+    // Wagner-Fischer levenshtein.
+    "join_fuzzy" ->
+      """WITH clean AS (SELECT DISTINCT p_name FROM part),
+        |ck AS (SELECT p_name, substr(p_name, 1, 1) AS c,
+        |              length(p_name) AS l FROM clean),
+        |dirty AS (SELECT DISTINCT substr(p_name, 1, 2) || substr(p_name, 4)
+        |            AS dirty_name FROM clean),
+        |dk AS (SELECT dirty_name, substr(dirty_name, 1, 1) AS c,
+        |              length(dirty_name) + dl AS l
+        |       FROM dirty, UNNEST([-1, 0, 1]) AS t(dl)),
+        |m AS (SELECT dirty_name, p_name,
+        |             levenshtein(dirty_name, p_name) AS dist
+        |      FROM dk JOIN ck USING (c, l)
+        |      WHERE levenshtein(dirty_name, p_name) <= 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY dirty_name
+        |        ORDER BY dist, p_name) AS rk FROM m)
+        |SELECT dirty_name, p_name AS matched, CAST(dist AS BIGINT) AS dist
+        |FROM r WHERE rk = 1 ORDER BY dirty_name""".stripMargin
   )
 }

@@ -643,6 +643,30 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(n < total / 10, s"$n of $total flagged — fences too tight")
   }
 
+  test("join_fuzzy: every corrupted name recovers a match within distance 2") {
+    val out = SparkEntry.queries("join_fuzzy")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nDirty = T.part(spark, sf).select("p_name").distinct()
+      .select(concat(substring(col("p_name"), 1, 2),
+        expr("substring(p_name, 4)")).as("d")).distinct().count()
+    // The true origin survives blocking (deletion keeps the first
+    // char, shifts length by exactly 1) at distance 1, so every dirty
+    // name must match something at least that close.
+    assert(out.length == nDirty, s"${out.length} of $nDirty matched")
+    assert(out.forall(_._3 <= 2))
+    assert(out.map(_._1).distinct.length == out.length, "one best match each")
+  }
+
+  test("text_bpe_merges: top-10 ranked pairs, counts non-increasing") {
+    val out = SparkEntry.queries("text_bpe_merges")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 10)
+    assert(out.map(_._1).toSeq == (1 to 10))
+    assert(out.forall(_._2.length == 2))
+    assert(out.sliding(2).forall(p => p.head._3 >= p.last._3),
+      "counts must be non-increasing down the ranking")
+  }
+
   test("embed_quantize: reconstruction error bounded by half a quantization step") {
     val out = SparkEntry.queries("embed_quantize")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
