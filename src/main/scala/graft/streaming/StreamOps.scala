@@ -88,6 +88,57 @@ object StreamOps {
       .toDF()
   }
 
+  /** Final CDC row for one key: the last-writer state. */
+  final case class CdcOut(user_id: Long, seq_micros: Long, bal: Double)
+
+  /** Streaming CDC upsert state (r9) — the `transformWithState` twin
+    * of the batch `cdc_apply` key: per key, keep the highest-sequence
+    * (event-time µs, event_id) change and its value; an update emits
+    * the refreshed state, a delete suppresses the key. Cross-batch the
+    * state carries, so a later micro-batch's delete retracts a key
+    * that batch 1 upserted (asserted over MemoryStream in
+    * StreamingSpec). State is ONE small record per live key — bounded
+    * by the keyspace, not the change volume, the property that keeps a
+    * 100 TB changelog stream's state store sane.
+    */
+  final class CdcProcessor extends StatefulProcessor[
+      Long, (Long, Long, Long, String, Double), CdcOut] {
+    // (seqMicros, eventId, isDelete, value) — one value-state record.
+    @transient private var st: ValueState[(Long, Long, Boolean, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Boolean, Double)]("cdc",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaBoolean,
+          org.apache.spark.sql.Encoders.scalaDouble), TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, String, Double)],
+        timerValues: TimerValues): Iterator[CdcOut] = {
+      var best = if (st.exists()) st.get() else (Long.MinValue, Long.MinValue, true, 0.0)
+      rows.foreach { r =>
+        if (r._2 > best._1 || (r._2 == best._1 && r._3 > best._2))
+          best = (r._2, r._3, r._4 == "D", r._5)
+      }
+      st.update(best)
+      if (best._3) Iterator.empty
+      else Iterator.single(CdcOut(key, best._1, best._4))
+    }
+  }
+
+  /** Last-writer-wins changelog fold over a batch OR streaming change
+    * frame (user_id, seqMicros, event_id, op, value). */
+  def cdcState(changes: DataFrame): DataFrame = {
+    val s = changes.sparkSession
+    import s.implicits._
+    ensureStateStoreCoordinator(s)
+    changes.as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new CdcProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** A finalized session: emitted by [[SessionFinalizeProcessor]] when
     * a user's event-time gap exceeds the configured timeout. */
   final case class SessionOut(user_id: Long, n_events: Long,
@@ -263,7 +314,22 @@ object StreamOps {
     // flatMapGroupsWithState form as the fallback path. Cross-batch
     // behavior of BOTH APIs is asserted in StreamingSpec.
     "stream_stateful" -> ((s, d) =>
-      runningCountsTWS(T.events(s, d)).orderBy("user_id"))
+      runningCountsTWS(T.events(s, d)).orderBy("user_id")),
+
+    // Streaming CDC upsert ([[CdcProcessor]]): 'error' deletes the
+    // key, anything else upserts value; last (event-time, event_id)
+    // wins. Batch run = one micro-batch over the whole changelog;
+    // cross-batch retraction is the StreamingSpec scenario.
+    "stream_cdc" -> ((s, d) =>
+      cdcState(T.events(s, d).select(col("user_id"),
+          unix_micros(col("ts")).as("seq"), col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("value")))
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("seq_micros")),
+            "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("bal"))
+        .orderBy("user_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -311,6 +377,20 @@ object StreamOps {
     "stream_stateful" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // The batch image of the stateful fold: last change per key by
+    // (ts, event_id), deletes suppressed.
+    "stream_cdc" ->
+      """WITH last AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id,
+        |       strftime(date_trunc('second', ts),
+        |                '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |       value AS bal
+        |FROM last WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "stream_join" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

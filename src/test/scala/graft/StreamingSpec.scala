@@ -134,6 +134,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC state: a later batch's delete retracts, a later update overrides") {
+    import org.apache.spark.sql.streaming.TimeMode
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // (key, seqMicros, eventId, op, value) through the SHIPPED
+      // CdcProcessor.
+      val in = MemoryStream[(Long, Long, Long, String, Double)]
+      val out = in.toDS().groupByKey(_._1)
+        .transformWithState(new StreamOps.CdcProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.writeStream.format("memory").queryName("cdc_sink")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        // Batch 1: key 1 upserted twice (seq 20 wins), key 2 once.
+        in.addData((1L, 10L, 1L, "U", 5.0), (1L, 20L, 2L, "U", 7.0),
+          (2L, 15L, 3L, "U", 3.0))
+        q.processAllAvailable()
+        val b1 = spark.table("cdc_sink")
+          .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+        assert(b1 == Map(1L -> 7.0, 2L -> 3.0), b1.toString)
+        // Batch 2: delete key 1 (newer seq), update key 2, and a
+        // STALE delete for key 2 (seq 5 — must lose to the state).
+        in.addData((1L, 30L, 4L, "D", 0.0), (2L, 25L, 5L, "U", 9.0),
+          (2L, 5L, 6L, "D", 0.0))
+        q.processAllAvailable()
+        val rows = spark.table("cdc_sink")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        // Key 1 emitted nothing in batch 2 (deleted) — its latest
+        // emission stays seq 20; key 2's batch-2 emission carries the
+        // new value, the stale delete ignored.
+        assert(rows.filter(_._1 == 1L).map(_._2).max == 20L, rows.toSeq)
+        assert(rows.filter(_._1 == 2L).map(_._2).max == 25L, rows.toSeq)
+        assert(rows.find(r => r._1 == 2L && r._2 == 25L).get._3 == 9.0)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("event-time timers finalize a quiet user's session at the watermark") {
     // The transformWithState capability fMGWS lacks: a group that goes
     // SILENT still gets a callback — deterministically, off event time
