@@ -192,10 +192,29 @@ object FnOps {
           concat(lower(parse_url(col("url"), lit("HOST"))),
             parse_url(col("url"), lit("PATH"))).as("canonical"))
         .orderBy("doc_id", "url")
-    })
+    }),
+
+    // Cryptographic digest family (r9): md5/sha256 over the raw bytes
+    // — content addressing, cache keys, dedup digests, audit trails.
+    // Hex output is the cross-engine canonical form; the text corpus
+    // is ASCII so VARCHAR bytes == BINARY bytes on both sides (the
+    // multimodal trick). All codegen'd built-ins, no UDF.
+    "fn_digest" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("md5_hex"),
+          sha2(col("text").cast("binary"), 256).as("sha256_hex"),
+          substring(md5(col("text").cast("binary")), 1, 8).as("md5_head"),
+          length(col("text")).cast("long").as("n_chars_hashed"))
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_digest" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+        |       substr(md5(text), 1, 8) AS md5_head,
+        |       length(text) AS n_chars_hashed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         |  upper(p_name) AS up, lower(p_type) AS lo,

@@ -145,6 +145,28 @@ object Multimodal {
           octet_length(resized).cast("long").as("resized_bytes"),
           md5(resized).as("resized_md5"))
         .orderBy("doc_id")
+    }),
+
+    // Perceptual-hash dedup (r9): near-duplicate MEDIA detection by
+    // quantized feature signature — the pHash/aHash shape: decode to a
+    // fixed-width feature vector, quantize each dim to a coarse level,
+    // group identical signatures (content that decodes alike hashes
+    // alike, robust to container-level byte differences that defeat
+    // exact digests). Levels are floor(f·8) on EXACT arithmetic
+    // (float÷float then ·8 — a power of two — in double: every step
+    // bit-identical both engines, so even boundary-sitting features
+    // quantize identically). Cluster stats via one signature window —
+    // signature-bounded state, the LSH-bucket shape at scale.
+    "multimodal_phash" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("signature")
+      decoded(s, d)
+        .select(col("doc_id"),
+          array_join(transform(col("features"), f =>
+            least(floor(f.cast("double") * 8), lit(7.0)).cast("int")
+              .cast("string")), "").as("signature"))
+        .withColumn("cluster", min("doc_id").over(w))
+        .withColumn("n_same", count(lit(1)).over(w))
+        .orderBy("doc_id")
     })
   )
 
@@ -152,6 +174,35 @@ object Multimodal {
   // sum-of-squares, so summing only occupied buckets in index order
   // matches the stub's full 16-slot loop.
   val oracle: Map[String, String] = Map(
+    // The signature NEEDS the zero buckets (they quantize to level 0),
+    // so the replay grids doc × 16 dims and zero-fills before
+    // quantizing — unlike the decode oracle's sum-of-squares shortcut.
+    "multimodal_phash" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ascii(c) % 16 AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |        FROM documents)),
+        |bc AS (SELECT doc_id, b, count(*) AS cnt FROM chars GROUP BY 1, 2),
+        |n AS (SELECT doc_id, strlen(text) AS n FROM documents),
+        |grid AS (SELECT n.doc_id, gs.b
+        |         FROM n, (SELECT unnest(range(16)) AS b) gs),
+        |lv AS (
+        |  SELECT g.doc_id, g.b,
+        |         CAST(least(floor(CAST(CAST(COALESCE(bc.cnt, 0) AS FLOAT)
+        |                / CAST(n.n AS FLOAT) AS DOUBLE) * 8), 7) AS INT)
+        |           AS l
+        |  FROM grid g
+        |  LEFT JOIN bc ON g.doc_id = bc.doc_id AND g.b = bc.b
+        |  JOIN n ON g.doc_id = n.doc_id),
+        |sig AS (
+        |  SELECT doc_id, string_agg(CAST(l AS VARCHAR), '' ORDER BY b)
+        |    AS signature
+        |  FROM lv GROUP BY doc_id)
+        |SELECT doc_id, signature,
+        |       min(doc_id) OVER (PARTITION BY signature) AS cluster,
+        |       count(*) OVER (PARTITION BY signature) AS n_same
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
     "multimodal_decode" ->
       """WITH chars AS (
         |  SELECT doc_id, ascii(c) % 16 AS b

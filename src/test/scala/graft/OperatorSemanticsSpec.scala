@@ -643,6 +643,19 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(n < total / 10, s"$n of $total flagged — fences too tight")
   }
 
+  test("multimodal_phash: 16-dim octal signatures, cluster stats self-consistent") {
+    val out = SparkEntry.queries("multimodal_phash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.length == T.documents(spark, sf).count())
+    assert(out.forall(_._2.matches("[0-7]{16}")), "signature shape")
+    val bySig = out.groupBy(_._2)
+    for ((_, g) <- bySig) {
+      assert(g.forall(_._3 == g.map(_._1).min), "cluster = min doc_id")
+      assert(g.forall(_._4 == g.length), "n_same = group size")
+    }
+  }
+
   test("join_fuzzy: every corrupted name recovers a match within distance 2") {
     val out = SparkEntry.queries("join_fuzzy")(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
