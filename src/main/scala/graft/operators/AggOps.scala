@@ -355,6 +355,32 @@ object AggOps {
         .orderBy("c_custkey")
     }),
 
+    // Bitmap distinct counting (r9): EXACT distinct over a bounded id
+    // domain via fixed-width bitmaps — the roaring/bitmap-index shape
+    // that sits between countDistinct (exact, but the shuffle carries
+    // every distinct value) and HLL (mergeable, approximate). Each
+    // (group, word) cell bit_ors a one-hot long; distinct = Σ
+    // popcount. The payoff is MERGEABILITY WITHOUT RESCAN: the ALL row
+    // below derives from the per-group bitmap words alone — any
+    // coarser rollup merges bitmaps like agg_hll_merge merges
+    // sketches, but exactly. 63-bit words (bits 0..62): DuckDB's
+    // overflow-checked `<<` rejects 1<<63, and ceil(domain/63) words
+    // is the same O(domain) state either way. Shuffle carries
+    // |groups|·|words| longs — independent of row count.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      val words = T.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          expr("l_suppkey div 63").as("w"),
+          expr("shiftleft(1L, cast(l_suppkey % 63 as int))").as("bit"))
+        .groupBy("flag", "w").agg(expr("bit_or(bit)").as("bm"))
+      val perFlag = words.groupBy("flag")
+        .agg(sum(bit_count(col("bm"))).as("n_distinct"))
+      val merged = words.groupBy("w").agg(expr("bit_or(bm)").as("bm"))
+        .agg(sum(bit_count(col("bm"))).as("n_distinct"))
+        .select(lit("ALL").as("flag"), col("n_distinct"))
+      perFlag.unionByName(merged).orderBy("flag")
+    }),
+
     // Shannon entropy per group (r9): the behavioral-diversity /
     // anomaly signal (a user whose event mix is all one type scores 0;
     // a uniform 5-type mix scores log2(5)). Computed in the
@@ -558,6 +584,25 @@ object AggOps {
         |         AS orderkeys
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    // Same 63-bit word/bit split, same two-level bit_or merge;
+    // bit_count sums cast off HUGEINT.
+    "agg_bitmap_distinct" ->
+      """WITH words AS (
+        |  SELECT l_returnflag AS flag, l_suppkey // 63 AS w,
+        |         bit_or(CAST(1 AS BIGINT) << CAST(l_suppkey % 63 AS INT))
+        |           AS bm
+        |  FROM lineitem GROUP BY 1, 2),
+        |per_flag AS (
+        |  SELECT flag, CAST(sum(bit_count(bm)) AS BIGINT) AS n_distinct
+        |  FROM words GROUP BY flag),
+        |merged AS (
+        |  SELECT 'ALL' AS flag,
+        |         CAST(sum(bit_count(bm2)) AS BIGINT) AS n_distinct
+        |  FROM (SELECT w, bit_or(bm) AS bm2 FROM words GROUP BY w))
+        |SELECT flag, n_distinct FROM per_flag
+        |UNION ALL SELECT flag, n_distinct FROM merged
+        |ORDER BY flag""".stripMargin,
+
     // Same factored form over the same integer counts; round(·, 6)
     // fences the ULP gap between Java's and libm's log2.
     "agg_entropy" ->

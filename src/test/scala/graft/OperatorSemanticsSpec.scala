@@ -643,6 +643,17 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(n < total / 10, s"$n of $total flagged — fences too tight")
   }
 
+  test("agg_bitmap_distinct: bitmap popcounts equal exact countDistinct, merge included") {
+    val out = SparkEntry.queries("agg_bitmap_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = T.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(countDistinct("l_suppkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = T.lineitem(spark, sf)
+      .select(countDistinct("l_suppkey")).collect()(0).getLong(0)
+    assert(out == exact + ("ALL" -> all), s"$out vs $exact + ALL=$all")
+  }
+
   test("multimodal_phash: 16-dim octal signatures, cluster stats self-consistent") {
     val out = SparkEntry.queries("multimodal_phash")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
