@@ -205,6 +205,31 @@ class PlanSpec extends SparkSpec {
       s"hash cut must not globally sort by sample_key: $p")
   }
 
+  test("ts_ewma: 8 lags + row_number share ONE user_id exchange") {
+    // The coefficient math is per-row decimal arithmetic after a
+    // single WindowExec frame; a second hashpartitioning would mean
+    // the lag columns and rn stopped sharing the window.
+    val p = plan("ts_ewma", TimeSeries.queries)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ts_anomaly: fence table joins back via broadcast, not a shuffle") {
+    // The per-user quantile frame is |users| rows — broadcast is the
+    // declared 100 TB shape; a shuffled join would move the residual
+    // frame a second time.
+    val p = plan("ts_anomaly", TimeSeries.queries)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("join_fuzzy: blocking keeps a hash/merge join — no nested loop") {
+    // A raw levenshtein<=k predicate would plan BNLJ; the exploded
+    // equi block keys must keep an equi join (the engine-wide sweep
+    // also asserts no BNLJ, this pins the positive side).
+    val p = plan("join_fuzzy", JoinOps.queries)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("engine-wide sweep: no unlisted cartesian/nested-loop join in ANY key") {
     // The blanket version of the targeted checks above: every declared
     // query's physical plan, with an explicit allowlist naming exactly
