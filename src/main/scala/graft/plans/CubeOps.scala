@@ -147,6 +147,24 @@ object CubeOps {
         .orderBy("cube", "region", "dims_json", "time", "measure")
     }),
 
+    // API serving shape (r9): the reference's product surface is a
+    // region-statistics data API — "give me everything about region X"
+    // returns NESTED fact documents, not long rows. cube_serve
+    // composes the two halves that already exist ([[CubePipeline
+    // .query]]'s pushdown selection + [[CubePipeline.facts]]'s
+    // pivot-and-nest JSON rendering) into that response: filter by
+    // region across ALL loaded cubes, one compact doc per
+    // (cube, region, dims, time) cell group. At scale the region
+    // filter prunes before the nest shuffle — the serving query never
+    // aggregates what it doesn't return.
+    "cube_serve" -> ((s, _) => {
+      val paths = Seq(ensureFixture() -> "12411_mini", ensureArea() -> "area")
+      CubePipeline.facts(
+          CubePipeline.query(CubePipeline.parseAll(s, paths),
+            region = Some("11")))
+        .orderBy("cube", "time", "doc")
+    }),
+
     // DSv2 ingestion (r8): the SAME two heterogeneous cubes read
     // through the `genesis-cube` DataSource V2 reader — schema-from-
     // header runs in EXECUTORS (one InputPartition per cube file, the
@@ -294,6 +312,33 @@ object CubeOps {
          |       ELSE CAST(c4 AS DOUBLE) END AS value,
          |  c5 AS quality
          |FROM data ORDER BY region, dim_GES, "time"""".stripMargin,
+    // The serving docs rebuilt by string concatenation — byte-for-byte
+    // what Spark's to_json renders (field order = struct order, map
+    // keys pre-sorted, doubles print identically: '1793847.0',
+    // '2480.3' verified); region 11 of both fixture cubes.
+    "cube_serve" ->
+      s"""WITH mini AS (${duckDataOf(fixturePath)}),
+         |area AS (${duckDataOf(areaPath)}),
+         |docs AS (
+         |  SELECT '12411_mini' AS cube, c1 AS region, CAST(c3 AS INT)
+         |      AS "time",
+         |    '{"region":"' || c1 || '","year":' || c3 ||
+         |    ',"dims":{"GES":"' || c2 || '"},"measures":{"BEVSTD":{"value":'
+         |    || CAST(CAST(c4 AS DOUBLE) AS VARCHAR) || ',"quality":"' || c5
+         |    || '"}}}' AS doc
+         |  FROM mini WHERE c1 = '11'
+         |  UNION ALL
+         |  SELECT 'area', c1, CAST(c2 AS INT),
+         |    '{"region":"' || c1 || '","year":' || c2 ||
+         |    ',"dims":{},"measures":{"BEVDICHTE":{"value":'
+         |    || CAST(CAST(c5 AS DOUBLE) AS VARCHAR) || ',"quality":"' || c6
+         |    || '"},"FLAECHE":{"value":'
+         |    || CAST(CAST(c3 AS DOUBLE) AS VARCHAR) || ',"quality":"' || c4
+         |    || '"}}}'
+         |  FROM area WHERE c1 = '11')
+         |SELECT cube, region, "time", doc FROM docs
+         |ORDER BY cube, "time", doc""".stripMargin,
+
     // Union oracle replays both cubes' positional extraction and the
     // dims-map JSON fold, then unions — one SELECT per (cube, measure).
     "cube_union" ->
