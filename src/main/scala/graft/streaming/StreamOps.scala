@@ -316,6 +316,27 @@ object StreamOps {
     "stream_stateful" -> ((s, d) =>
       runningCountsTWS(T.events(s, d)).orderBy("user_id")),
 
+    // Windowed top-k (r9): trending items per tumbling window — the
+    // dashboard query every event stream serves ("top event types this
+    // quarter hour"). Batch form = windowed two-phase count + a
+    // per-window rank over ≤ |distinct types| counted rows (the
+    // agg_mode economics: the rank window never sees raw events). In
+    // readStream mode the SAME windowed aggregate runs incrementally
+    // with a watermark; the rank is a per-emitted-window re-sort in
+    // foreachBatch — k·|windows| state, not event state.
+    "stream_topk" -> ((s, d) => {
+      val counts = T.events(s, d)
+        .groupBy(window(tsec, "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("w")
+            .orderBy(col("n").desc, col("event_type").asc)))
+        .filter(col("rk") <= 3)
+        .select(T.tstr(col("w.start")).as("win_start"),
+          col("rk").cast("long").as("rk"), col("event_type"), col("n"))
+        .orderBy("win_start", "rk")
+    }),
+
     // Streaming CDC upsert ([[CdcProcessor]]): 'error' deletes the
     // key, anything else upserts value; last (event-time, event_id)
     // wins. Batch run = one micro-batch over the whole changelog;
@@ -377,6 +398,22 @@ object StreamOps {
     "stream_stateful" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_topk" ->
+      """WITH c AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes',
+        |           date_trunc('second', ts)) AS ws,
+        |         event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT ws, event_type, n,
+        |         row_number() OVER (PARTITION BY ws
+        |           ORDER BY n DESC, event_type ASC) AS rk
+        |  FROM c)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       rk, event_type, n
+        |FROM r WHERE rk <= 3
+        |ORDER BY win_start, rk""".stripMargin,
+
     // The batch image of the stateful fold: last change per key by
     // (ts, event_id), deletes suppressed.
     "stream_cdc" ->
