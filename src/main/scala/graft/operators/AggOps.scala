@@ -355,6 +355,37 @@ object AggOps {
         .orderBy("c_custkey")
     }),
 
+    // Pricing-summary macro (r9) — the TPC-H Q1 shape as a driver-
+    // checked key (the flagship `entry()` runs it on sf0.001 but never
+    // entered CORRECTNESS): full multi-measure scan-agg over ~97% of
+    // lineitem — the single most-run reporting query shape there is.
+    // One pushed-down scan, one two-phase hash aggregate over a
+    // 4-group key; every money sum exact-decimal then rounded at the
+    // emit (§7.5).
+    "macro_pricing" -> ((s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          T.money(sum(T.dec(col("l_quantity")))).as("sum_qty"),
+          T.money(sum(T.dec(col("l_extendedprice")))).as("sum_base"),
+          T.money(sum(T.dec(col("l_extendedprice")) *
+            (lit(1) - T.dec(col("l_discount"))))).as("sum_disc"),
+          T.money(sum(T.dec(col("l_extendedprice")) *
+            (lit(1) - T.dec(col("l_discount"))) *
+            (lit(1) + T.dec(col("l_tax"))))).as("sum_charge"),
+          // Averages as exact-decimal sum ÷ count on the double images
+          // (a raw double avg drifts with partition order; the
+          // determinism sweep would catch it — agg_weighted's rule).
+          round(sum(T.dec(col("l_quantity"))).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_qty"),
+          round(sum(T.dec(col("l_extendedprice"))).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_price"),
+          round(sum(T.dec(col("l_discount"))).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
     // Bitmap distinct counting (r9): EXACT distinct over a bounded id
     // domain via fixed-width bitmaps — the roaring/bitmap-index shape
     // that sits between countDistinct (exact, but the shuffle carries
@@ -584,6 +615,31 @@ object AggOps {
         |         AS orderkeys
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "macro_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS sum_base,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |    AS sum_disc,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,4))) *
+        |      (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |    AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     // Same 63-bit word/bit split, same two-level bit_or merge;
     // bit_count sums cast off HUGEINT.
     "agg_bitmap_distinct" ->

@@ -247,6 +247,34 @@ object JoinOps {
         .orderBy("o_orderkey")
     }),
 
+    // Star join macro (r9) — the TPC-H Q5 shape: fact table joined
+    // through a full dimension chain (orders→customer→nation→region,
+    // lineitem→supplier with the nation-match predicate), selective
+    // region filter, revenue rollup. One key exercising what the
+    // micro-joins test separately: join ORDER (Catalyst pushes the
+    // region filter through the chain before the fact join),
+    // broadcast selection for every dim, AQE stage re-planning — the
+    // macro plan a reporting workload actually runs. At 100 TB the
+    // fact side shuffles once on orderkey; every dimension side stays
+    // broadcast-sized.
+    "join_star" -> ((s, d) => {
+      val li = T.lineitem(s, d); val o = T.orders(s, d)
+      val c = T.customer(s, d); val su = T.supplier(s, d)
+      val n = T.nation(s, d); val r = T.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(T.money(sum(T.dec(col("l_extendedprice")) *
+            (lit(1) - T.dec(col("l_discount"))))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
     // Blocked fuzzy join (r9) — entity resolution over misspelled
     // names: match each corrupted name back to the clean catalog
     // within edit distance 2. The scale discipline is BLOCKING: a raw
@@ -419,6 +447,23 @@ object JoinOps {
         |SELECT o_orderkey, COALESCE(prio_k, 'UNKNOWN') AS prio, n_in_class
         |FROM keyed JOIN dim ON prio_k IS NOT DISTINCT FROM dim_k
         |ORDER BY o_orderkey""".stripMargin,
+    "join_star" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
     // Identical blocking (3 exploded (first-char, length) buckets) and
     // unit-cost edit distance; both engines implement classic
     // Wagner-Fischer levenshtein.

@@ -230,6 +230,17 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("join_star: every dimension broadcasts; the fact side never sort-merges") {
+    // The Q5-shape contract at scale: customer/supplier/nation/region
+    // are broadcast-sized, so the only shuffle the fact side pays is
+    // the lineitem⋈orders key — a SortMergeJoin anywhere means a
+    // dimension was mis-sized into a fact-sized exchange.
+    val p = plan("join_star", JoinOps.queries)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"star dims must broadcast, not sort-merge: $p")
+  }
+
   test("engine-wide sweep: no unlisted cartesian/nested-loop join in ANY key") {
     // The blanket version of the targeted checks above: every declared
     // query's physical plan, with an explicit allowlist naming exactly
