@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The library's front door — one documented entry point re-exporting
+  * every reusable operator so a caller never has to know the module
+  * layout. Each member is an alias (a `val` bound to the implementing
+  * method): zero indirection at runtime, and the Scaladoc on the
+  * implementing object stays the single source of truth.
+  *
+  * Grouped the way a user asks for them:
+  *
+  * {{{
+  * import graft.Graft
+  * val spark = Graft.session(cores = 8)
+  *
+  * // temporal joins
+  * Graft.asofJoin(trades, quotes, "sym", "sym", "t", "qt", "px")
+  *
+  * // skew survival
+  * Graft.saltedJoin(events, "user_id", dim, "user_id", salt = 8)
+  *
+  * // corpus curation
+  * val kept = Graft.curate(docs, minQuality = 1.0, jaccard = 0.35)
+  * val clean = Graft.decontaminate(kept, benchmark, minSharedShingles = 5)
+  * val bins  = Graft.packSequences(clean, maxTokens = 512, shards = 8)
+  *
+  * // similarity search
+  * Graft.knnIvf(embeddings, k = 10, nCells = 16)
+  * }}}
+  *
+  * The driver-facing query catalog (the 166 `SparkEntry.queries` keys)
+  * sits one level up and is built FROM these pieces — this object is
+  * the programmatic surface.
+  */
+object Graft {
+
+  /** Tuned local session: UTC, ns-parquet compat, core-sized shuffle
+    * partitions (see [[GraftSession]]). */
+  def session(cores: Int): SparkSession = GraftSession.local(cores)
+
+  // ---- table & determinism helpers ---------------------------------
+  /** Exact-arithmetic cast for money-scale aggregation ([[T.dec]]). */
+  def dec(c: Column): Column = T.dec(c)
+  /** Rounded-double emit form of a decimal aggregate ([[T.money]]). */
+  def money(c: Column): Column = T.money(c)
+  /** Normalize an events-style `ts` of any fixture vintage
+    * ([[T.normalizeTs]]). */
+  def normalizeTs(df: DataFrame, col: String = "ts"): DataFrame =
+    T.normalizeTs(df, col)
+
+  // ---- temporal joins ----------------------------------------------
+  /** As-of join: latest right row at-or-before each left timestamp
+    * ([[operators.AsOf.asofJoin]]). */
+  val asofJoin = operators.AsOf.asofJoin _
+  /** Nearest-in-time join, either direction, pinned ties
+    * ([[operators.AsOf.nearestJoin]]). */
+  val nearestJoin = operators.AsOf.nearestJoin _
+
+  // ---- skew survival -----------------------------------------------
+  /** Salted two-stage aggregation ([[operators.Skew.saltedSumCount]]). */
+  val saltedSumCount = operators.Skew.saltedSumCount _
+  /** Salted big⋈small join ([[operators.Skew.saltedJoin]]). */
+  val saltedJoin = operators.Skew.saltedJoin _
+
+  // ---- time series -------------------------------------------------
+  /** Dense per-entity time grid ([[operators.TimeSeries.denseGrid]]). */
+  val denseGrid = operators.TimeSeries.denseGrid _
+  /** Exact capped EWMA smoothing ([[operators.TimeSeries.ewmaCapped]]). */
+  val ewma = operators.TimeSeries.ewmaCapped _
+
+  // ---- graph analytics ---------------------------------------------
+  /** Integer-scaled PageRank ([[llm.LlmGraph.pagerank]]). */
+  val pagerank = llm.LlmGraph.pagerank _
+  /** Min-label connected components ([[llm.LlmGraph.components]]). */
+  def components(edges: DataFrame, maxRounds: Int = 25): DataFrame =
+    llm.LlmGraph.components(edges, maxRounds)
+  /** Degree-oriented triangle counts ([[llm.LlmGraph.triangleCounts]]). */
+  val triangleCounts = llm.LlmGraph.triangleCounts _
+
+  // ---- dedup family ------------------------------------------------
+  /** Shingle-Jaccard near-dup pairs ([[llm.LlmDedup.ngramPairs]]). */
+  val ngramPairs = llm.LlmDedup.ngramPairs _
+  /** Banded-LSH MinHash pairs ([[llm.LlmDedup.minhashPairs]]). */
+  val minhashPairs = llm.LlmDedup.minhashPairs _
+  /** SimHash band pairs ([[llm.LlmDedup.simhashPairs]]). */
+  val simhashPairs = llm.LlmDedup.simhashPairs _
+  /** Pair list → duplicate clusters
+    * ([[llm.LlmDedup.connectedComponents]]). */
+  val dedupClusters = llm.LlmDedup.connectedComponents _
+  /** Streaming exact dedup ([[llm.LlmDedup.streamingExactDedup]]). */
+  val streamingExactDedup = llm.LlmDedup.streamingExactDedup _
+  /** Embedding-cosine near-dup pairs ([[llm.LlmVector.embedDupPairs]]). */
+  val embedDupPairs = llm.LlmVector.embedDupPairs _
+
+  // ---- similarity search -------------------------------------------
+  /** Brute-force cosine top-k, blocked ([[llm.LlmVector.knnBrute]]). */
+  val knnBrute = llm.LlmVector.knnBrute _
+  /** Sign-LSH bucketed ANN ([[llm.LlmVector.knnLsh]]). */
+  val knnLsh = llm.LlmVector.knnLsh _
+  /** IVF cell-probed ANN ([[llm.LlmVector.knnIvf]]). */
+  def knnIvf(emb: DataFrame, k: Int, nCells: Int): DataFrame =
+    llm.LlmVector.knnIvf(emb, k, nCells)
+  /** Multi-probe IVF ([[llm.LlmVector.knnIvfProbe]]). */
+  val knnIvfProbe = llm.LlmVector.knnIvfProbe _
+
+  // ---- corpus pipeline ---------------------------------------------
+  /** Quality gate → dedup → near-dup drop → accounting
+    * ([[llm.CorpusPipeline.curate]]). */
+  val curate = llm.CorpusPipeline.curate _
+  /** Benchmark decontamination ([[llm.CorpusPipeline.decontaminate]]). */
+  val decontaminate = llm.CorpusPipeline.decontaminate _
+  /** Target-proportion corpus mixing ([[llm.CorpusPipeline.corpusMix]]). */
+  val corpusMix = llm.CorpusPipeline.corpusMix _
+  /** Deterministic train/val/test split
+    * ([[llm.CorpusPipeline.trainValTestSplit]]). */
+  val trainValTestSplit = llm.CorpusPipeline.trainValTestSplit _
+  /** Greedy token-budget sequence packing
+    * ([[llm.CorpusPipeline.packSequences]]). */
+  val packSequences = llm.CorpusPipeline.packSequences _
+
+  // ---- streaming state ---------------------------------------------
+  /** Cross-batch running counts ([[streaming.StreamOps.runningCountsTWS]]). */
+  val runningCounts = streaming.StreamOps.runningCountsTWS _
+  /** Cross-batch CDC upsert state ([[streaming.StreamOps.cdcState]]). */
+  val cdcState = streaming.StreamOps.cdcState _
+
+  // ---- write-side layout -------------------------------------------
+  /** Partitioned parquet with skew file-splitting
+    * ([[sources.Sinks.writePartitioned]]). */
+  val writePartitioned = sources.Sinks.writePartitioned _
+  /** Sorted-within-files layout for range pruning
+    * ([[sources.Sinks.writeSorted]]). */
+  val writeSorted = sources.Sinks.writeSorted _
+  /** Bucketed table for shuffle-free joins
+    * ([[sources.Sinks.writeBucketed]]). */
+  val writeBucketed = sources.Sinks.writeBucketed _
+  /** Checkpointed exactly-once streaming parquet sink
+    * ([[sources.Sinks.streamToParquet]]). */
+  val streamToParquet = sources.Sinks.streamToParquet _
+}
