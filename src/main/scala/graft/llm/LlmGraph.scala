@@ -343,6 +343,15 @@ object LlmGraph {
     * n_triangles), nodes in no triangle absent. Degree-ordered
     * orientation bounds out-degree by √(2m) — the wedge volume
     * Σ C(outdeg, 2) is O(m^1.5) on any graph, hub-proof.
+    *
+    * Correctness subtlety the ScalaCheck property caught (r9): every
+    * comparison must use the SAME total order as the orientation.
+    * Every triangle {a ≺ b ≺ c} under the (deg, node) order ≺ has
+    * oriented edges a→b, a→c, b→c, so the wedge at its ≺-minimum
+    * corner must pair (b, c) with b ≺ c — ordering the wedge by raw
+    * node id instead silently drops triangles whose closing edge runs
+    * against id order (an id-ordered closure edge (c, b) never matches
+    * the oriented (b, c) lookup).
     */
   def triangleCounts(e: DataFrame): DataFrame = {
     require(e.columns.toSeq == Seq("u", "v"),
@@ -351,21 +360,23 @@ object LlmGraph {
         e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
     // Orient u→v when (deg(u), u) < (deg(v), v); struct comparison is
-    // lexicographic in both engines. The oriented frame feeds three
-    // join sides — pin it (the pagerank edge-pin rationale).
+    // lexicographic in both engines. The target's degree rides along —
+    // the wedge ordering below needs it. The oriented frame feeds
+    // three join sides — pin it (the pagerank edge-pin rationale).
+    val uLtV = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     val oriented = graft.Pins.repin("llm.triOriented",
       e.join(deg.withColumnRenamed("n", "u")
           .withColumnRenamed("dg", "du"), "u")
         .join(deg.withColumnRenamed("n", "v")
           .withColumnRenamed("dg", "dv"), "v")
         .select(
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-            col("u")).otherwise(col("v")).as("s"),
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-            col("v")).otherwise(col("u")).as("t")))
-    val w1 = oriented.select(col("s"), col("t").as("b"))
-    val w2 = oriented.select(col("s"), col("t").as("c"))
-    val wedges = w1.join(w2, Seq("s")).filter(col("b") < col("c"))
+          when(uLtV, col("u")).otherwise(col("v")).as("s"),
+          when(uLtV, col("v")).otherwise(col("u")).as("t"),
+          when(uLtV, col("dv")).otherwise(col("du")).as("dt")))
+    val w1 = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
+    val w2 = oriented.select(col("s"), col("t").as("c"), col("dt").as("dc"))
+    val wedges = w1.join(w2, Seq("s"))
+      .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
     val tri = wedges.join(
       oriented.select(col("s").as("b"), col("t").as("c")),
       Seq("b", "c"))
@@ -426,9 +437,10 @@ object LlmGraph {
         |ORDER BY node_type, id""".stripMargin,
 
     // Same support floor, same (deg, node) orientation (row-value
-    // comparison is lexicographic in DuckDB too), same wedge+closure
-    // joins — each triangle materializes exactly once, then fans out
-    // to its three corners.
+    // comparison is lexicographic in DuckDB too), and the wedge pair
+    // ordered by the SAME (deg, node) order (see triangleCounts'
+    // correctness note) — each triangle materializes exactly once,
+    // then fans out to its three corners.
     "graph_triangles" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -444,11 +456,14 @@ object LlmGraph {
         |  SELECT CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
         |              THEN e.u ELSE e.v END AS s,
         |         CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
-        |              THEN e.v ELSE e.u END AS t
+        |              THEN e.v ELSE e.u END AS t,
+        |         CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
+        |              THEN dv.dg ELSE du.dg END AS dt
         |  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
         |tri AS (
         |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
-        |  FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t
+        |  FROM o e1 JOIN o e2 ON e1.s = e2.s
+        |       AND (e1.dt, e1.t) < (e2.dt, e2.t)
         |       JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t)
         |SELECT part_id, count(*) AS n_triangles FROM (
         |  SELECT a AS part_id FROM tri

@@ -215,4 +215,95 @@ class PropertySpec extends SparkSpec {
       assert(got == want)
     }
   }
+
+  test("ewmaCapped ≡ BigDecimal reference for ANY series (multi-entity)") {
+    import graft.operators.TimeSeries
+    val series = Gen.nonEmptyListOf(for {
+      user <- Gen.choose(1L, 3L)
+      v <- Gen.choose(-99999, 99999).map(_ / 100.0) // 2-dp values, ± sign
+    } yield (user, v))
+    forAllSeeded(series) { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((u, v), i) =>
+        (u, i.toLong,
+          new java.sql.Timestamp(1700000000000L + i * 1000L), v)
+      }
+      val df = rows.toDF("user_id", "event_id", "ts", "value")
+      val got = TimeSeries.ewmaCapped(df,
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("ts", "event_id"))
+        .select("user_id", "rn", "ewma")
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+        .toMap
+      // Reference: per user, the capped closed form on BigDecimal.
+      for ((u, series) <- rows.groupBy(_._1)) {
+        val xs = series.sortBy(r => (r._3.getTime, r._2)).map(r => BigDecimal(r._4))
+          .map(_.setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        xs.indices.foreach { i =>
+          val m = math.min(i + 1, 8)
+          val terms = (0 until m).map { j =>
+            val coef =
+              if (j == m - 1) BigDecimal(1) / BigDecimal(BigInt(1) << (m - 1))
+              else BigDecimal(1) / BigDecimal(BigInt(1) << (j + 1))
+            xs(i - j) * coef
+          }
+          val want = terms.sum
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(got((u, i + 1)) == want,
+            s"user $u rn ${i + 1}: got ${got((u, i + 1))}, want $want")
+        }
+      }
+    }
+  }
+
+  test("triangleCounts ≡ brute-force enumeration on ANY small graph") {
+    import graft.llm.LlmGraph
+    // distinct endpoints by construction (a filtered gen can exhaust)
+    val edges = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(1L, 9L); d <- Gen.choose(1L, 8L)
+    } yield {
+      val b = (a - 1 + d) % 9 + 1
+      (math.min(a, b), math.max(a, b))
+    })
+    forAllSeeded(edges) { es0 =>
+      val es = es0.distinct
+      val got = LlmGraph.triangleCounts(es.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val adj = es.toSet
+      def conn(a: Long, b: Long) =
+        adj((math.min(a, b), math.max(a, b)))
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val corners = (for {
+        Seq(a, b, c) <- nodes.combinations(3)
+        if conn(a, b) && conn(b, c) && conn(a, c)
+        n <- Seq(a, b, c)
+      } yield n).toSeq
+      val want = corners.groupBy(n => n)
+        .map { case (n, l) => n -> l.size.toLong }
+      assert(got == want, s"got $got, want $want (edges $es)")
+    }
+  }
+
+  test("CDC last-writer fold ≡ reference for ANY changelog") {
+    import graft.streaming.StreamOps
+    val log = Gen.nonEmptyListOf(for {
+      key <- Gen.choose(1L, 4L)
+      seq <- Gen.choose(1L, 50L)
+      del <- Gen.oneOf(true, false)
+      v <- Gen.choose(0, 9999).map(_ / 10.0)
+    } yield (key, seq, del, v))
+    forAllSeeded(log) { rows0 =>
+      // unique (key, seq, eid): eid = position disambiguates equal seqs
+      val rows = rows0.zipWithIndex.map { case ((k, sq, del, v), i) =>
+        (k, sq, i.toLong, if (del) "D" else "U", v)
+      }
+      val got = StreamOps.cdcState(rows.toDF("k", "seq", "eid", "op", "v"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val last = rs.maxBy(r => (r._2, r._3))
+        if (last._4 == "D") None else Some(k -> (last._2, last._5))
+      }
+      assert(got == want, s"got $got, want $want")
+    }
+  }
 }
