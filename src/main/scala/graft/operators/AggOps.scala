@@ -398,19 +398,12 @@ object AggOps {
     // overflow-checked `<<` rejects 1<<63, and ceil(domain/63) words
     // is the same O(domain) state either way. Shuffle carries
     // |groups|·|words| longs — independent of row count.
-    "agg_bitmap_distinct" -> ((s, d) => {
-      val words = T.lineitem(s, d)
-        .select(col("l_returnflag").as("flag"),
-          expr("l_suppkey div 63").as("w"),
-          expr("shiftleft(1L, cast(l_suppkey % 63 as int))").as("bit"))
-        .groupBy("flag", "w").agg(expr("bit_or(bit)").as("bm"))
-      val perFlag = words.groupBy("flag")
-        .agg(sum(bit_count(col("bm"))).as("n_distinct"))
-      val merged = words.groupBy("w").agg(expr("bit_or(bm)").as("bm"))
-        .agg(sum(bit_count(col("bm"))).as("n_distinct"))
-        .select(lit("ALL").as("flag"), col("n_distinct"))
-      perFlag.unionByName(merged).orderBy("flag")
-    }),
+    "agg_bitmap_distinct" -> ((s, d) =>
+      bitmapDistinct(
+        T.lineitem(s, d).select(col("l_returnflag").as("g"),
+          col("l_suppkey").as("id")))
+        .withColumnRenamed("g", "flag")
+        .orderBy("flag")),
 
     // Shannon entropy per group (r9): the behavioral-diversity /
     // anomaly signal (a user whose event mix is all one type scores 0;
@@ -454,6 +447,24 @@ object AggOps {
             6).as("wavg_price"))
         .orderBy("l_returnflag"))
   )
+
+  /** Exact mergeable distinct counts over `df("g", "id")` (id must be
+    * a non-negative integral within `words`·63): one row per group
+    * plus an 'ALL' row merged FROM the per-group bitmap words without
+    * rescanning the input. Contracts spec'd in PropertySpec
+    * (≡ countDistinct for any input). */
+  def bitmapDistinct(df: DataFrame): DataFrame = {
+    val words = df
+      .select(col("g"), expr("id div 63").as("w"),
+        expr("shiftleft(1L, cast(id % 63 as int))").as("bit"))
+      .groupBy("g", "w").agg(expr("bit_or(bit)").as("bm"))
+    val perGroup = words.groupBy("g")
+      .agg(sum(bit_count(col("bm"))).as("n_distinct"))
+    val merged = words.groupBy("w").agg(expr("bit_or(bm)").as("bm"))
+      .agg(sum(bit_count(col("bm"))).as("n_distinct"))
+      .select(lit("ALL").as("g"), col("n_distinct"))
+    perGroup.unionByName(merged)
+  }
 
   val oracle: Map[String, String] = Map(
     // Identical fence expression shape (q1 − 1.5·(q3−q1)) so the

@@ -289,30 +289,48 @@ object JoinOps {
     // deterministic. The corruption (3rd char dropped) is derived
     // from the data itself so the key self-oracles.
     "join_fuzzy" -> ((s, d) => {
-      val clean = T.part(s, d).select(col("p_name")).distinct()
-        .withColumn("bk", struct(substring(col("p_name"), 1, 1).as("c"),
-          length(col("p_name")).as("l")))
+      val clean = T.part(s, d).select(col("p_name").as("name")).distinct()
       val dirty = clean.select(
-          concat(substring(col("p_name"), 1, 2),
-            expr("substring(p_name, 4)")).as("dirty_name"))
+          concat(substring(col("name"), 1, 2),
+            expr("substring(name, 4)")).as("name"))
         .distinct()
-        .select(col("dirty_name"), explode(expr(
-          "transform(sequence(-1, 1), dl -> " +
-            "struct(substring(dirty_name, 1, 1) AS c, " +
-            "length(dirty_name) + dl AS l))")).as("bk"))
-      dirty.join(clean, "bk")
-        .withColumn("dist", levenshtein(col("dirty_name"), col("p_name")))
-        .filter(col("dist") <= 2)
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("dirty_name")
-            .orderBy(col("dist"), col("p_name"))))
-        .filter(col("rk") === 1)
-        .select(col("dirty_name"), col("p_name").as("matched"),
-          col("dist").cast("long").as("dist"))
+      fuzzyMatch(dirty, clean, maxDist = 2)
+        .select(col("dirty_name"), col("matched"), col("dist"))
         .orderBy("dirty_name")
     })
   )
+
+  /** Blocked fuzzy best-match: for each `dirty("name")` row, the
+    * closest `clean("name")` within `maxDist` edits ((distance, name)
+    * ranked — deterministic), or no row when nothing is close enough.
+    * The probe side explodes one EQUI block key per (first-char,
+    * length±maxDist) bucket so the planner keeps a hash join — a raw
+    * `levenshtein <= k` predicate is a nested-loop n². Recall
+    * contract: any match whose edits keep the first character AND
+    * shift length by ≤ maxDist survives blocking (first-char edits are
+    * the documented loss — standard ER blocking tradeoff).
+    */
+  def fuzzyMatch(dirty: DataFrame, clean: DataFrame,
+      maxDist: Int): DataFrame = {
+    val cleanK = clean.select(col("name").as("matched"),
+      struct(substring(col("name"), 1, 1).as("c"),
+        length(col("name")).as("l")).as("bk"))
+    val probe = dirty.select(col("name").as("dirty_name"),
+      explode(expr(
+        s"transform(sequence(${-maxDist}, $maxDist), dl -> " +
+          "struct(substring(name, 1, 1) AS c, " +
+          "length(name) + dl AS l))")).as("bk"))
+    probe.join(cleanK, "bk")
+      .withColumn("dist", levenshtein(col("dirty_name"), col("matched")))
+      .filter(col("dist") <= maxDist)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("dirty_name")
+          .orderBy(col("dist"), col("matched"))))
+      .filter(col("rk") === 1)
+      .select(col("dirty_name"), col("matched"),
+        col("dist").cast("long").as("dist"))
+  }
 
   val oracle: Map[String, String] = Map(
     "join_inner" ->

@@ -283,6 +283,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bitmapDistinct ≡ countDistinct (incl. the merged ALL row) for ANY input") {
+    import graft.operators.AggOps
+    val rows = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      id <- Gen.choose(0L, 500L)
+    } yield (g, id))
+    forAllSeeded(rows) { rs =>
+      val df = rs.toDF("g", "id")
+      val got = AggOps.bitmapDistinct(df)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = rs.groupBy(_._1).map { case (g, l) =>
+        g -> l.map(_._2).distinct.size.toLong
+      } + ("ALL" -> rs.map(_._2).distinct.size.toLong)
+      assert(got == want, s"got $got, want $want")
+    }
+  }
+
+  test("fuzzyMatch recovers interior single-char deletions for ANY word set") {
+    import graft.operators.JoinOps
+    // Words distinct enough that a deletion can't reach a DIFFERENT
+    // clean word at lower distance: distinct first letters per word.
+    val words = Gen.nonEmptyListOf(for {
+      first <- Gen.choose('a', 'z')
+      rest <- Gen.listOfN(6, Gen.choose('a', 'z')).map(_.mkString)
+    } yield s"$first$rest").map(_.distinct.groupBy(_.head).values.map(_.head).toSeq)
+    forAllSeeded(words) { ws =>
+      val clean = ws.toDF("name")
+      // drop the 3rd char — keeps the first char, shifts length by 1:
+      // inside the declared blocking-recall contract
+      val dirty = ws.map(w => w.take(2) + w.drop(3)).toDF("name")
+      val out = JoinOps.fuzzyMatch(dirty, clean, maxDist = 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // every dirty word matches, at distance ≤ 1 (its origin is one
+      // deletion away; a closer different-first-letter word is blocked
+      // out by construction)
+      assert(out.length == ws.map(w => w.take(2) + w.drop(3)).distinct.size)
+      assert(out.forall(_._3 <= 1), out.mkString(","))
+    }
+  }
+
   test("CDC last-writer fold ≡ reference for ANY changelog") {
     import graft.streaming.StreamOps
     val log = Gen.nonEmptyListOf(for {
