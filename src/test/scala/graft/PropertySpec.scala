@@ -323,6 +323,91 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("binnedRangeJoin ≡ naive point-in-interval for ANY points/intervals/width") {
+    import graft.operators.RangeBin
+    val inputs = for {
+      pts <- Gen.nonEmptyListOf(Gen.choose(-50L, 150L))
+      ivs <- Gen.nonEmptyListOf(for {
+        lo <- Gen.choose(-60L, 140L); len <- Gen.choose(0L, 40L)
+      } yield (lo, lo + len))
+      w <- Gen.oneOf(1L, 3L, 7L, 64L)
+    } yield (pts.distinct, ivs.distinct, w)
+    forAllSeeded(inputs) { case (pts, ivs, w) =>
+      val p = pts.toDF("p")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) =>
+        (i.toLong, lo, hi) }.toDF("iid", "lo", "hi")
+      val got = RangeBin.binnedRangeJoin(p, "p", iv, "lo", "hi", w)
+        .select("p", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        pt <- pts
+        ((lo, hi), i) <- ivs.zipWithIndex
+        if pt >= lo && pt <= hi
+      } yield (pt, i.toLong)).sorted
+      assert(got == want, s"w=$w pts=$pts ivs=$ivs")
+    }
+  }
+
+  test("binnedIntervalJoin ≡ naive overlap for ANY intervals/width (no dup pairs)") {
+    import graft.operators.RangeBin
+    val inputs = for {
+      as <- Gen.nonEmptyListOf(for {
+        lo <- Gen.choose(-40L, 100L); len <- Gen.choose(0L, 30L)
+      } yield (lo, lo + len))
+      bs <- Gen.nonEmptyListOf(for {
+        lo <- Gen.choose(-40L, 100L); len <- Gen.choose(0L, 30L)
+      } yield (lo, lo + len))
+      w <- Gen.oneOf(1L, 5L, 16L)
+    } yield (as.distinct, bs.distinct, w)
+    forAllSeeded(inputs) { case (as, bs, w) =>
+      val a = as.zipWithIndex.map { case ((lo, hi), i) =>
+        (i.toLong, lo, hi) }.toDF("aid", "alo", "ahi")
+      val b = bs.zipWithIndex.map { case ((lo, hi), i) =>
+        (i.toLong, lo, hi) }.toDF("bid", "blo", "bhi")
+      val got = RangeBin.binnedIntervalJoin(a, "alo", "ahi", b, "blo", "bhi", w)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        ((alo, ahi), i) <- as.zipWithIndex
+        ((blo, bhi), j) <- bs.zipWithIndex
+        if alo <= bhi && blo <= ahi
+      } yield (i.toLong, j.toLong)).sorted
+      assert(got == want, s"w=$w as=$as bs=$bs")
+      assert(got.distinct == got, "pair emitted more than once")
+    }
+  }
+
+  test("asofJoin ≡ naive latest-at-or-before for ANY series") {
+    import graft.operators.AsOf
+    val inputs = for {
+      evs <- Gen.nonEmptyListOf(for {
+        u <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 100L)
+      } yield (u, t))
+      ors <- Gen.nonEmptyListOf(for {
+        u <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 100L)
+      } yield (u, t))
+    } yield (evs.distinct, ors.distinct)
+    forAllSeeded(inputs) { case (evs, ors) =>
+      def ts(t: Long) = new java.sql.Timestamp(1700000000000L + t * 60000L)
+      val left = evs.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, u, ts(t)) }.toDF("event_id", "eu", "ets")
+      val right = ors.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, u, ts(t)) }.toDF("okey", "ou", "odate")
+      val got = AsOf.asofJoin(left, right, "eu", "ou", "ets", "odate",
+          "okey", keepUnmatched = false)
+        .select("event_id", "okey").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = evs.zipWithIndex.flatMap { case ((u, t), i) =>
+        val cands = ors.zipWithIndex.filter { case ((ou, ot), _) =>
+          ou == u && ot <= t }
+        if (cands.isEmpty) None
+        // ties to the highest (odate, okey): max by (time, key)
+        else Some(i.toLong -> cands.maxBy { case ((_, ot), j) => (ot, j) }._2.toLong)
+      }.toMap
+      assert(got == want, s"evs=$evs ors=$ors")
+    }
+  }
+
   test("CDC last-writer fold ≡ reference for ANY changelog") {
     import graft.streaming.StreamOps
     val log = Gen.nonEmptyListOf(for {
