@@ -163,24 +163,11 @@ object WindowOps {
     // partitioning: ONE event-sized shuffle at any scale, then a
     // stage-count agg over user-sized rows. Null comparisons do the
     // stage gating for free (es > null → null → min skips it).
-    "win_funnel" -> ((s, d) => {
-      val w = Window.partitionBy("user_id")
-      val es = unix_timestamp(tsec)
-      val step = 86400L
-      T.events(s, d)
-        .select(col("user_id"), col("event_type"), es.as("es"))
-        .withColumn("t1",
-          min(when(col("event_type") === "view", col("es"))).over(w))
-        .withColumn("t2",
-          min(when(col("event_type") === "click" &&
-            col("es") > col("t1") && col("es") <= col("t1") + step,
-            col("es"))).over(w))
-        .withColumn("t3",
-          min(when(col("event_type") === "purchase" &&
-            col("es") > col("t2") && col("es") <= col("t2") + step,
-            col("es"))).over(w))
-        .groupBy("user_id")
-        .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+    "win_funnel" -> ((s, d) =>
+      funnelTimes(
+        T.events(s, d).select(col("user_id"), col("event_type"),
+          unix_timestamp(tsec).as("es")),
+        Seq("view", "click", "purchase"), windowSec = 86400L)
         .select(
           when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
             .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"),
@@ -188,8 +175,7 @@ object WindowOps {
         .groupBy("stage")
         .agg(count(lit(1)).as("n_users"),
           round(avg(col("secs")), 2).as("avg_secs_view_to_purchase"))
-        .orderBy("stage")
-    }),
+        .orderBy("stage")),
 
     // Cohort retention (r8): the product-analytics triangle — users
     // bucketed by their FIRST active week (the cohort), counted at
@@ -258,6 +244,30 @@ object WindowOps {
         .orderBy("user_id")
     })
   )
+
+  /** Ordered funnel stage times over `(user_id, event_type, es)`: one
+    * row per user with `t1..tN`, where `t1` = first step-1 event and
+    * `t_k` = first step-k event STRICTLY after `t_{k-1}` and within
+    * `windowSec` of it (order AND recency enforced — the funnel is a
+    * sequence, not a set; a user stalls at the last non-null stage).
+    * All N window passes + the collapse share ONE user_id shuffle;
+    * null comparisons gate later stages for free (`es > null` → null →
+    * min skips). ≡-to-reference-fold spec'd in PropertySpec.
+    */
+  def funnelTimes(events: DataFrame, steps: Seq[String],
+      windowSec: Long): DataFrame = {
+    require(steps.nonEmpty)
+    val w = Window.partitionBy("user_id")
+    val withT = steps.zipWithIndex.foldLeft(events) { case (df, (st, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === st
+        else col("event_type") === st &&
+          col("es") > col(s"t$i") && col("es") <= col(s"t$i") + windowSec
+      df.withColumn(s"t${i + 1}", min(when(cond, col("es"))).over(w))
+    }
+    val aggs = steps.indices.map(i => min(s"t${i + 1}").as(s"t${i + 1}"))
+    withT.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+  }
 
   val oracle: Map[String, String] = Map(
     "win_ntile" ->

@@ -408,6 +408,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnelTimes ≡ sequential reference fold for ANY event stream") {
+    import graft.operators.WindowOps
+    val steps = Seq("a", "b", "c")
+    val evs = Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 3L)
+      ty <- Gen.oneOf("a", "b", "c", "x")
+      t <- Gen.choose(0L, 50L)
+    } yield (u, ty, t))
+    forAllSeeded(evs) { rows =>
+      val df = rows.toDF("user_id", "event_type", "es")
+      val got = WindowOps.funnelTimes(df, steps, windowSec = 10L)
+        .collect().map(r => r.getLong(0) ->
+          (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
+        .toMap
+      for ((u, urows) <- rows.groupBy(_._1)) {
+        // reference: t1 = min a; t_k = min step-k strictly after
+        // t_{k-1} within 10s
+        var prev: Option[Long] = None
+        val want = steps.map { st =>
+          val cands = urows.filter(_._2 == st).map(_._3).filter(t =>
+            prev match {
+              case None => st == steps.head
+              case Some(p) => t > p && t <= p + 10L
+            })
+          val tk = if (st == steps.head)
+            urows.filter(_._2 == st).map(_._3).minOption
+          else if (prev.isEmpty) None
+          else cands.minOption
+          prev = tk
+          tk
+        }
+        assert(got(u) == want, s"user $u: got ${got(u)}, want $want ($urows)")
+      }
+    }
+  }
+
   test("CDC last-writer fold ≡ reference for ANY changelog") {
     import graft.streaming.StreamOps
     val log = Gen.nonEmptyListOf(for {
