@@ -57,6 +57,15 @@ object Graft {
     * ([[operators.AsOf.nearestJoin]]). */
   val nearestJoin = operators.AsOf.nearestJoin _
 
+  /** Blocked fuzzy best-match within an edit distance
+    * ([[operators.JoinOps.fuzzyMatch]]). */
+  val fuzzyMatch = operators.JoinOps.fuzzyMatch _
+  /** Binned range join: points ∈ intervals without a BNLJ
+    * ([[operators.RangeBin.binnedRangeJoin]]). */
+  val binnedRangeJoin = operators.RangeBin.binnedRangeJoin _
+  /** Binned interval-overlap join ([[operators.RangeBin.binnedIntervalJoin]]). */
+  val binnedIntervalJoin = operators.RangeBin.binnedIntervalJoin _
+
   // ---- skew survival -----------------------------------------------
   /** Salted two-stage aggregation ([[operators.Skew.saltedSumCount]]). */
   val saltedSumCount = operators.Skew.saltedSumCount _
@@ -68,6 +77,13 @@ object Graft {
   val denseGrid = operators.TimeSeries.denseGrid _
   /** Exact capped EWMA smoothing ([[operators.TimeSeries.ewmaCapped]]). */
   val ewma = operators.TimeSeries.ewmaCapped _
+
+  /** N-step ordered conversion funnel
+    * ([[operators.WindowOps.funnelTimes]]). */
+  val funnelTimes = operators.WindowOps.funnelTimes _
+  /** Exact mergeable bitmap distinct counts
+    * ([[operators.AggOps.bitmapDistinct]]). */
+  val bitmapDistinct = operators.AggOps.bitmapDistinct _
 
   // ---- graph analytics ---------------------------------------------
   /** Integer-scaled PageRank ([[llm.LlmGraph.pagerank]]). */
