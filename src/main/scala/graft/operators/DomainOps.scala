@@ -33,17 +33,34 @@ object DomainOps {
     * starts, lead() over the survivors closes each span; one
     * o_custkey shuffle for both window passes.
     */
-  private def scd2Raw(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("od").asc, col("o_orderkey").asc)
-    T.orders(s, d)
-      .select(col("o_custkey"), col("o_orderkey"),
-        col("o_orderpriority").as("prio"), col("o_orderdate").as("od"))
-      .withColumn("prev", lag(col("prio"), 1).over(w))
-      .filter(col("prev").isNull || col("prev") =!= col("prio"))
+  /** SCD Type-2 compression over a change history `(key, chTs, chSeq,
+    * attr)` (attr non-null; chSeq breaks chTs ties): one row per
+    * VERSION — consecutive equal attrs collapse into the first — with
+    * `version` (1-based per key) and `valid_to` = the NEXT version's
+    * chTs (null on the current version, the open [from, to) sentinel
+    * slot). lag marks change starts, filter keeps them, lead over the
+    * SURVIVORS closes each span — two window passes on one key
+    * shuffle; intervals chain gap-free by construction.
+    * ≡-to-reference-fold spec'd in PropertySpec.
+    */
+  def scd2Compress(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("key")
+      .orderBy(col("chTs").asc, col("chSeq").asc)
+    changes
+      .withColumn("prev", lag(col("attr"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
       .withColumn("version", row_number().over(w).cast("long"))
-      .withColumn("vt", lead(col("od"), 1).over(w))
+      .withColumn("valid_to", lead(col("chTs"), 1).over(w))
+      .drop("prev")
   }
+
+  private def scd2Raw(s: SparkSession, d: String): DataFrame =
+    scd2Compress(T.orders(s, d)
+      .select(col("o_custkey").as("key"), col("o_orderkey").as("chSeq"),
+        col("o_orderpriority").as("attr"), col("o_orderdate").as("chTs")))
+      .select(col("key").as("o_custkey"), col("chSeq").as("o_orderkey"),
+        col("attr").as("prio"), col("chTs").as("od"),
+        col("version"), col("valid_to").as("vt"))
 
   val queries: Map[String, Q] = Map(
     // Long→wide pivot: measures become columns (fact building).

@@ -444,6 +444,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Morton interleave2 ≡ per-bit reference for ANY bucket pair") {
+    import graft.operators.ZOrder
+    // The magic-number shift/mask spread is the classic subtle-bug
+    // site — check against a direct per-bit reference for all 8-bit
+    // bucket pairs drawn at random (and the corner values explicitly).
+    val pairs = Gen.listOfN(32, for {
+      x <- Gen.choose(0L, 255L); y <- Gen.choose(0L, 255L)
+    } yield (x, y)).map(_ ++ Seq((0L, 0L), (255L, 255L), (0L, 255L),
+      (255L, 0L), (1L, 128L)))
+    forAllSeeded(pairs) { ps =>
+      val got = ps.toDF("x", "y")
+        .select(col("x"), col("y"),
+          ZOrder.interleave2(col("x"), col("y")).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      for (((x, y), z) <- got) {
+        val want = (0 until 8).map { b =>
+          (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+        }.reduce(_ | _)
+        assert(z == want, f"interleave($x, $y): got $z%d, want $want%d")
+      }
+    }
+  }
+
+  test("scd2Compress ≡ reference run-compression for ANY change history") {
+    import graft.operators.DomainOps
+    val hist = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0L, 30L)
+      a <- Gen.oneOf("A", "B", "C")
+    } yield (k, t, a))
+    forAllSeeded(hist) { rows0 =>
+      // chSeq = position: unique tie-break for equal (key, chTs)
+      val rows = rows0.zipWithIndex.map { case ((k, t, a), i) =>
+        (k, t, i.toLong, a)
+      }
+      val got = DomainOps.scd2Compress(
+          rows.toDF("key", "chTs", "chSeq", "attr"))
+        .collect().map(r => (r.getLong(0), r.getLong(4),
+          r.getString(3), r.getLong(1),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))
+        .toSet
+      val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val ordered = rs.sortBy(r => (r._2, r._3))
+        // collapse consecutive equal attrs, keep the first of each run
+        val runs = ordered.foldLeft(Vector.empty[(Long, Long, String)]) {
+          case (acc, (_, t, sq, a)) =>
+            if (acc.nonEmpty && acc.last._3 == a) acc
+            else acc :+ ((t, sq, a))
+        }
+        runs.zipWithIndex.map { case ((t, _, a), i) =>
+          (k, (i + 1).toLong, a, t,
+            runs.lift(i + 1).map(_._1))
+        }
+      }.toSet
+      assert(got == want, s"got $got, want $want (rows $rows)")
+    }
+  }
+
   test("CDC last-writer fold ≡ reference for ANY changelog") {
     import graft.streaming.StreamOps
     val log = Gen.nonEmptyListOf(for {
