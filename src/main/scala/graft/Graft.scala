@@ -81,6 +81,12 @@ object Graft {
   /** N-step ordered conversion funnel
     * ([[operators.WindowOps.funnelTimes]]). */
   val funnelTimes = operators.WindowOps.funnelTimes _
+  /** Cohort retention triangle
+    * ([[operators.WindowOps.retentionTriangle]]). */
+  val retentionTriangle = operators.WindowOps.retentionTriangle _
+  /** SCD Type-2 change-history compression
+    * ([[operators.DomainOps.scd2Compress]]). */
+  val scd2Compress = operators.DomainOps.scd2Compress _
   /** Exact mergeable bitmap distinct counts
     * ([[operators.AggOps.bitmapDistinct]]). */
   val bitmapDistinct = operators.AggOps.bitmapDistinct _

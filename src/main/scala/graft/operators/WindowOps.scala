@@ -187,19 +187,13 @@ object WindowOps {
     // any scale, and the final (cohort, offset) agg runs over rows
     // already unique per (user, week), so a plain count IS the
     // distinct-user count (no count-distinct shuffle).
-    "win_retention" -> ((s, d) => {
-      val w = Window.partitionBy("user_id")
-      T.events(s, d)
+    "win_retention" -> ((s, d) =>
+      retentionTriangle(T.events(s, d)
         .groupBy(col("user_id"),
           expr("datediff(to_date(date_trunc('second', ts)), " +
             "date '1970-01-05') div 7").cast("long").as("week"))
-        .agg(count(lit(1)))
-        .withColumn("cohort", min(col("week")).over(w))
-        .groupBy(col("cohort").as("cohort_week"),
-          (col("week") - col("cohort")).as("week_offset"))
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_week", "week_offset")
-    }),
+        .agg(count(lit(1))).select("user_id", "week"))
+        .orderBy("cohort_week", "week_offset")),
 
     // first/last/nth over the FULL partition frame (default frame stops
     // at currentRow, which silently breaks last_value).
@@ -244,6 +238,23 @@ object WindowOps {
         .orderBy("user_id")
     })
   )
+
+  /** Cohort retention triangle over DISTINCT `(user_id, week)`
+    * activity rows: users bucketed by their first active week (the
+    * cohort), counted at each later week-offset they return. Input
+    * must be unique per (user, week) — then a plain count IS the
+    * distinct-user count (no count-distinct shuffle). One user window
+    * + one (cohort, offset) aggregate. ≡-to-reference spec'd in
+    * PropertySpec.
+    */
+  def retentionTriangle(activity: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    activity
+      .withColumn("cohort", min(col("week")).over(w))
+      .groupBy(col("cohort").as("cohort_week"),
+        (col("week") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 
   /** Ordered funnel stage times over `(user_id, event_type, es)`: one
     * row per user with `t1..tN`, where `t1` = first step-1 event and

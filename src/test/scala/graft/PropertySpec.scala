@@ -503,6 +503,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("retentionTriangle ≡ reference cohort counts for ANY activity set") {
+    import graft.operators.WindowOps
+    val act = Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 6L); wk <- Gen.choose(100L, 110L)
+    } yield (u, wk)).map(_.distinct)
+    forAllSeeded(act) { rows =>
+      val got = WindowOps.retentionTriangle(rows.toDF("user_id", "week"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val cohorts = rows.groupBy(_._1).map { case (u, l) =>
+        u -> l.map(_._2).min }
+      val want = rows.groupBy { case (u, wk) =>
+        (cohorts(u), wk - cohorts(u)) }
+        .map { case (k, l) => k -> l.map(_._1).distinct.size.toLong }
+      assert(got == want, s"got $got, want $want (rows $rows)")
+    }
+  }
+
   test("CDC last-writer fold ≡ reference for ANY changelog") {
     import graft.streaming.StreamOps
     val log = Gen.nonEmptyListOf(for {
