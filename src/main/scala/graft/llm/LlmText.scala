@@ -306,13 +306,24 @@ object LlmText {
     // per doc, fenced by round (§7.5).
     "text_perplexity" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val toks = T.spread(docs)
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val bi = toks
-        .withColumn("nxt", lead("tok", 1).over(w))
-        .filter(col("nxt").isNotNull)
+      // Bigrams straight off the token ARRAY (zip of the shifted
+      // slices) — NARROW per-row work, where a lead() window would
+      // shuffle every token instance on doc_id first. Local timing is
+      // unchanged at this corpus size (the count tables dominate), but
+      // at 100 TB the deleted exchange is token-volume-sized — the
+      // difference between touching every token once and twice.
+      val toksArr = T.spread(docs)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val toks = toksArr.select(col("doc_id"),
+        explode(col("ts")).as("tok"))
+      val bi = toksArr
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("tok"), b.as("nxt")))).as("p"))
+        .select(col("doc_id"), col("p.tok").as("tok"),
+          col("p.nxt").as("nxt"))
       // Per-doc multiplicities FIRST: all downstream joins carry one
       // row per (doc, bigram), not per token instance.
       val bid = bi.groupBy("doc_id", "tok", "nxt")
