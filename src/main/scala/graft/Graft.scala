@@ -84,6 +84,8 @@ object Graft {
   /** Cohort retention triangle
     * ([[operators.WindowOps.retentionTriangle]]). */
   val retentionTriangle = operators.WindowOps.retentionTriangle _
+  /** Gaps-and-islands consecutive runs ([[operators.WindowOps.islands]]). */
+  val islands = operators.WindowOps.islands _
   /** SCD Type-2 change-history compression
     * ([[operators.DomainOps.scd2Compress]]). */
   val scd2Compress = operators.DomainOps.scd2Compress _

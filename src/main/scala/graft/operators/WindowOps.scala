@@ -134,20 +134,19 @@ object WindowOps {
     // island groupBy reuses the window's user partitioning clustered
     // one level finer — hashpartitioning(user, grp) — Spark re-shuffles
     // subtotal-sized island rows, not events).
-    "win_islands" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("day").asc)
-      T.events(s, d)
+    "win_islands" -> ((s, d) =>
+      islands(T.events(s, d)
         .groupBy(col("user_id"), to_date(tsec).as("day")).agg(count(lit(1)))
-        .withColumn("grp",
-          datediff(col("day"), lit("1970-01-01").cast("date")) -
-            row_number().over(w))
-        .groupBy(col("user_id"), col("grp"))
-        .agg(T.dstr(min(col("day"))).as("streak_start"),
-          T.dstr(max(col("day"))).as("streak_end"),
-          count(lit(1)).as("len_days"))
-        .select("user_id", "streak_start", "streak_end", "len_days")
-        .orderBy("user_id", "streak_start")
-    }),
+        .select(col("user_id"),
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("long").as("idx")))
+        .select(col("user_id"),
+          T.dstr(expr("date_add(date '1970-01-01', cast(start_idx as int))"))
+            .as("streak_start"),
+          T.dstr(expr("date_add(date '1970-01-01', cast(end_idx as int))"))
+            .as("streak_end"),
+          col("len").as("len_days"))
+        .orderBy("user_id", "streak_start")),
 
     // Ordered conversion funnel (r8): how far does each user get
     // through view → click → purchase, with ORDER enforced (a click
@@ -238,6 +237,24 @@ object WindowOps {
         .orderBy("user_id")
     })
   )
+
+  /** Gaps-and-islands over DISTINCT `(user_id, idx)` activity rows:
+    * maximal runs of CONSECUTIVE integer indices per entity, via the
+    * `idx − row_number()` constant-while-consecutive trick — island id
+    * from pure integer math, no iteration or self-join; one entity
+    * shuffle (the island groupBy reuses the window's clustering one
+    * level finer). Returns (user_id, start_idx, end_idx, len).
+    * ≡-to-reference spec'd in PropertySpec.
+    */
+  def islands(activity: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("idx").asc)
+    activity
+      .withColumn("grp", col("idx") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(min("idx").as("start_idx"), max("idx").as("end_idx"),
+        count(lit(1)).as("len"))
+      .drop("grp")
+  }
 
   /** Cohort retention triangle over DISTINCT `(user_id, week)`
     * activity rows: users bucketed by their first active week (the

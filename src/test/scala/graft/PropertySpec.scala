@@ -521,6 +521,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("latestRevision ≡ per-cell highest-revision reference for ANY stack") {
+    import graft.plans.CubePipeline
+    // Random cells across 3 revisions; absent-from-newer cells must
+    // survive from older revisions (the read-time merge contract).
+    val stacks = Gen.listOfN(3, Gen.listOf(for {
+      region <- Gen.oneOf("01", "02", "11")
+      t <- Gen.choose(2019, 2021)
+      m <- Gen.oneOf("A", "B")
+      v <- Gen.choose(0, 9999)
+    } yield (region, t, m, v.toDouble)).map(_.distinctBy(c => (c._1, c._2, c._3))))
+    forAllSeeded(stacks) { revs0 =>
+      val revs = revs0.zipWithIndex.collect {
+        case (cells, i) if cells.nonEmpty =>
+          (cells.toDF("region", "time", "measure", "value")
+            .withColumn("cube", lit("c"))
+            .withColumn("dims",
+              map_from_arrays(array(lit("D")), array(lit("x"))))
+            .withColumn("quality", lit("e"))
+            .select("cube", "region", "dims", "time", "measure",
+              "value", "quality"),
+            i + 1)
+      }
+      if (revs.nonEmpty) {
+        val got = CubePipeline.latestRevision(revs)
+          .select("region", "time", "measure", "value", "revision")
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)) ->
+            (r.getDouble(3), r.getInt(4))).toMap
+        val want = revs0.zipWithIndex
+          .flatMap { case (cells, i) =>
+            cells.map(c => (c._1, c._2, c._3) -> (c._4, i + 1)) }
+          .groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).maxBy(_._2) }
+        assert(got == want, s"got $got, want $want")
+      }
+    }
+  }
+
+  test("islands ≡ reference run-splitting for ANY activity set") {
+    import graft.operators.WindowOps
+    val act = Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 4L); i <- Gen.choose(0L, 40L)
+    } yield (u, i)).map(_.distinct)
+    forAllSeeded(act) { rows =>
+      val got = WindowOps.islands(rows.toDF("user_id", "idx"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (u, l) =>
+        val sorted = l.map(_._2).distinct.sorted
+        sorted.foldLeft(Vector.empty[(Long, Long)]) { (runs, i) =>
+          if (runs.nonEmpty && runs.last._2 == i - 1)
+            runs.init :+ (runs.last._1, i)
+          else runs :+ (i, i)
+        }.map { case (s, e) => (u, s, e, e - s + 1) }
+      }.toSet
+      assert(got == want, s"got $got, want $want (rows $rows)")
+    }
+  }
+
   test("CDC last-writer fold ≡ reference for ANY changelog") {
     import graft.streaming.StreamOps
     val log = Gen.nonEmptyListOf(for {
