@@ -579,6 +579,76 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("aggFlags ≡ reference flag-aware sums for ANY flagged cells") {
+    import graft.plans.CubePipeline
+    val cells = Gen.nonEmptyListOf(for {
+      m <- Gen.oneOf("A", "B")
+      t <- Gen.choose(2019, 2020)
+      v <- Gen.option(Gen.choose(0, 9999))
+      q <- Gen.oneOf(CubePipeline.knownFlags)
+    } yield (m, t, v, q))
+    forAllSeeded(cells) { cs =>
+      val df = cs.map { case (m, t, v, q) =>
+        ("c", m, t, v.map(BigDecimal(_)).orNull, q)
+      }.toDF("cube", "measure", "time", "value", "quality")
+      val exclude = Set("p", "x")
+      val got = CubePipeline.aggFlags(df, exclude)
+        .select("measure", "time", "sum_ok", "n_used", "n_excluded")
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          (Option(r.getDecimal(2)).map(BigDecimal(_)), r.getLong(3),
+            r.getLong(4))).toMap
+      val want = cs.groupBy(c => (c._1, c._2)).map { case (k, l) =>
+        val okRows = l.filterNot(c => exclude(c._4))
+        val used = okRows.flatMap(_._3)
+        k -> (
+          if (used.isEmpty) None else Some(BigDecimal(used.sum)),
+          used.size.toLong,
+          l.count(c => exclude(c._4)).toLong)
+      }
+      assert(got.keySet == want.keySet)
+      for ((k, (s1, n1, e1)) <- got; (s2, n2, e2) = want(k)) {
+        assert(s1.map(_.toLong) == s2.map(_.toLong) && n1 == n2 && e1 == e2,
+          s"$k: got ($s1,$n1,$e1), want ($s2,$n2,$e2)")
+      }
+    }
+  }
+
+  test("regionRollup ≡ reference prefix sums at every level for ANY cells") {
+    import graft.plans.CubePipeline
+    val cells = Gen.nonEmptyListOf(for {
+      land <- Gen.choose(1, 3)
+      kreis <- Gen.choose(0, 2)
+      gem <- Gen.choose(0, 2)
+      v <- Gen.choose(0, 999)
+      q <- Gen.oneOf("e", "p", "r")
+    } yield (f"$land%02d$kreis%03d$gem%03d", v, q))
+    forAllSeeded(cells) { cs0 =>
+      // one cell per region (finest level only, the documented contract)
+      val cs = cs0.distinctBy(_._1)
+      val df = cs.map { case (r, v, q) =>
+        ("c", r, 2020, "M", BigDecimal(v), q)
+      }.toDF("cube", "region", "time", "measure", "value", "quality")
+      val got = CubePipeline.regionRollup(df)
+        .select("level", "region_prefix", "sum_ok", "n_used")
+        .collect().map(r => (r.getInt(0), r.getString(1)) ->
+          (Option(r.getDecimal(2)).map(_.longValue), r.getLong(3))).toMap
+      def ref(pred: String => Boolean) = {
+        val ok = cs.filter(c => pred(c._1) && c._3 != "p")
+        (if (ok.isEmpty) None else Some(ok.map(_._2).sum.toLong),
+          ok.size.toLong)
+      }
+      val prefixes2 = cs.map(_._1.take(2)).distinct
+      val prefixes5 = cs.map(_._1.take(5)).distinct
+      val prefixes8 = cs.map(_._1).distinct
+      val want =
+        prefixes2.map(p => (2, p) -> ref(_.startsWith(p))).toMap ++
+        prefixes5.map(p => (5, p) -> ref(_.startsWith(p))).toMap ++
+        prefixes8.map(p => (8, p) -> ref(_ == p)).toMap +
+        ((0, "DG") -> ref(_ => true))
+      assert(got == want, s"got $got, want $want")
+    }
+  }
+
   test("CDC last-writer fold ≡ reference for ANY changelog") {
     import graft.streaming.StreamOps
     val log = Gen.nonEmptyListOf(for {
