@@ -395,6 +395,28 @@ object CorpusPipeline {
         .select(col("doc_id"), col("lang"), col("sample_key"))
         .orderBy("doc_id")),
 
+    // Exact-k PER STRATUM (r9): the balanced-eval-set sampler — k docs
+    // from EVERY language regardless of stratum skew (Bernoulli
+    // sampling per stratum can't pin counts; a global top-k
+    // [sample_uniform_k] follows the corpus mix). Deterministic: rank
+    // = md5(id:seed) within the stratum, the corpus_mix/sample_split
+    // hash contract, so the same (id, seed) picks the same rows on any
+    // partitioning or engine. Shape: one stratum window over hash-
+    // ranked rows — at 100 TB strata are the natural partitions, and
+    // rank ≤ k prunes everything else at the window (never a global
+    // sort); for extreme per-stratum volumes swap in a per-partition
+    // top-k pre-prune (TakeOrdered economics), same contract.
+    "sample_stratified_k" -> ((s, d) =>
+      graft.T.documents(s, d)
+        .withColumn("sample_key",
+          md5(concat_ws(":", col("doc_id"), lit(42))))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy("sample_key")))
+        .filter(col("rk") <= 20)
+        .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+        .orderBy("lang", "rk")),
+
     // Target-mix rebalance (r8): derive per-language keep rates that
     // hit a 50/20/15/10/5 en/de/fr/es/zh mix exactly (in expectation)
     // without upsampling — de is the binding stratum on the fixture
@@ -551,6 +573,13 @@ object CorpusPipeline {
         |         md5(CAST(doc_id AS VARCHAR) || ':42') AS sample_key
         |  FROM documents ORDER BY sample_key LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+    "sample_stratified_k" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
     "corpus_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
