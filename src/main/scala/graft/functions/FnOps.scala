@@ -142,7 +142,7 @@ object FnOps {
           concat(col("l_linenumber").cast("string"), lit("-"), col("l_returnflag"))
             .as("ln_flag"),
           col("l_shipdate").cast("date").cast("string").as("ship_str"))
-        .orderBy("l_orderkey", "l_linenumber", "qty_int", "price_str", "ship_str")),
+        .orderBy("l_orderkey", "l_linenumber")), // unique key — extra sort cols were dead bytes
 
     // Struct family (r9): build, access nested fields, and ORDER —
     // struct comparison is lexicographic in both engines, which makes
@@ -302,7 +302,7 @@ object FnOps {
         |  CAST(l_linenumber AS VARCHAR) || '-' || l_returnflag AS ln_flag,
         |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, qty_int, price_str, ship_str""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // struct_pack comparison is lexicographic field-by-field in DuckDB,
     // matching Spark's struct ordering — a price tie falls through to
     // the key field identically on both engines.
