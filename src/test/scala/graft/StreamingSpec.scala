@@ -134,6 +134,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowed top-k counts accumulate incrementally across micro-batches") {
+    // stream_topk's SURVEY claim: the same window(15 min) aggregate
+    // runs incrementally — a second batch's events UPDATE the counts
+    // of windows the first batch opened, and the final ranked read
+    // equals the batch computation over all rows.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:${m}%02d:00")
+    val counts = in.toDF().toDF("event_type", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.format("memory").queryName("topk_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(("view", t(0)), ("view", t(5)), ("click", t(7)))
+      q.processAllAvailable()
+      in.addData(("view", t(9)), ("click", t(20)))
+      q.processAllAvailable()
+      // last emission per (window, type) = accumulated count
+      val last = spark.table("topk_sink")
+        .groupBy(col("w.start").cast("string").as("ws"), col("event_type"))
+        .agg(max("n").as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(last == Map(
+        ("2024-01-01 10:00:00", "view") -> 3L,   // batch 2 updated 2 → 3
+        ("2024-01-01 10:00:00", "click") -> 1L,
+        ("2024-01-01 10:15:00", "click") -> 1L), last.toString)
+    } finally q.stop()
+  }
+
   test("streaming CDC state: a later batch's delete retracts, a later update overrides") {
     import org.apache.spark.sql.streaming.TimeMode
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
