@@ -145,6 +145,46 @@ object TimeSeries {
           col("ewma"))
         .orderBy("user_id", "rn")),
 
+    // Changepoint detection (r9): the single most likely mean-shift
+    // point per series — binary segmentation's first step (argmax over
+    // split positions of |mean(left) − mean(right)|), the monitoring
+    // primitive behind "when did this metric change behavior?".
+    // Deterministic end-to-end: the running numerator is an EXACT
+    // ordered-window decimal sum, the two means divide its double
+    // image once per row (same two doubles both engines → identical
+    // delta), and the argmax tie-breaks on position. One ordered
+    // window + a per-user total + a ranked argmax — two user_id-
+    // clustered shuffles at any scale, no per-split recomputation
+    // (each row's csum IS its split's left sum).
+    "ts_changepoint" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val e = T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("csum", sum(T.dec(col("value"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // tsum re-aggregates the values (NOT max(csum): a negative value
+      // would make the running sum non-monotonic) — exact decimal, so
+      // it equals the rn=n csum bit-for-bit.
+      val tot = e.groupBy("user_id")
+        .agg(max("rn").as("n"), sum(T.dec(col("value"))).as("tsum"))
+      e.join(tot, "user_id")
+        .filter(col("rn") < col("n"))
+        .withColumn("delta", abs(
+          col("csum").cast("double") / col("rn").cast("double") -
+            (col("tsum") - col("csum")).cast("double") /
+              (col("n") - col("rn")).cast("double")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("delta").desc, col("rn").asc)))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("rn").cast("long").as("cp_index"),
+          col("n").cast("long").as("n_events"),
+          T.tstr(col("ts")).as("cp_time"),
+          round(col("delta"), 6).as("mean_shift"))
+        .orderBy("user_id")
+    }),
+
     // Time-series anomaly detection (r9): flag events whose value
     // breaks from the series' own recent behavior — residual against
     // the one-step-ahead EWMA forecast (lag(ewma, 1): the smoothed
@@ -248,6 +288,39 @@ object TimeSeries {
          |SELECT user_id, rn,
          |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, value, ewma
          |FROM ew ORDER BY user_id, rn""".stripMargin,
+
+    // Identical exact decimal running/total sums, identical one-shot
+    // double division per split — same doubles, same argmax; ties
+    // (constant series → all-zero deltas) break on position in both.
+    "ts_changepoint" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         row_number() OVER w AS rn,
+        |         sum(CAST(value AS DECIMAL(18,4))) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS csum
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tot AS (
+        |  SELECT user_id, max(rn) AS n,
+        |         sum(CAST(value AS DECIMAL(18,4))) AS tsum
+        |  FROM e GROUP BY user_id),
+        |d AS (
+        |  SELECT e.user_id, e.rn, e.ts, tot.n,
+        |         abs(CAST(e.csum AS DOUBLE) / CAST(e.rn AS DOUBLE)
+        |             - CAST(tot.tsum - e.csum AS DOUBLE)
+        |               / CAST(tot.n - e.rn AS DOUBLE)) AS delta
+        |  FROM e JOIN tot USING (user_id)
+        |  WHERE e.rn < tot.n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |           ORDER BY delta DESC, rn ASC) AS rk
+        |  FROM d)
+        |SELECT user_id, rn AS cp_index, n AS n_events,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS cp_time,
+        |       round(delta, 6) AS mean_shift
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     // One-step-ahead forecast residual = value − lag(ewma): exact
     // doubles minus exact doubles — bit-identical unrounded; the

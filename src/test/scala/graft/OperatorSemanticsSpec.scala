@@ -721,6 +721,35 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("ts_changepoint: sane outputs, and the key's split maximizes the mean shift") {
+    val out = SparkEntry.queries("ts_changepoint")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    // one row per user; split index interior; shift non-negative
+    assert(out.map(_._1).distinct.length == out.length)
+    for ((u, cp, n, shift) <- out) {
+      assert(cp >= 1 && cp < n, s"user $u: split $cp of $n")
+      assert(shift >= 0.0)
+    }
+    // independent recomputation for one user: the reported split must
+    // achieve the max |meanL − meanR| over all interior splits
+    val u0 = out.head._1
+    val vals = T.events(spark, sf).filter(col("user_id") === u0)
+      .orderBy("ts", "event_id").select("value")
+      .collect().map(r => BigDecimal(r.getDouble(0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP))
+    val deltas = (1 until vals.length).map { k =>
+      val l = vals.take(k).sum / k
+      val r = vals.drop(k).sum / (vals.length - k)
+      (l - r).abs.toDouble
+    }
+    val best = deltas.max
+    val reported = out.find(_._1 == u0).get
+    assert(math.abs(deltas(reported._2.toInt - 1) - best) < 1e-9,
+      s"user $u0: reported split ${reported._2} not the argmax")
+  }
+
   test("agg_entropy: one-type users score 0, all scores within [0, log2(5)]") {
     val out = SparkEntry.queries("agg_entropy")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
