@@ -145,6 +145,45 @@ object TimeSeries {
           col("ewma"))
         .orderBy("user_id", "rn")),
 
+    // Seasonality scoring (r9): how much of a metric's variance the
+    // hour-of-day profile explains — the eta-squared ANOVA ratio
+    // score = 1 − SS_within/SS_total per event_type (score → 1: strong
+    // daily rhythm; → 0: hour tells you nothing). Determinism needs
+    // two moves: (a) all raw moments (n, Σv, Σv²) are EXACT decimal
+    // aggregates per (type, hour); (b) the 24 per-hour terms combine
+    // through an ORDERED fold — sort_array(collect_list) + aggregate()
+    // folds left-to-right, so the double accumulation has ONE fixed
+    // order on both engines (the DotProduct/list_reduce pattern) where
+    // a plain sum() over 24 double terms would drift with partition
+    // order. Hour rows per type ≤ 24 — the collect is bounded profile
+    // state, never data-sized.
+    "ts_seasonality" -> ((s, d) => {
+      val hourly = T.events(s, d)
+        .groupBy(col("event_type"),
+          hour(col("ts")).cast("long").as("h"))
+        .agg(count(lit(1)).as("n"),
+          sum(T.dec(col("value"))).as("sv"),
+          sum(T.dec(col("value")) * T.dec(col("value"))).as("sv2"))
+      hourly.groupBy("event_type")
+        .agg(sum("n").as("nt"),
+          sum("sv").as("svt"), sum("sv2").as("sv2t"),
+          sort_array(collect_list(struct(col("h"), col("n"),
+            col("sv"), col("sv2")))).as("hs"))
+        .select(col("event_type"), col("nt").as("n_events"),
+          size(col("hs")).cast("long").as("n_hours"),
+          round(lit(1.0) -
+            aggregate(col("hs"), lit(0.0), (acc, x) =>
+              acc + (x.getField("sv2").cast("double") -
+                x.getField("sv").cast("double") *
+                  x.getField("sv").cast("double") /
+                  x.getField("n").cast("double"))) /
+            (col("sv2t").cast("double") -
+              col("svt").cast("double") * col("svt").cast("double") /
+                col("nt").cast("double")),
+            6).as("seasonality"))
+        .orderBy("event_type")
+    }),
+
     // Changepoint detection (r9): the single most likely mean-shift
     // point per series — binary segmentation's first step (argmax over
     // split positions of |mean(left) − mean(right)|), the monitoring
@@ -288,6 +327,36 @@ object TimeSeries {
          |SELECT user_id, rn,
          |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, value, ewma
          |FROM ew ORDER BY user_id, rn""".stripMargin,
+
+    // Identical exact decimal moments; the 24 per-hour terms fold in
+    // h-order via list_reduce (left-to-right, = Spark's aggregate()
+    // from the 0.0 seed — the multimodal_decode equivalence), so the
+    // double accumulation is bit-identical.
+    "ts_seasonality" ->
+      """WITH hm AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+        |         count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,4))) AS sv,
+        |         sum(CAST(value AS DECIMAL(18,4))
+        |             * CAST(value AS DECIMAL(18,4))) AS sv2
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |         count(*) AS n_hours,
+        |         sum(sv) AS svt, sum(sv2) AS sv2t,
+        |         list_reduce(list_transform(
+        |             list(ROW(sv2, sv, n) ORDER BY h),
+        |             x -> CAST(x[1] AS DOUBLE)
+        |                  - CAST(x[2] AS DOUBLE) * CAST(x[2] AS DOUBLE)
+        |                    / CAST(x[3] AS DOUBLE)),
+        |           (a, b) -> a + b) AS ssw
+        |  FROM hm GROUP BY event_type)
+        |SELECT event_type, n_events, n_hours,
+        |       round(1.0 - ssw /
+        |         (CAST(sv2t AS DOUBLE)
+        |          - CAST(svt AS DOUBLE) * CAST(svt AS DOUBLE)
+        |            / CAST(n_events AS DOUBLE)), 6) AS seasonality
+        |FROM t ORDER BY event_type""".stripMargin,
 
     // Identical exact decimal running/total sums, identical one-shot
     // double division per split — same doubles, same argmax; ties

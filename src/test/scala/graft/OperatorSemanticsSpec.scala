@@ -721,6 +721,33 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("ts_seasonality: eta-squared in [0, 1], matches independent recomputation") {
+    val out = SparkEntry.queries("ts_seasonality")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    for ((ty, n, nh, score) <- out) {
+      assert(nh >= 1 && nh <= 24)
+      assert(score >= -1e-9 && score <= 1.0 + 1e-9, s"$ty: $score")
+      assert(n > 0)
+    }
+    // Independent recomputation for one type using plain Scala folds.
+    val ty0 = out.head._1
+    val rows = T.events(spark, sf).filter(col("event_type") === ty0)
+      .select(hour(col("ts")).as("h"), col("value"))
+      .collect().map(r => r.getInt(0) ->
+        BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+    val tot = rows.map(_._2)
+    def ss(vs: Seq[BigDecimal]) = {
+      val m = vs.sum / vs.size
+      vs.map(v => (v - m) * (v - m)).sum.toDouble
+    }
+    val ssw = rows.groupBy(_._1).values.map(g => ss(g.map(_._2).toSeq)).sum
+    val want = 1.0 - ssw / ss(tot.toSeq)
+    assert(math.abs(out.head._4 - want) < 1e-6,
+      s"$ty0: got ${out.head._4}, want $want")
+  }
+
   test("ts_changepoint: sane outputs, and the key's split maximizes the mean shift") {
     val out = SparkEntry.queries("ts_changepoint")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
