@@ -10,23 +10,28 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *
   * Grouped the way a user asks for them:
   *
+  * Aliases are eta-expanded FUNCTION VALUES, so arguments are
+  * positional and complete (no names/defaults — the tradeoff for the
+  * implementing object keeping the one Scaladoc source of truth; call
+  * the implementing method directly when defaults matter):
+  *
   * {{{
   * import graft.Graft
-  * val spark = Graft.session(cores = 8)
+  * val spark = Graft.session(8)
   *
-  * // temporal joins
-  * Graft.asofJoin(trades, quotes, "sym", "sym", "t", "qt", "px")
+  * // temporal join: latest quote at-or-before each trade, per symbol
+  * Graft.asofJoin(trades, quotes, "sym", "sym", "t", "qt", "px", false)
   *
-  * // skew survival
-  * Graft.saltedJoin(events, "user_id", dim, "user_id", salt = 8)
+  * // skew survival: lineitem ⋈ supplier on a hot key, salt 8
+  * Graft.saltedJoin(big, "l_suppkey", dim, "s_suppkey", 8)
   *
-  * // corpus curation
-  * val kept = Graft.curate(docs, minQuality = 1.0, jaccard = 0.35)
-  * val clean = Graft.decontaminate(kept, benchmark, minSharedShingles = 5)
-  * val bins  = Graft.packSequences(clean, maxTokens = 512, shards = 8)
+  * // corpus curation: quality ≥ 1.0, near-dup Jaccard 0.35, no df cap
+  * val kept  = Graft.curate(docs, 1.0, 0.35, None)
+  * val clean = Graft.decontaminate(kept, benchmark, 5)
+  * val bins  = Graft.packSequences(clean, 512, 8)
   *
-  * // similarity search
-  * Graft.knnIvf(embeddings, k = 10, nCells = 16)
+  * // similarity search: top-10 over 16 IVF cells
+  * Graft.knnIvf(embeddings, 10, 16)
   * }}}
   *
   * The driver-facing query catalog (the 166 `SparkEntry.queries` keys)
