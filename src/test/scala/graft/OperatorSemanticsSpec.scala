@@ -721,6 +721,25 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("sample_stratified_k: exactly the k smallest md5 ranks per stratum") {
+    val out = SparkEntry.queries("sample_stratified_k")(spark, sf)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    // Independent reference: JVM MessageDigest md5 of "id:42", hex.
+    def h(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:42".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val docs = T.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (lang, l) =>
+      l.map(_._2).toSeq.sortBy(h).take(20).zipWithIndex
+        .map { case (id, i) => (lang, id, i + 1L) }
+    }.toSet
+    assert(out.toSet == want,
+      s"diff: ${out.toSet.diff(want)} / ${want.diff(out.toSet)}")
+  }
+
   test("ts_seasonality: eta-squared in [0, 1], matches independent recomputation") {
     val out = SparkEntry.queries("ts_seasonality")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
