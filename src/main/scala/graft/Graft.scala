@@ -34,7 +34,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graft.knnIvf(embeddings, 10, 16)
   * }}}
   *
-  * The driver-facing query catalog (the 166 `SparkEntry.queries` keys)
+  * The driver-facing query catalog (the 169 `SparkEntry.queries` keys)
   * sits one level up and is built FROM these pieces — this object is
   * the programmatic surface.
   */
@@ -94,9 +94,27 @@ object Graft {
   /** SCD Type-2 change-history compression
     * ([[operators.DomainOps.scd2Compress]]). */
   val scd2Compress = operators.DomainOps.scd2Compress _
+  /** Point-in-time fact⋈dimension-version lookup
+    * ([[operators.DomainOps.pitLookup]]). */
+  val pitLookup = operators.DomainOps.pitLookup _
   /** Exact mergeable bitmap distinct counts
     * ([[operators.AggOps.bitmapDistinct]]). */
   val bitmapDistinct = operators.AggOps.bitmapDistinct _
+  /** Per-group OLS fit from exact decimal moments
+    * ([[operators.AggOps.linregFit]]). */
+  val linregFit = operators.AggOps.linregFit _
+
+  // ---- data quality ------------------------------------------------
+  /** Per-column completeness/cardinality/range profile
+    * ([[operators.DomainOps.dqProfile]]). */
+  val dqProfile = operators.DomainOps.dqProfile _
+  /** Declarative rule → violation-count checks
+    * ([[operators.DomainOps.dqChecks]]). */
+  def dqChecks(df: DataFrame, rules: Seq[(String, Column)],
+      uniqueKey: Option[(String, Column)] = None): DataFrame =
+    operators.DomainOps.dqChecks(df, rules, uniqueKey)
+  /** Two-revision cube cell diff ([[plans.CubeOps.cellDiff]]). */
+  val cellDiff = plans.CubeOps.cellDiff _
 
   // ---- graph analytics ---------------------------------------------
   /** Integer-scaled PageRank ([[llm.LlmGraph.pagerank]]). */

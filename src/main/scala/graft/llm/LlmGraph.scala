@@ -125,52 +125,77 @@ object LlmGraph {
   }
 
   /** Connected components over `edges(src, dst)` — probed min-label
-    * propagation, THREE hops per scheduled round. Callers pass both
+    * propagation ACCELERATED BY POINTER JUMPING: each scheduled round
+    * is two hook hops (min over the closed neighborhood) followed by
+    * one jump `comp'(v) = comp(comp(v))`. Callers pass both
     * directions of an undirected edge (the [[pagerank]] convention);
     * nodes are the edge endpoints. Returns (node, component) where
     * `component` is the smallest node id reachable from `node` — the
     * unique fixpoint, so the result is round-count-independent and
     * oracle-able as a recursive transitive closure.
     *
+    * Why the jump: plain propagation needs diameter rounds — fine for
+    * shallow near-dup clusters, wrong for co-occurrence graphs whose
+    * sparse giant component runs diameters in the tens. Every label IS
+    * a node id present in the label table (initial comp = node; hooks
+    * take mins of existing labels; the jump reads labels of labels),
+    * so following a label is one NODE-SIZED label⋈label self-join —
+    * the cheap side of the round — and composing it after the hooks
+    * halves label-path lengths per round, the classic MapReduce-CC
+    * O(log diameter) acceleration (LlmSpec pins a 128-node path to
+    * ≤12 rounds; propagation-only at 2 hops/round needs ~64 — beyond
+    * the default maxRounds). At 100 TB the round count is the cost
+    * unit — each
+    * round is a full shuffle pass over the edge frame — so O(log d)
+    * vs O(d) is the difference between ~6 and ~40 passes on a
+    * diameter-40 giant component.
+    *
     * Loop economics, measured (sf0.1 fixture, local[32]): per-round
     * EXECUTION of a node-sized label table is ~0.1 s; per-round driver
     * cost (analysis + physical planning, and Janino codegen when left
     * on) is 0.4-2 s — so the design minimizes SCHEDULED ROUNDS and
-    * driver work per round, not operator count. Hence: (a) three
-    * hook steps per convergence probe — a min label still crosses one
-    * graph hop per hook (pointer-jumping self-joins were tried and do
-    * NOT shorten the tail on real id layouts; they only compress
-    * within already-claimed regions), but tripling hops per round cuts
-    * probe/planning rounds ~3×; (b) whole-stage codegen off inside the
-    * loop (compile time ≫ interpreted execution at label-table sizes;
-    * restored on exit); (c) the union-form hook — self row and
-    * neighbor contributions through ONE aggregate, no join-back.
+    * driver work per round, not operator count. Hence: (a) three ops
+    * per convergence probe (hook, hook, jump) — same plan depth as the
+    * previous 3-hook form but geometrically faster on deep components;
+    * (b) whole-stage codegen off inside the loop (compile time ≫
+    * interpreted execution at label-table sizes; restored on exit);
+    * (c) the union-form hook — self row and neighbor contributions
+    * through ONE aggregate, no join-back.
     *
     * Scale shape per round: one edge⋈label equi-join + min-groupBy per
     * hop (edge-sized, the same shape every round — at cluster scale
-    * the edge side is bucketed once like pagerank's pin). No driver
-    * state beyond the convergence count probe. At petabyte edge counts
-    * re-enable codegen and checkpoint labels every few rounds — the
-    * constants flip when execution dominates planning.
+    * the edge side is bucketed once like pagerank's pin) plus the
+    * node-sized jump join. No driver state beyond the convergence
+    * count probe. At petabyte edge counts re-enable codegen and
+    * checkpoint labels every few rounds — the constants flip when
+    * execution dominates planning.
     */
-  def components(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def components(edges: DataFrame, maxRounds: Int = 25): DataFrame =
+    componentsWithRounds(edges, maxRounds)._1
+
+  /** [[components]] plus the number of scheduled probe rounds the loop
+    * used — exposed so LlmSpec can pin the pointer-jump guarantee
+    * (long paths converge in O(log diameter) rounds, not O(diameter)).
+    */
+  def componentsWithRounds(edges: DataFrame,
+      maxRounds: Int = 25): (DataFrame, Int) = {
     require(edges.columns.toSeq == Seq("src", "dst"),
       s"edges must be exactly (src, dst), got: ${edges.columns.mkString(",")}")
     val e = edges.localCheckpoint(false)
-    // STATS-RESET EVERY ROUND — load-bearing, not style. localCheckpoint
-    // truncates LINEAGE but the LogicalRDD it leaves behind INHERITS the
-    // origin plan's size ESTIMATE, and Catalyst's size-only stats
-    // multiply across joins: a round with j self-join levels squares the
-    // estimate j times, so the inherited estimate's digit count grows
-    // ~2^j-fold PER ROUND. By round 3 the planner's BigInt products run
-    // to hundreds of thousands of digits and physical planning itself
-    // hangs inside Toom-Cook multiplication (observed: ~17 CPU-minutes
-    // in SizeInBytesOnlyStatsPlanVisitor / canBroadcastBySize).
-    // Rebuilding the frame over its raw row RDD severs the estimate
-    // chain — each round then plans against the constant default size,
-    // and AQE still picks broadcast sides at runtime from ACTUAL
-    // shuffle sizes. The row-conversion cost is one pass over the
-    // node-sized label table per round.
+    // STATS RESET — load-bearing, not style. localCheckpoint truncates
+    // LINEAGE but the LogicalRDD it leaves behind INHERITS the origin
+    // plan's size ESTIMATE, and Catalyst's size-only stats multiply
+    // across joins: each round's joins grow the inherited estimate's
+    // digit count by a bounded factor, compounding PER ROUND. Left
+    // unchecked (the r7 shape), the planner's BigInt products run to
+    // hundreds of thousands of digits within a few rounds and physical
+    // planning itself hangs inside Toom-Cook multiplication (observed:
+    // ~17 CPU-minutes in SizeInBytesOnlyStatsPlanVisitor /
+    // canBroadcastBySize). Rebuilding the frame over its raw row RDD
+    // severs the estimate chain — subsequent rounds plan against the
+    // constant default size. Applied every 3rd round (see the loop):
+    // the growth between resets is a bounded ×4^9-ish factor, far from
+    // the hang regime.
     def statsReset(df: DataFrame): DataFrame =
       df.sparkSession.createDataFrame(df.rdd, df.schema)
     var labels = e.select(col("src").as("node")).distinct()
@@ -192,28 +217,52 @@ object LlmGraph {
         .groupBy("node")
         .agg(min("comp").as("comp"), min("prev").as("prev"))
     }
+    // Pointer jump: comp'(v) = comp(comp(v)). Inner join is lossless —
+    // every comp value is a node id present in `l` (see Scaladoc), and
+    // it only ever LOWERS labels (comp(x) ≤ x), so the min-reachable
+    // fixpoint is unchanged; the jump just halves label-path depth.
+    def jump(l: DataFrame): DataFrame = {
+      // The lookup side is the label table re-keyed on node —
+      // node-sized, the cheap side of the round.
+      val lk = l.select(col("node").as("jn"), col("comp").as("jc"))
+      l.join(lk, l("comp") === lk("jn"))
+        .select(l("node"), col("jc").as("comp"), l("prev"))
+    }
     def round(): Unit = {
-      // THREE hook steps per convergence probe: the per-ROUND driver
-      // cost (planning + probe scheduling) is the unit cost, and the
-      // propagation tail advances ~1 hop per hook — tripling hops per
-      // round cuts rounds ~3× at a plan depth the stats reset keeps
-      // constant across rounds.
-      val stepped = (1 to 3).foldLeft(
-        labels.withColumn("prev", col("comp")))((l, _) => hook(l))
-      // No localCheckpoint: statsReset's createDataFrame(df.rdd) is
-      // already the lineage truncation (a fresh plan over the raw RDD),
-      // and the RDD's own shuffle files persist each round's output —
-      // a checkpoint here would just run physical planning a second
-      // time per round (measured: planning, not execution, dominates
-      // the loop at ~0.9 s/round when both run).
-      val next = statsReset(stepped)
-      // The convergence probe is the round's one scheduled job; its
-      // shuffles persist the round's output for the next round.
+      // TWO hook steps + ONE pointer jump per convergence probe: the
+      // per-ROUND driver cost (planning + probe scheduling) is the
+      // unit cost; hooks advance the tail ~1 graph hop each while the
+      // jump compresses already-claimed label paths geometrically —
+      // O(log diameter) probe rounds at a plan depth the per-round
+      // checkpoint keeps constant.
+      val stepped = jump((1 to 2).foldLeft(
+        labels.withColumn("prev", col("comp")))((l, _) => hook(l)))
+      // LAZY localCheckpoint, not statsReset, as the per-round
+      // boundary: statsReset's createDataFrame(df.rdd) forces a full
+      // analyze+optimize+physical-plan pass at the .rdd call — so the
+      // old every-round reset PLANNED EACH ROUND TWICE (once at .rdd,
+      // once for the probe's count plan; measured ~0.2 s/round of
+      // pure driver planning). The lazy checkpoint defers everything
+      // to the probe job — one planning pass per round — and still
+      // truncates lineage so plan DEPTH stays constant.
+      val next = stepped.localCheckpoint(false)
+      // The convergence probe is the round's one scheduled job; it
+      // materializes the checkpoint as a side effect.
+      val t0 = System.nanoTime()
       val changed = next.filter(col("comp") =!= col("prev")).count()
       if (sys.props.contains("graft.cc.debug"))
-        println(s"CC round=$rounds changed=$changed")
+        println(f"CC round=$rounds changed=$changed probe=${(System.nanoTime() - t0) / 1e9}%.3fs")
       converged = changed == 0
       labels = next.select("node", "comp")
+      // What localCheckpoint does NOT truncate is the SIZE ESTIMATE:
+      // the checkpointed leaf inherits its origin plan's sizeInBytes,
+      // and each round's joins multiply it (~×4^ops/round in digit
+      // count), which is the BigInt-stats planner hang documented
+      // above. A statsReset every 3rd round clamps the estimate's
+      // growth to a bounded factor — and is FREE here, because the
+      // probe already materialized the checkpointed RDD, so .rdd
+      // returns the computed RDD without replanning.
+      if (rounds % 3 == 2) labels = statsReset(labels)
       rounds += 1
     }
     // Codegen off for the loop's jobs: each round's plan is freshly
@@ -224,13 +273,28 @@ object LlmGraph {
     // afterwards.
     val sess = edges.sparkSession
     val cgBefore = sess.conf.get("spark.sql.codegen.wholeStage", "true")
+    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val shpBefore = sess.conf.get("spark.sql.shuffle.partitions", "32")
     try {
       sess.conf.set("spark.sql.codegen.wholeStage", "false")
+      // AQE off + few shuffle partitions for the loop's jobs: each
+      // round's tables are node-sized, so AQE's per-stage replanning
+      // (a driver round-trip at every exchange) costs more than it
+      // saves, and 32-partition shuffles schedule ~10× more empty
+      // tasks than rows warrant. At cluster scale with billion-node
+      // label tables, flip both back — there AQE's runtime broadcast
+      // and skew handling earn their latency.
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      sess.conf.set("spark.sql.shuffle.partitions", "8")
       while (!converged && rounds < maxRounds) round()
-    } finally sess.conf.set("spark.sql.codegen.wholeStage", cgBefore)
+    } finally {
+      sess.conf.set("spark.sql.codegen.wholeStage", cgBefore)
+      sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      sess.conf.set("spark.sql.shuffle.partitions", shpBefore)
+    }
     if (sys.props.contains("graft.cc.debug"))
       println(s"CC rounds=$rounds")
-    labels
+    (labels, rounds)
   }
 
   val queries: Map[String, Q] = Map(

@@ -429,9 +429,13 @@ object LlmVector {
           array_min(col("e")).as("mn"), array_max(col("e")).as("mx"),
           col("e"))
         .select(col("vec_id"), col("mn"), col("mx"),
+          // Zero-range guard: a constant vector has mx = mn and would
+          // quantize through 0/0 → NaN; all-zero codes (every value at
+          // the range floor) is the guarded encoding on BOTH engines.
           transform(col("e"), x =>
-            round((x - col("mn")) / (col("mx") - col("mn")) * 255, 0)
-              .cast("long")).as("codes"),
+            when(col("mx") === col("mn"), lit(0L)).otherwise(
+              round((x - col("mn")) / (col("mx") - col("mn")) * 255, 0)
+                .cast("long"))).as("codes"),
           col("e"))
         .select(col("vec_id"),
           round(col("mn"), 6).as("mn_r"), round(col("mx"), 6).as("mx_r"),
@@ -598,9 +602,9 @@ object LlmVector {
         |      FROM e),
         |c AS (
         |  SELECT vec_id, mn, mx, e,
-        |         list_transform(e, x ->
-        |           CAST(round((x - mn) / (mx - mn) * 255, 0) AS BIGINT))
-        |           AS codes
+        |         list_transform(e, x -> CASE WHEN mx = mn THEN 0
+        |           ELSE CAST(round((x - mn) / (mx - mn) * 255, 0) AS BIGINT)
+        |           END) AS codes
         |  FROM m)
         |SELECT vec_id, round(mn, 6) AS mn_r, round(mx, 6) AS mx_r,
         |       CAST(list_sum(codes) AS BIGINT) AS code_sum,

@@ -320,25 +320,10 @@ object AggOps {
     // DECIMAL(37) product range. The oracle replays the identical tree.
     "agg_linreg" -> ((s, d) => {
       val x = (unix_timestamp(col("ts")) - lit(1704067200L))
-      val e = T.events(s, d).select(col("event_type"),
-        x.cast("decimal(18,0)").as("x"), T.dec(col("value")).as("y"))
-      val m = e.groupBy("event_type").agg(
-        count(lit(1)).as("n"),
-        sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y")).as("sy"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
-      val nD = col("n").cast("double")
-      val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
-      val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
-      val sxyD = col("sxy").cast("double")
-      val num = nD * sxyD - sxD * syD
-      val den = nD * sxxD - sxD * sxD
-      m.select(col("event_type"), col("n"),
-          (num / den).as("slope"),
-          ((syD - (num / den) * sxD) / nD).as("intercept"),
-          ((num * num) / (den * (nD * syyD - syD * syD))).as("r2"))
+      linregFit(T.events(s, d).select(col("event_type").as("g"),
+          x.cast("decimal(18,0)").as("x"), T.dec(col("value")).as("y")))
+        .select(col("g").as("event_type"), col("n"),
+          col("slope"), col("intercept"), col("r2"))
         .orderBy("event_type")
     }),
 
@@ -464,6 +449,36 @@ object AggOps {
       .agg(sum(bit_count(col("bm"))).as("n_distinct"))
       .select(lit("ALL").as("g"), col("n_distinct"))
     perGroup.unionByName(merged)
+  }
+
+  /** Per-group ordinary-least-squares fit over `df("g", "x", "y")`
+    * (x, y DECIMAL): one map-side-combining aggregate takes the six
+    * exact-decimal raw moments (n, Σx, Σx², Σy, Σy², Σxy) — one
+    * shuffle of six numbers per group at any scale — then slope /
+    * intercept / r² come from the closed-form normal equations, each
+    * moment cast to double ONCE so the arithmetic is a fixed short
+    * double program both engines replay identically. Decimal moments
+    * make the distributed sum partition-order-exact; only the final
+    * division is floating. Contracts spec'd in PropertySpec (≡ a
+    * local BigDecimal fold + centered-formula reference). */
+  def linregFit(df: DataFrame): DataFrame = {
+    val m = df.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
+    val sxyD = col("sxy").cast("double")
+    val num = nD * sxyD - sxD * syD
+    val den = nD * sxxD - sxD * sxD
+    m.select(col("g"), col("n"),
+      (num / den).as("slope"),
+      ((syD - (num / den) * sxD) / nD).as("intercept"),
+      ((num * num) / (den * (nD * syyD - syD * syD))).as("r2"))
   }
 
   val oracle: Map[String, String] = Map(
@@ -676,7 +691,8 @@ object AggOps {
       """WITH ct AS (
         |  SELECT user_id, event_type, count(*) AS c
         |  FROM events GROUP BY 1, 2)
-        |SELECT user_id, sum(c) AS n_events, count(*) AS n_types,
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |       count(*) AS n_types,
         |       round(log2(sum(c))
         |             - sum(CAST(c AS DOUBLE) * log2(c)) / sum(c),
         |             6) AS entropy

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.T
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.Metadata
@@ -52,6 +52,88 @@ object DomainOps {
       .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("valid_to", lead(col("chTs"), 1).over(w))
       .drop("prev")
+  }
+
+  /** Point-in-time lookup: stitch each fact `(k, ts, …)` to the ONE
+    * dimension version `(k, vf, vt, …)` valid at its timestamp — an
+    * EQUI join on the dimension key with the half-open [vf, vt) span
+    * as a RESIDUAL predicate (vt null = open/current version), so the
+    * plan is shuffle-bounded on `k` like any equi-join (versions per
+    * key are small by construction), never a range-only BNLJ. Facts
+    * before a key's first version drop out (inner); boundary facts
+    * land in the NEWER version (half-open). ≡-to-naive-scan spec'd in
+    * PropertySpec. */
+  def pitLookup(facts: DataFrame, dim: DataFrame): DataFrame = {
+    val d = dim.withColumnRenamed("k", "dk")
+    facts.join(d, facts("k") === d("dk") && facts("ts") >= d("vf") &&
+        (d("vt").isNull || facts("ts") < d("vt")))
+      .drop("dk")
+  }
+
+  /** Per-column completeness/cardinality/range profile — the
+    * pre-ingest profiling operator (the Deequ/expectations shape).
+    * `cols` = (name, column, toStr) where `toStr` is the INJECTIVE
+    * string image used for rendering and distinct-counting (decimal
+    * ladder for doubles, dstr for dates); min/max run on the NATIVE
+    * column (numeric order, not lexicographic) and map through
+    * `toStr` after. Two passes, NOT a multi-countDistinct: Spark
+    * compiles N distinct aggregates in one agg into an N-way Expand
+    * (row count × N through the shuffle — measured 2.1 s vs 0.7 s for
+    * this shape at sf0.1). Instead (1) one narrow aggregate takes
+    * every non-distinct stat in a single scan, and (2) an unpivoted
+    * (column, value) pass counts distincts two-phase — map-side
+    * partial dedup collapses duplicates before the shuffle, which is
+    * also the 100 TB shape (the shuffle carries distinct values, not
+    * rows × columns). ≡-to-local-recomputation spec'd in
+    * PropertySpec. */
+  def dqProfile(df: DataFrame,
+      cols: Seq[(String, Column, Column => Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.zipWithIndex.flatMap {
+      case ((_, c, f), i) => Seq(count(c).as(s"nn$i"),
+        f(min(c)).as(s"mn$i"), f(max(c)).as(s"mx$i"))
+    }
+    val base = df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.zipWithIndex.map { case ((n, _, _), i) =>
+        struct(lit(n).as("column_name"), col("n_rows"),
+          col(s"nn$i").as("n_nonnull"),
+          col(s"mn$i").as("min_s"), col(s"mx$i").as("max_s"))
+      }: _*)).as("r"))
+      .select("r.*")
+    val nd = df.select(explode(array(cols.map { case (n, c, f) =>
+        struct(lit(n).as("column_name"), f(c).as("v"))
+      }: _*)).as("r"))
+      .select("r.*")
+      .filter(col("v").isNotNull)
+      .groupBy("column_name", "v").agg(count(lit(1)).as("c"))
+      .groupBy("column_name").agg(count(lit(1)).as("n_distinct"))
+    base.join(nd, Seq("column_name"), "left")
+      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_s"), col("max_s"))
+  }
+
+  /** Declarative data-quality rules → one (check_name, n_violations,
+    * passed) row per rule, all counted in a SINGLE codegen'd scan
+    * (each rule is a conditional sum). `uniqueKey` adds the one rule
+    * that genuinely needs its own distinct pass, expressed as
+    * n − countDistinct. ≡-to-local-recomputation spec'd in
+    * PropertySpec. */
+  def dqChecks(df: DataFrame, rules: Seq[(String, Column)],
+      uniqueKey: Option[(String, Column)] = None): DataFrame = {
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"v$i")
+    } ++ uniqueKey.map { case (_, k) =>
+      (count(lit(1)) - countDistinct(k)).as("vu")
+    }
+    val pairs = rules.zipWithIndex.map { case ((n, _), i) =>
+      struct(lit(n).as("check_name"), col(s"v$i").as("n_violations"))
+    } ++ uniqueKey.map { case (n, _) =>
+      struct(lit(n).as("check_name"), col("vu").as("n_violations"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs: _*)).as("r"))
+      .select("r.*")
+      .withColumn("passed", col("n_violations") === 0)
   }
 
   private def scd2Raw(s: SparkSession, d: String): DataFrame =
@@ -163,17 +245,15 @@ object DomainOps {
     // version because the dimension derives from the same history.
     "join_pit" -> ((s, d) => {
       val dim = scd2Raw(s, d)
-        .select(col("o_custkey").as("d_cust"), col("version"),
+        .select(col("o_custkey").as("k"), col("version"),
           col("prio"), col("od").as("vf"), col("vt"),
           col("vt").isNull.as("is_current"))
-      T.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("o_orderdate").as("od"))
-        .join(dim, col("o_custkey") === col("d_cust") &&
-          col("od") >= col("vf") &&
-          (col("vt").isNull || col("od") < col("vt")))
-        .select(col("o_orderkey"), col("o_custkey"),
-          T.dstr(col("od")).as("order_date"), col("version"),
+      val facts = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey").as("k"),
+          col("o_orderdate").as("ts"))
+      pitLookup(facts, dim)
+        .select(col("o_orderkey"), col("k").as("o_custkey"),
+          T.dstr(col("ts")).as("order_date"), col("version"),
           col("prio").as("prio_at_order"), col("is_current"))
         .orderBy("o_orderkey")
     }),
@@ -191,75 +271,30 @@ object DomainOps {
     // values, not rows × columns). Values stringify through injective
     // ladders (DECIMAL for doubles, dstr for dates) so one string
     // column serves every source type and both engines format alike.
-    "dq_profile" -> ((s, d) => {
-      val o = T.orders(s, d)
-      val base = o.agg(
-          count(lit(1)).as("n_rows"),
-          count(col("o_custkey")).as("nn1"),
-          min(col("o_custkey")).cast("string").as("mn1"),
-          max(col("o_custkey")).cast("string").as("mx1"),
-          count(col("o_totalprice")).as("nn2"),
-          min(col("o_totalprice")).cast("decimal(12,2)").cast("string").as("mn2"),
-          max(col("o_totalprice")).cast("decimal(12,2)").cast("string").as("mx2"),
-          count(col("o_orderdate")).as("nn3"),
-          min(T.dstr(col("o_orderdate"))).as("mn3"),
-          max(T.dstr(col("o_orderdate"))).as("mx3"),
-          count(col("o_orderpriority")).as("nn4"),
-          min(col("o_orderpriority")).as("mn4"),
-          max(col("o_orderpriority")).as("mx4"))
-        .select(expr(
-          """stack(4,
-            |  'o_custkey',      n_rows, nn1, mn1, mx1,
-            |  'o_totalprice',   n_rows, nn2, mn2, mx2,
-            |  'o_orderdate',    n_rows, nn3, mn3, mx3,
-            |  'o_orderpriority',n_rows, nn4, mn4, mx4)
-            |  AS (column_name, n_rows, n_nonnull, min_s, max_s)
-            |""".stripMargin))
-      val nd = o.select(expr(
-          """stack(4,
-            |  'o_custkey',       CAST(o_custkey AS STRING),
-            |  'o_totalprice',    CAST(CAST(o_totalprice AS DECIMAL(12,2))
-            |                          AS STRING),
-            |  'o_orderdate',     date_format(o_orderdate, 'yyyy-MM-dd'),
-            |  'o_orderpriority', o_orderpriority)
-            |  AS (column_name, v)""".stripMargin))
-        .filter(col("v").isNotNull)
-        .groupBy("column_name", "v").agg(count(lit(1)).as("c"))
-        .groupBy("column_name").agg(count(lit(1)).as("n_distinct"))
-      base.join(nd, Seq("column_name"), "left")
-        .select(col("column_name"), col("n_rows"), col("n_nonnull"),
-          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-          col("min_s"), col("max_s"))
-        .orderBy("column_name")
-    }),
+    "dq_profile" -> ((s, d) =>
+      dqProfile(T.orders(s, d), Seq(
+          ("o_custkey", col("o_custkey"), (c: Column) => c.cast("string")),
+          ("o_totalprice", col("o_totalprice"),
+            (c: Column) => c.cast("decimal(12,2)").cast("string")),
+          ("o_orderdate", col("o_orderdate"), (c: Column) => T.dstr(c)),
+          ("o_orderpriority", col("o_orderpriority"), (c: Column) => c)))
+        .orderBy("column_name")),
 
     // Data-quality checks (r9): declarative rule → violation count, the
     // gate that runs after profiling. Each rule is a codegen'd
     // conditional sum over the same single scan; a uniqueness rule is
     // the one aggregation that genuinely needs its own (distinct)
     // pass, expressed as n − countDistinct.
-    "dq_checks" -> ((s, d) => {
-      val o = T.orders(s, d)
-      o.agg(
-          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v1"),
-          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v2"),
-          sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
-            .otherwise(0L)).as("v3"),
-          sum(when(col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
-                   col("o_orderdate") >= lit("2030-01-01").cast("timestamp"),
-            1L).otherwise(0L)).as("v4"),
-          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v5"))
-        .select(expr(
-          """stack(5,
-            |  'totalprice_positive',   v1,
-            |  'custkey_not_null',      v2,
-            |  'status_in_domain',      v3,
-            |  'orderdate_in_range',    v4,
-            |  'orderkey_unique',       v5)
-            |  AS (check_name, n_violations)""".stripMargin))
-        .withColumn("passed", col("n_violations") === 0)
-        .orderBy("check_name")
-    }),
+    "dq_checks" -> ((s, d) =>
+      dqChecks(T.orders(s, d), Seq(
+          ("totalprice_positive", col("o_totalprice") <= 0),
+          ("custkey_not_null", col("o_custkey").isNull),
+          ("status_in_domain", !col("o_orderstatus").isin("F", "O", "P")),
+          ("orderdate_in_range",
+            col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+              col("o_orderdate") >= lit("2030-01-01").cast("timestamp"))),
+          uniqueKey = Some(("orderkey_unique", col("o_orderkey"))))
+        .orderBy("check_name")),
 
     // 3-level hierarchical rollup over the joined region tree — the
     // AGS Land→Kreis→Gemeinde prefix aggregation analogue.

@@ -482,9 +482,10 @@ object JoinOps {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
 
-    // Identical blocking (3 exploded (first-char, length) buckets) and
-    // unit-cost edit distance; both engines implement classic
-    // Wagner-Fischer levenshtein.
+    // Identical blocking (5 exploded (first-char, length) buckets —
+    // length shifts −maxDist..maxDist with maxDist = 2, matching the
+    // Spark side's sequence(-2, 2)) and unit-cost edit distance; both
+    // engines implement classic Wagner-Fischer levenshtein.
     "join_fuzzy" ->
       """WITH clean AS (SELECT DISTINCT p_name FROM part),
         |ck AS (SELECT p_name, substr(p_name, 1, 1) AS c,
@@ -493,7 +494,7 @@ object JoinOps {
         |            AS dirty_name FROM clean),
         |dk AS (SELECT dirty_name, substr(dirty_name, 1, 1) AS c,
         |              length(dirty_name) + dl AS l
-        |       FROM dirty, UNNEST([-1, 0, 1]) AS t(dl)),
+        |       FROM dirty, UNNEST([-2, -1, 0, 1, 2]) AS t(dl)),
         |m AS (SELECT dirty_name, p_name,
         |             levenshtein(dirty_name, p_name) AS dist
         |      FROM dk JOIN ck USING (c, l)

@@ -171,15 +171,19 @@ object TimeSeries {
             col("sv"), col("sv2")))).as("hs"))
         .select(col("event_type"), col("nt").as("n_events"),
           size(col("hs")).cast("long").as("n_hours"),
+          // SS_total through nullif: a constant-valued series has
+          // SS_total = 0 and would divide 0/0 → NaN (whose rendering
+          // differs between engines); NULL-seasonality ("no variance
+          // to explain") is the guarded value on BOTH sides.
           round(lit(1.0) -
             aggregate(col("hs"), lit(0.0), (acc, x) =>
               acc + (x.getField("sv2").cast("double") -
                 x.getField("sv").cast("double") *
                   x.getField("sv").cast("double") /
                   x.getField("n").cast("double"))) /
-            (col("sv2t").cast("double") -
+            nullif(col("sv2t").cast("double") -
               col("svt").cast("double") * col("svt").cast("double") /
-                col("nt").cast("double")),
+                col("nt").cast("double"), lit(0.0)),
             6).as("seasonality"))
         .orderBy("event_type")
     }),
@@ -353,9 +357,9 @@ object TimeSeries {
         |  FROM hm GROUP BY event_type)
         |SELECT event_type, n_events, n_hours,
         |       round(1.0 - ssw /
-        |         (CAST(sv2t AS DOUBLE)
+        |         nullif(CAST(sv2t AS DOUBLE)
         |          - CAST(svt AS DOUBLE) * CAST(svt AS DOUBLE)
-        |            / CAST(n_events AS DOUBLE)), 6) AS seasonality
+        |            / CAST(n_events AS DOUBLE), 0.0), 6) AS seasonality
         |FROM t ORDER BY event_type""".stripMargin,
 
     // Identical exact decimal running/total sums, identical one-shot

@@ -269,23 +269,37 @@ object CubeOps {
     // cell key — shuffle-bounded, broadcastable when one revision is a
     // small delta.
     "cube_diff" -> ((s, _) => {
-      def cells(path: String, valueAs: String, marker: String) =
+      def cells(path: String) =
         CubePipeline.normalized(CubeParser.parse(s, path, "12411"))
           .select(col("region"), to_json(col("dims")).as("dims_json"),
-            col("time"), col("value").cast("double").as(valueAs),
-            lit(true).as(marker))
-      val a = cells(ensureFixture(), "old_value", "in_v1")
-      val b = cells(ensureFixtureV2(), "new_value", "in_v2")
-      a.join(b, Seq("region", "dims_json", "time"), "full_outer")
-        .select(col("region"), col("dims_json"), col("time"),
-          when(coalesce(col("in_v1"), lit(false)) === false, "added")
-            .when(coalesce(col("in_v2"), lit(false)) === false, "removed")
-            .when(col("old_value") <=> col("new_value"), "unchanged")
-            .otherwise("changed").as("status"),
-          col("old_value"), col("new_value"))
+            col("time"), col("value").cast("double").as("value"))
+      cellDiff(cells(ensureFixture()), cells(ensureFixtureV2()))
         .orderBy("region", "dims_json", "time")
     })
   )
+
+  /** Revision diff core: added/removed/changed/unchanged per cell
+    * between two revisions `(region, dims_json, time, value)` of the
+    * same cube. FULL OUTER join on the cell key; PRESENCE markers
+    * distinguish "absent from revision" from "present with NULL
+    * value" (GENESIS null tokens make value-NULL a real state), and
+    * the value compare is null-safe (<=>). At catalog scale this is
+    * an equi-join on the cell key — shuffle-bounded, broadcastable
+    * when one revision is a small delta. ≡-to-map-diff spec'd in
+    * PropertySpec. */
+  def cellDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("region"), col("dims_json"), col("time"),
+      col("value").as("old_value"), lit(true).as("in_v1"))
+    val b = v2.select(col("region"), col("dims_json"), col("time"),
+      col("value").as("new_value"), lit(true).as("in_v2"))
+    a.join(b, Seq("region", "dims_json", "time"), "full_outer")
+      .select(col("region"), col("dims_json"), col("time"),
+        when(coalesce(col("in_v1"), lit(false)) === false, "added")
+          .when(coalesce(col("in_v2"), lit(false)) === false, "removed")
+          .when(col("old_value") <=> col("new_value"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_value"), col("new_value"))
+  }
 
   // Oracle side reads the SAME /tmp files: ragged semicolon rows via
   // null_padding, then the same shape-anchored data filter and

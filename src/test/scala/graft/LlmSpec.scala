@@ -491,6 +491,23 @@ class LlmSpec extends SparkSpec {
     assert(badRep.count() == 0, "component label must be its min member")
   }
 
+  test("LlmGraph.components: pointer jumping converges a 128-node path in O(log d) rounds") {
+    import spark.implicits._
+    import graft.llm.LlmGraph
+    // A single path 0—1—…—127: diameter 127. Plain min-label
+    // propagation at 2 hops per probe round needs ~64 rounds — past
+    // the default maxRounds backstop — so this test FAILS (wrong
+    // labels) if the pointer jump is removed, and pins the O(log d)
+    // guarantee (log2(128) = 7; ≤ 12 leaves constant-factor slack).
+    val fwd = (0L until 127L).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val (labels, rounds) = LlmGraph.componentsWithRounds(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 127L).map(_ -> 0L).toMap,
+      s"path must collapse to component 0; got ${got.toSeq.sortBy(_._1).take(10)}…")
+    assert(rounds <= 12, s"expected O(log d) convergence, used $rounds rounds")
+  }
+
   test("corpus_upsample: exact copy counts replayed, both directions exercised") {
     import graft.llm.CorpusPipeline
     val docs = T.documents(spark, sf)

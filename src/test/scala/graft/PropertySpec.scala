@@ -1,6 +1,7 @@
 package graft
 
 import graft.plans.CubeParser
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -669,6 +670,204 @@ class PropertySpec extends SparkSpec {
         val last = rs.maxBy(r => (r._2, r._3))
         if (last._4 == "D") None else Some(k -> (last._2, last._5))
       }
+      assert(got == want, s"got $got, want $want")
+    }
+  }
+
+  test("linregFit ≡ BigDecimal moment fold + centered formula for ANY groups") {
+    import graft.operators.AggOps
+    val rows = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      x <- Gen.choose(-50L, 50L)
+      y <- Gen.choose(-9999, 9999).map(_ / 100.0)
+    } yield (g, x, y))
+    forAllSeeded(rows) { rs =>
+      val got = AggOps.linregFit(rs.toDF("g", "xi", "yi")
+          .select(col("g"), col("xi").cast("decimal(18,0)").as("x"),
+            col("yi").cast("decimal(18,4)").as("y")))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      // Reference 1: EXACT BigDecimal raw moments (what the decimal
+      // aggregate must equal bit-for-bit), then the identical double
+      // program → exact double equality, NaN/Inf included (degenerate
+      // groups — single point, zero x-variance — must agree too).
+      val eq = (a: Double, b: Double) =>
+        java.lang.Double.compare(a, b) == 0
+      rs.groupBy(_._1).foreach { case (g, l) =>
+        val xs = l.map(r => BigDecimal(r._2))
+        val ys = l.map(r => BigDecimal(r._3).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP))
+        val n = l.size.toDouble
+        val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+        val sxx = xs.map(x => x * x).sum.toDouble
+        val syy = ys.map(y => y * y).sum.toDouble
+        val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble
+        val num = n * sxy - sx * sy
+        val den = n * sxx - sx * sx
+        val (gn, gSlope, gInt, gR2) = got(g)
+        assert(gn == l.size)
+        assert(eq(gSlope, num / den), s"$g slope: $gSlope vs ${num / den}")
+        assert(eq(gInt, (sy - (num / den) * sx) / n))
+        assert(eq(gR2, (num * num) / (den * (n * syy - sy * sy))))
+        // Reference 2: INDEPENDENT centered formulation (guards the
+        // normal-equation algebra itself, not just the aggregation) —
+        // doubles differ in ULPs, so compare at 1e-9 relative.
+        if (den != 0 && l.size >= 2) {
+          val xm = xs.sum.toDouble / n; val ym = ys.sum.toDouble / n
+          val sxyC = l.map(r => (r._2 - xm) * (r._3 - ym)).sum
+          val sxxC = l.map(r => (r._2 - xm) * (r._2 - xm)).sum
+          val close = (a: Double, b: Double) =>
+            math.abs(a - b) <= 1e-9 * math.max(1.0,
+              math.max(math.abs(a), math.abs(b)))
+          assert(close(gSlope, sxyC / sxxC),
+            s"$g centered slope: $gSlope vs ${sxyC / sxxC}")
+          assert(close(gInt, ym - (sxyC / sxxC) * xm))
+        }
+      }
+    }
+  }
+
+  test("pitLookup ≡ naive per-fact version-table scan for ANY history") {
+    import graft.operators.DomainOps
+    val data = for {
+      hist <- Gen.nonEmptyListOf(for {
+        k <- Gen.choose(1L, 3L)
+        t <- Gen.choose(0L, 30L)
+        a <- Gen.oneOf("A", "B", "C")
+      } yield (k, t, a))
+      facts <- Gen.nonEmptyListOf(for {
+        k <- Gen.choose(1L, 4L) // key 4: fact with NO dimension history
+        t <- Gen.choose(-2L, 35L) // before-first-version facts drop out
+      } yield (k, t))
+    } yield (hist, facts)
+    forAllSeeded(data) { case (hist0, facts0) =>
+      val hist = hist0.zipWithIndex.map { case ((k, t, a), i) =>
+        (k, t, i.toLong, a)
+      }
+      val facts = facts0.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, t)
+      }
+      val dim = DomainOps.scd2Compress(
+          hist.toDF("key", "chTs", "chSeq", "attr"))
+        .select(col("key").as("k"), col("version"), col("attr"),
+          col("chTs").as("vf"), col("valid_to").as("vt"))
+      val got = DomainOps.pitLookup(
+          facts.toDF("fid", "k", "ts"), dim)
+        .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4)))
+        .toMap
+      // Naive reference: rebuild each key's version list with the
+      // same local run-compression the scd2 property uses, then scan
+      // it per fact for vf <= ts < vt (vt absent = open).
+      val versions = hist.groupBy(_._1).map { case (k, rs) =>
+        val ordered = rs.sortBy(r => (r._2, r._3))
+        val runs = ordered.foldLeft(Vector.empty[(Long, String)]) {
+          case (acc, (_, t, _, a)) =>
+            if (acc.nonEmpty && acc.last._2 == a) acc else acc :+ ((t, a))
+        }
+        k -> runs.zipWithIndex.map { case ((t, a), i) =>
+          (i + 1L, a, t, runs.lift(i + 1).map(_._1))
+        }
+      }
+      val want = facts.flatMap { case (fid, k, ts) =>
+        versions.getOrElse(k, Vector.empty).filter { case (_, _, vf, vt) =>
+          ts >= vf && vt.forall(ts < _)
+        } match {
+          case Vector() => None
+          case Vector((ver, attr, _, _)) => Some(fid -> (ver, attr))
+          case ms => fail(s"fact $fid matched ${ms.size} versions")
+        }
+      }.toMap
+      assert(got == want, s"got $got, want $want (hist $hist)")
+    }
+  }
+
+  test("cellDiff ≡ map-based two-revision diff for ANY cell sets") {
+    import graft.plans.CubeOps
+    val cellsGen = Gen.listOf(for {
+      region <- Gen.oneOf("01", "02")
+      dims <- Gen.oneOf("""{"GES":"GESM"}""", """{"GES":"GESW"}""")
+      t <- Gen.choose(2019, 2021)
+      v <- Gen.option(Gen.choose(0, 99).map(_.toDouble))
+    } yield ((region, dims, t), v))
+    val two = for { a <- cellsGen; b <- cellsGen } yield (a, b)
+    forAllSeeded(two) { case (a0, b0) =>
+      // last write wins per cell key within a revision
+      val a = a0.toMap; val b = b0.toMap
+      def df(m: Map[(String, String, Int), Option[Double]]) =
+        m.toSeq.map { case ((r, dj, t), v) =>
+          (r, dj, t, v.map(Double.box).orNull.asInstanceOf[java.lang.Double])
+        }.toDF("region", "dims_json", "time", "value")
+      val got = CubeOps.cellDiff(df(a), df(b))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+          (r.getString(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+            if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+        .toMap
+      val want = (a.keySet ++ b.keySet).map { k =>
+        val status = (a.get(k), b.get(k)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(x), Some(y)) => if (x == y) "unchanged" else "changed"
+          case (None, None) => fail("unreachable")
+        }
+        k -> (status, a.get(k).flatten, b.get(k).flatten)
+      }.toMap
+      assert(got == want, s"got $got, want $want")
+    }
+  }
+
+  test("dqProfile ≡ local per-column recomputation for ANY rows") {
+    import graft.operators.DomainOps
+    val rows = Gen.nonEmptyListOf(for {
+      a <- Gen.option(Gen.choose(-20L, 20L))
+      s <- Gen.option(Gen.oneOf("P1", "P2", "P3"))
+    } yield (a, s))
+    forAllSeeded(rows) { rs =>
+      val df = rs.map { case (a, s) =>
+        (a.map(Long.box).orNull.asInstanceOf[java.lang.Long], s.orNull)
+      }.toDF("a", "s")
+      val got = DomainOps.dqProfile(df, Seq(
+          ("a", col("a"), (c: Column) => c.cast("string")),
+          ("s", col("s"), (c: Column) => c)))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3),
+            Option(r.getString(4)), Option(r.getString(5))))
+        .toMap
+      val n = rs.size.toLong
+      def prof[A: Ordering](vs: Seq[A], str: A => String) =
+        (n, vs.size.toLong, vs.distinct.size.toLong,
+          if (vs.isEmpty) None else Some(str(vs.min)),
+          if (vs.isEmpty) None else Some(str(vs.max)))
+      val want = Map(
+        "a" -> prof(rs.flatMap(_._1), (v: Long) => v.toString),
+        "s" -> prof(rs.flatMap(_._2), (v: String) => v))
+      assert(got == want, s"got $got, want $want")
+    }
+  }
+
+  test("dqChecks ≡ local rule recomputation for ANY rows") {
+    import graft.operators.DomainOps
+    val rows = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0L, 6L) // narrow: duplicates are common
+      v <- Gen.option(Gen.choose(-10L, 10L))
+    } yield (k, v))
+    forAllSeeded(rows) { rs =>
+      val df = rs.map { case (k, v) =>
+        (k, v.map(Long.box).orNull.asInstanceOf[java.lang.Long])
+      }.toDF("k", "v")
+      val got = DomainOps.dqChecks(df, Seq(
+          ("v_nonneg", col("v") < 0),
+          ("v_not_null", col("v").isNull)),
+          uniqueKey = Some(("k_unique", col("k"))))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+        .toMap
+      def row(n: Long) = (n, n == 0)
+      val want = Map(
+        "v_nonneg" -> row(rs.count(_._2.exists(_ < 0)).toLong),
+        "v_not_null" -> row(rs.count(_._2.isEmpty).toLong),
+        "k_unique" -> row(n = rs.size.toLong -
+          rs.map(_._1).distinct.size.toLong))
       assert(got == want, s"got $got, want $want")
     }
   }
