@@ -235,8 +235,15 @@ object LlmGraph {
       // jump compresses already-claimed label paths geometrically —
       // O(log diameter) probe rounds at a plan depth the per-round
       // checkpoint keeps constant.
-      val stepped = jump((1 to 2).foldLeft(
-        labels.withColumn("prev", col("comp")))((l, _) => hook(l)))
+      val hooked = (1 to 2).foldLeft(
+        labels.withColumn("prev", col("comp")))((l, _) => hook(l))
+      // No jump at round 0: from identity labels two hooks already
+      // cover the 2-hop neighborhood and there are no long label
+      // chains to compress yet — shallow graphs (the near-dup path's
+      // common case) converge right there, and the jump would be a
+      // wasted join in their probe plan. From round 1 on, chains
+      // exist and the jump's geometric compression pays.
+      val stepped = if (rounds == 0) hooked else jump(hooked)
       // LAZY localCheckpoint, not statsReset, as the per-round
       // boundary: statsReset's createDataFrame(df.rdd) forces a full
       // analyze+optimize+physical-plan pass at the .rdd call — so the
@@ -277,16 +284,26 @@ object LlmGraph {
     val shpBefore = sess.conf.get("spark.sql.shuffle.partitions", "32")
     try {
       sess.conf.set("spark.sql.codegen.wholeStage", "false")
-      // AQE off + few shuffle partitions for the loop's jobs: each
-      // round's tables are node-sized, so AQE's per-stage replanning
-      // (a driver round-trip at every exchange) costs more than it
-      // saves, and 32-partition shuffles schedule ~10× more empty
-      // tasks than rows warrant. At cluster scale with billion-node
-      // label tables, flip both back — there AQE's runtime broadcast
-      // and skew handling earn their latency.
-      sess.conf.set("spark.sql.adaptive.enabled", "false")
-      sess.conf.set("spark.sql.shuffle.partitions", "8")
-      while (!converged && rounds < maxRounds) round()
+      while (!converged && rounds < maxRounds) {
+        // AQE off + few shuffle partitions from ROUND 1 ON: the label
+        // tables are node-sized, so AQE's per-stage replanning (a
+        // driver round-trip at every exchange) costs more than it
+        // saves, and 32-partition shuffles schedule ~10× more empty
+        // tasks than rows warrant. NOT at round 0: its probe also
+        // executes the caller's whole edge-building pipeline (for the
+        // near-dup path that's corpus-sized shingling + the inverted-
+        // index pair join), which needs the session's full parallelism
+        // and AQE — applying the label-sized tuning there measured
+        // corpus_curate 1.6 → 3.1 s. At cluster scale with
+        // billion-node label tables, keep AQE on past round 0 too —
+        // there its runtime broadcast and skew handling earn their
+        // latency.
+        if (rounds == 1) {
+          sess.conf.set("spark.sql.adaptive.enabled", "false")
+          sess.conf.set("spark.sql.shuffle.partitions", "8")
+        }
+        round()
+      }
     } finally {
       sess.conf.set("spark.sql.codegen.wholeStage", cgBefore)
       sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)

@@ -333,6 +333,60 @@ class StreamingSpec extends SparkSpec {
       "checkpoint must skip already-processed files")
   }
 
+  test("streamToParquet restart-from-checkpoint: crash mid-stream, output exactly-once") {
+    // The recovery contract: a checkpointed query that DIES between
+    // micro-batches resumes from its offset log and the parquet sink's
+    // manifest commits each batch atomically — so a crash mid-stream
+    // plus a restart yields every input row EXACTLY once, never a
+    // re-processed batch 0 and never a half-written batch 1.
+    //
+    // Deterministic "crash": two source files processed one per batch
+    // (maxFilesPerTrigger 1); the second is garbage bytes, so batch 0
+    // (f1) commits and batch 1 throws mid-stream. The restart reads
+    // the SAME checkpoint after f1's rows are already committed; the
+    // offset WAL tracks f2 by PATH, so repairing the file in place
+    // lets the retried batch succeed.
+    val in = java.nio.file.Files.createTempDirectory("restart_in")
+    val outDir = java.nio.file.Files.createTempDirectory("restart_out")
+    val chk = java.nio.file.Files.createTempDirectory("restart_chk")
+    def stage(name: String, ids: Seq[Long], modTime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("stage")
+      ids.toDF("id").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, in.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      in.resolve(name).toFile.setLastModified(modTime)
+    }
+    stage("f1.parquet", Seq(1L, 2L, 3L, 4L, 5L), 1700000000000L)
+    java.nio.file.Files.write(in.resolve("f2.parquet"),
+      "not a parquet file".getBytes)
+    in.resolve("f2.parquet").toFile.setLastModified(1700000100000L)
+    val schema = spark.read.parquet(in.resolve("f1.parquet").toString).schema
+    def source = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val crashed = intercept[Exception] {
+      graft.sources.Sinks.streamToParquet(source, outDir.toString, chk.toString)
+    }
+    assert(crashed != null) // batch 1 threw; batch 0 already committed
+    // Mid-crash state: whatever is visible through the sink manifest
+    // must be duplicate-free and a strict subset (the crash left work
+    // undone, not doubled).
+    val mid = scala.util.Try(spark.read.parquet(outDir.toString)
+      .collect().map(_.getLong(0)).toSeq).getOrElse(Seq.empty)
+    assert(mid.distinct.size == mid.size && mid.size < 8,
+      s"mid-crash output must be a duplicate-free strict subset: $mid")
+    // Repair the bad file IN PLACE (same path the offset WAL recorded)
+    // and restart from the same checkpoint.
+    stage("f2.parquet", Seq(6L, 7L, 8L), 1700000100000L)
+    graft.sources.Sinks.streamToParquet(source, outDir.toString, chk.toString)
+    val got = spark.read.parquet(outDir.toString)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == (1L to 8L),
+      s"crash + restart must yield every row exactly once: $got")
+  }
+
   test("session_window: only a gap STRICTLY over 30 min starts a new session") {
     // FIXTURES.md §C: events 00:00, 00:20, 00:49, 01:30 with 30-min gap
     // → sessions {00:00..00:49 (3)}, {01:30 (1)}. A gap of exactly
