@@ -674,6 +674,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("urlDedup ≡ local canonicalization + min-keep for ANY url set") {
+    import graft.llm.LlmDedup
+    val urls = Gen.nonEmptyListOf(for {
+      host <- Gen.oneOf("a.example.com", "b.example.com", "cdn.b.example.com")
+      www <- Gen.oneOf(true, false)
+      up <- Gen.oneOf(true, false)
+      seg <- Gen.choose(0, 5)
+      slash <- Gen.oneOf(true, false)
+      q <- Gen.option(Gen.oneOf("utm_source=x", "id=7"))
+      f <- Gen.option(Gen.const("sec"))
+    } yield {
+      val h0 = (if (www) "www." else "") + host
+      val h = if (up) h0.toUpperCase else h0
+      s"https://$h/p/$seg" + (if (slash) "/" else "") +
+        q.map("?" + _).getOrElse("") + f.map("#" + _).getOrElse("")
+    })
+    forAllSeeded(urls) { us =>
+      val rows = us.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      val got = LlmDedup.urlDedup(rows.toDF("doc_id", "url"))
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+      // Independent reference: regex parse (no parse_url), same rules —
+      // lowercase host, strip leading www., strip trailing slash, drop
+      // query+fragment; keep = min doc_id per canonical.
+      def canon(u: String): String = {
+        val m = "https?://([^/?#]+)(/[^?#]*)?".r.findFirstMatchIn(u).get
+        val host = m.group(1).toLowerCase.replaceFirst("^www\\.", "")
+        val path = Option(m.group(2)).getOrElse("").replaceFirst("/$", "")
+        host + path
+      }
+      val byId = rows.toMap
+      val minPer = rows.groupBy { case (_, u) => canon(u) }
+        .map { case (c, l) => c -> l.map(_._1).min }
+      assert(got.length == rows.size)
+      got.foreach { case (id, c, keep) =>
+        assert(c == canon(byId(id)), s"canonical mismatch for ${byId(id)}")
+        assert(keep == (minPer(c) == id), s"keep mismatch for ${byId(id)}")
+      }
+    }
+  }
+
   test("linregFit ≡ BigDecimal moment fold + centered formula for ANY groups") {
     import graft.operators.AggOps
     val rows = Gen.nonEmptyListOf(for {
