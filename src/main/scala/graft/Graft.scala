@@ -34,7 +34,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graft.knnIvf(embeddings, 10, 16)
   * }}}
   *
-  * The driver-facing query catalog (the 170 `SparkEntry.queries` keys)
+  * The driver-facing query catalog (the 171 `SparkEntry.queries` keys)
   * sits one level up and is built FROM these pieces — this object is
   * the programmatic surface.
   */
@@ -139,6 +139,9 @@ object Graft {
   val streamingExactDedup = llm.LlmDedup.streamingExactDedup _
   /** URL-canonicalization dedup ([[llm.LlmDedup.urlDedup]]). */
   val urlDedup = llm.LlmDedup.urlDedup _
+  /** Chunk-level keep-one-copy passage dedup
+    * ([[llm.LlmDedup.chunkDedup]]). */
+  val chunkDedup = llm.LlmDedup.chunkDedup _
   /** Embedding-cosine near-dup pairs ([[llm.LlmVector.embedDupPairs]]). */
   val embedDupPairs = llm.LlmVector.embedDupPairs _
 

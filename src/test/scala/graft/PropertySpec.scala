@@ -714,6 +714,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDedup ≡ local first-occurrence fold for ANY corpus") {
+    import graft.llm.LlmDedup
+    // Tiny vocab + short chunk size force heavy cross-doc chunk
+    // collisions; doc lengths straddle the chunk boundary so ragged
+    // final chunks are exercised.
+    val docs = Gen.nonEmptyListOf(
+      Gen.choose(1, 9).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    val chunkSize = 3
+    forAllSeeded(docs) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = LlmDedup.chunkDedup(rows.toDF("doc_id", "text"), chunkSize)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      // Reference: sequential fold over (doc_id, chunk_id) order with
+      // a seen-set — the definition of "keep the first occurrence".
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = rows.map { case (id, t) =>
+        val chunks = t.split(" ").grouped(chunkSize).map(_.mkString(" ")).toSeq
+        val kept = chunks.filter(c => seen.add(c))
+        id -> (chunks.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }.toMap
+      assert(got == want, s"got $got, want $want (texts $texts)")
+    }
+  }
+
   test("linregFit ≡ BigDecimal moment fold + centered formula for ANY groups") {
     import graft.operators.AggOps
     val rows = Gen.nonEmptyListOf(for {
