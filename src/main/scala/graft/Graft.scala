@@ -34,7 +34,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graft.knnIvf(embeddings, 10, 16)
   * }}}
   *
-  * The driver-facing query catalog (the 171 `SparkEntry.queries` keys)
+  * The driver-facing query catalog (the 172 `SparkEntry.queries` keys)
   * sits one level up and is built FROM these pieces — this object is
   * the programmatic surface.
   */
@@ -170,6 +170,9 @@ object Graft {
   /** Greedy token-budget sequence packing
     * ([[llm.CorpusPipeline.packSequences]]). */
   val packSequences = llm.CorpusPipeline.packSequences _
+  /** Weight-proportional (PPS) Bernoulli sampling
+    * ([[llm.CorpusPipeline.ppsSample]]). */
+  val ppsSample = llm.CorpusPipeline.ppsSample _
 
   // ---- streaming state ---------------------------------------------
   /** Cross-batch running counts ([[streaming.StreamOps.runningCountsTWS]]). */

@@ -493,8 +493,53 @@ object CorpusPipeline {
         .select("source", "n_docs", "total_tokens", "med_chars",
           "n_langs", "top_lang", "en_share")
         .orderBy("source")
-    })
+    }),
+
+    // PPS sampling (r10): keep probability ∝ document weight (here
+    // n_chars — token-budget-proportional selection, the "sample by
+    // contribution, not by count" rule a mix designer reaches for
+    // when long documents should dominate the sample the way they
+    // dominate the token budget). num/den = 1/10 → max keep
+    // probability 10% at the heaviest doc.
+    "sample_pps" -> ((s, d) =>
+      ppsSample(graft.T.documents(s, d), "doc_id", "n_chars",
+          num = 1, den = 10, seed = 42)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("p_keep"))
+        .orderBy("doc_id"))
   )
+
+  /** Probability-proportional-to-size (PPS) Bernoulli sampling: keep
+    * each row with probability `(num/den) · weight / max(weight)` —
+    * heavier rows proportionally likelier, the heaviest at exactly
+    * num/den. The keep decision is EXACT INTEGER arithmetic on the
+    * row's 48-bit md5 prefix: keep iff
+    * `u48 · maxW · den < weight · num · 2^48`, cross-multiplied so no
+    * division or transcendental ever runs — the same draw on any
+    * partitioning, any engine (DuckDB replays it in HUGEINT; here the
+    * products ride DECIMAL(20,0)·(18,0) ≈ 38-digit headroom, exact
+    * far past any real weight scale). `p_keep` is emitted for
+    * observability (one exactly-rounded double division). The max
+    * weight is a ONE-ROW broadcast (the corpus-totals crossJoin
+    * pattern, PlanSpec-allowlisted) — at 100 TB this is a metadata
+    * aggregate, and the filter itself is a narrow scan with zero
+    * data-sized shuffles. ≡-to-local-BigInt-fold spec'd in
+    * PropertySpec. */
+  def ppsSample(df: DataFrame, idCol: String, weightCol: String,
+      num: Int, den: Int, seed: Int): DataFrame = {
+    val maxW = df.agg(max(col(weightCol)).as("max_w"))
+    val two48 = lit(281474976710656L).cast("decimal(20,0)")
+    val u48 = expr(
+      s"CAST(conv(substring(md5(concat_ws(':', $idCol, $seed)), 1, 12)" +
+        ", 16, 10) AS DECIMAL(20,0))")
+    df.crossJoin(broadcast(maxW))
+      .withColumn("u48", u48)
+      .filter(col("u48") * col("max_w").cast("decimal(18,0)") * lit(den) <
+        col(weightCol).cast("decimal(18,0)") * lit(num) * two48)
+      .withColumn("p_keep", round(
+        col(weightCol).cast("double") * num /
+          (col("max_w").cast("double") * den), 6))
+      .drop("u48", "max_w")
+  }
 
   val oracle: Map[String, String] = Map(
     // Identical ranked-argmax for the dominant lang; sums cast off
@@ -567,6 +612,23 @@ object CorpusPipeline {
         |             * 1152921504606846976 // 100 AS BIGINT)) THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same 48-bit md5 prefix parsed as an integer ('0x'-cast), same
+    // cross-multiplied integer comparison in HUGEINT (exact), same
+    // single-division p_keep; the max weight is a scalar subquery.
+    "sample_pps" ->
+      """WITH mw AS (SELECT max(n_chars) AS max_w FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+        |                             1, 12) AS BIGINT) AS HUGEINT) AS u48
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |       round(CAST(n_chars AS DOUBLE) * 1
+        |             / (CAST(max_w AS DOUBLE) * 10), 6) AS p_keep
+        |FROM s, mw
+        |WHERE u48 * CAST(max_w AS HUGEINT) * 10
+        |      < CAST(n_chars AS HUGEINT) * 1 * 281474976710656
+        |ORDER BY doc_id""".stripMargin,
     "sample_uniform_k" ->
       """SELECT doc_id, lang, sample_key FROM (
         |  SELECT doc_id, lang,

@@ -142,6 +142,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dedup_url: canonicalize+keep is ONE window shuffle before the sort") {
+    // The scale claim in urlDedup's scaladoc, machine-checked: URL
+    // parsing and canonicalization are narrow column work; the only
+    // hash exchange is the window-min over the canonical key (the
+    // terminal orderBy adds its range exchange, not counted here).
+    val p = plan("dedup_url", graft.llm.LlmDedup.queries)
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_chunks: hash-rank + per-doc rebuild = exactly two shuffles") {
+    // chunkDedup's shape: one hash exchange for the first-occurrence
+    // window over md5(chunk_text), one for the per-doc rebuild
+    // groupBy — chunk explode and slicing stay narrow. No joins at
+    // all: passage dedup must never pay a pair join.
+    val p = plan("dedup_chunks", graft.llm.LlmDedup.queries)
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("cube_region_rollup: one Expand into partial+final aggregation, one shuffle") {
     // The scale shape regionRollup's scaladoc claims, machine-checked:
     // grouping sets = a single Expand feeding a partial+final hash
@@ -254,9 +277,11 @@ class PlanSpec extends SparkSpec {
     // same constant-side shape as text_tfidf's corpus totals.
     // text_perplexity broadcasts its ONE-ROW vocab-size frame the same
     // way (the |V| smoothing denominator).
+    // sample_pps crossJoins its broadcast ONE-ROW max-weight frame —
+    // the same constant-side corpus-totals shape.
     val allowCartesian = Set("join_cross")
     val allowBnlj = Set("join_cross", "join_theta", "text_tfidf", "text_vocab",
-      "zorder_key", "text_perplexity")
+      "zorder_key", "text_perplexity", "sample_pps")
     val bad = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString

@@ -714,6 +714,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ppsSample ≡ local BigInt md5 fold for ANY weights (and respects bounds)") {
+    import graft.llm.CorpusPipeline
+    val rows = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(0L, 500L)
+      w <- Gen.choose(1L, 400L)
+    } yield (id, w)).map(_.distinctBy(_._1))
+    forAllSeeded(rows) { rs =>
+      val got = CorpusPipeline.ppsSample(rs.toDF("doc_id", "w"),
+          "doc_id", "w", num = 1, den = 4, seed = 7)
+        .collect().map(_.getLong(0)).toSet
+      // Independent reference: JVM MessageDigest md5, BigInt
+      // cross-multiplication — the operator's defining inequality.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val maxW = rs.map(_._2).max
+      val want = rs.filter { case (id, w) =>
+        val hex = md.digest(s"$id:7".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        val u48 = BigInt(hex, 16)
+        u48 * maxW * 4 < BigInt(w) * 1 * BigInt(2).pow(48)
+      }.map(_._1).toSet
+      assert(got == want, s"got $got, want $want")
+      // The heaviest row's keep probability is num/den; a zero-weight
+      // row could never be kept (w=1 minimum here keeps the gen total).
+      assert(got.subsetOf(rs.map(_._1).toSet))
+    }
+  }
+
   test("chunkDedup ≡ local first-occurrence fold for ANY corpus") {
     import graft.llm.LlmDedup
     // Tiny vocab + short chunk size force heavy cross-doc chunk
