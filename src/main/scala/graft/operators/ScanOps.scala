@@ -81,6 +81,28 @@ object ScanOps {
     dest.toString
   }
 
+  /** Write-once ORC copy of `documents` — the other columnar format a
+    * lakehouse inherits (years of Hive-era tables are ORC; a complete
+    * engine reads them in place rather than forcing a rewrite). Same
+    * staging discipline as the hive fixture.
+    */
+  def ensureOrc(s: SparkSession, d: String): String = {
+    val name = d.replaceAll("[^A-Za-z0-9.]+", "_")
+    val dest = new java.io.File(s"/tmp/graft_orc_docs_$name")
+    def ready = new java.io.File(dest, "_SUCCESS").exists()
+    if (!ready) ScanOps.synchronized {
+      if (!ready) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(java.nio.file.Paths.get("/tmp"), ".orc_stage")
+          .toFile
+        T.documents(s, d).write.mode("overwrite").orc(tmp.toString)
+        if (dest.exists() && !ready) deleteRec(dest)
+        if (!tmp.renameTo(dest)) deleteRec(tmp)
+      }
+    }
+    dest.toString
+  }
+
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
     f.delete()
@@ -201,6 +223,22 @@ object ScanOps {
         .orderBy("o_orderkey")
     }),
 
+    // ORC source (r10): the other columnar lakehouse format — Hive-era
+    // stores are ORC, and a complete engine reads them in place.
+    // Same production posture as the parquet scans: column pruning and
+    // the n_chars predicate reach the ORC reader (ORC carries the same
+    // min/max stripe statistics parquet row groups do), asserted in
+    // PlanSpec. Oracle reads the ORIGINAL parquet table — the ORC copy
+    // holds the same rows, so only the engine-side format path differs
+    // (the scan_hive_parts adjudication).
+    "scan_orc" -> ((s, d) => {
+      val path = ensureOrc(s, d)
+      s.read.orc(path)
+        .filter(col("n_chars") >= 200)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Schema-from-text parse analogue: the reference derives each cube's
     // layout from its header then splits delimited records
     // [R: genesapi/cube.py — UNVERIFIED]; here: tokenize and project
@@ -237,6 +275,11 @@ object ScanOps {
          |  columns={'id':'BIGINT','name':'VARCHAR',
          |           'qty':'BIGINT','price':'DOUBLE'})
          |ORDER BY id""".stripMargin,
+    // Oracle reads the ORIGINAL parquet table (scan_hive_parts
+    // adjudication): the staged ORC copy holds identical rows.
+    "scan_orc" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE n_chars >= 200 ORDER BY doc_id""".stripMargin,
     "scan_text_parse" ->
       """SELECT doc_id,
         |       string_split(text, ' ')[1] AS tok0,

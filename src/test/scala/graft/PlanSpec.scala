@@ -43,6 +43,16 @@ class PlanSpec extends SparkSpec {
       s"event_type must be a partition filter: $p")
   }
 
+  test("scan_orc pushes the n_chars filter and prunes columns at the ORC reader") {
+    // ORC carries the same stripe-level min/max statistics parquet row
+    // groups do — the filter must reach the reader, and the projection
+    // must prune `text` (the wide column) out of the read schema.
+    val p = plan("scan_orc", ScanOps.queries)
+    assert("PushedFilters: \\[[^\\]]*n_chars".r.findFirstIn(p).isDefined,
+      s"n_chars must be a pushed filter: $p")
+    assert(!p.contains("text:string"), s"text must be pruned from the scan: $p")
+  }
+
   test("scan_parquet prunes columns at the reader") {
     val p = plan("scan_parquet", ScanOps.queries)
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
