@@ -125,8 +125,9 @@ object Bench {
     // the passes shows in `retried` as recorded exhaustion); up to
     // three passes with a 30 s pause between them, so a spike that
     // covers the END of the sweep can't poison the retries too. A key
-    // with no committed history (added this round) uses a 0.67 s
-    // floor — over the 2 s budget still earns a retry. Zero cost on a
+    // with no committed history (added this round) uses a 1.0 s
+    // floor — 2 × 1.0 = the 2 s per-query budget, so a new key earns
+    // a retry exactly when it posts an over-budget reading. Zero cost on a
     // quiet run (no outliers → no passes, no sleeps); the 0.5 s floor
     // keeps trivial keys (where 2× min is scheduling jitter) out of
     // the retry loop.
@@ -135,7 +136,7 @@ object Bench {
     var results = firstPass
     def isOutlier(name: String, best: Double): Boolean =
       best >= 0 &&
-        ((best > 2 * mins.getOrElse(name, 0.67) && best > 0.5) ||
+        ((best > 2 * mins.getOrElse(name, 1.0) && best > 0.5) ||
           best > 2.0)
     var pass = 0
     while (pass < 3 && results.exists { case (n, b) => isOutlier(n, b) }) {

@@ -526,6 +526,9 @@ object CorpusPipeline {
     * PropertySpec. */
   def ppsSample(df: DataFrame, idCol: String, weightCol: String,
       num: Int, den: Int, seed: Int): DataFrame = {
+    // den = 0 would make the filter vacuously true (u48·maxW·0 < w·…)
+    // and p_keep Infinity — a silent keep-everything; fail loudly.
+    require(num > 0 && den > 0, s"num/den must be positive, got $num/$den")
     val maxW = df.agg(max(col(weightCol)).as("max_w"))
     val two48 = lit(281474976710656L).cast("decimal(20,0)")
     val u48 = expr(

@@ -279,9 +279,18 @@ object LlmGraph {
     // of a few-thousand-row round is sub-millisecond work. Restored
     // afterwards.
     val sess = edges.sparkSession
-    val cgBefore = sess.conf.get("spark.sql.codegen.wholeStage", "true")
-    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    val shpBefore = sess.conf.get("spark.sql.shuffle.partitions", "32")
+    // Restore via Option, not a hardcoded fallback: a caller session
+    // that never SET shuffle.partitions runs on Spark's default (200),
+    // and restoring a guessed "32" would permanently re-parallelize
+    // every later query in that session. unset() puts the default back.
+    def restore(key: String, prev: Option[String]): Unit =
+      prev match {
+        case Some(v) => sess.conf.set(key, v)
+        case None => sess.conf.unset(key)
+      }
+    val cgBefore = sess.conf.getOption("spark.sql.codegen.wholeStage")
+    val aqeBefore = sess.conf.getOption("spark.sql.adaptive.enabled")
+    val shpBefore = sess.conf.getOption("spark.sql.shuffle.partitions")
     try {
       sess.conf.set("spark.sql.codegen.wholeStage", "false")
       while (!converged && rounds < maxRounds) {
@@ -305,9 +314,9 @@ object LlmGraph {
         round()
       }
     } finally {
-      sess.conf.set("spark.sql.codegen.wholeStage", cgBefore)
-      sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      sess.conf.set("spark.sql.shuffle.partitions", shpBefore)
+      restore("spark.sql.codegen.wholeStage", cgBefore)
+      restore("spark.sql.adaptive.enabled", aqeBefore)
+      restore("spark.sql.shuffle.partitions", shpBefore)
     }
     if (sys.props.contains("graft.cc.debug"))
       println(s"CC rounds=$rounds")

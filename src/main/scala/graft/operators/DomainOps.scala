@@ -88,6 +88,7 @@ object DomainOps {
     * PropertySpec. */
   def dqProfile(df: DataFrame,
       cols: Seq[(String, Column, Column => Column)]): DataFrame = {
+    require(cols.nonEmpty, "dqProfile needs at least one column to profile")
     val aggs = count(lit(1)).as("n_rows") +: cols.zipWithIndex.flatMap {
       case ((_, c, f), i) => Seq(count(c).as(s"nn$i"),
         f(min(c)).as(s"mn$i"), f(max(c)).as(s"mx$i"))
@@ -120,6 +121,8 @@ object DomainOps {
     * PropertySpec. */
   def dqChecks(df: DataFrame, rules: Seq[(String, Column)],
       uniqueKey: Option[(String, Column)] = None): DataFrame = {
+    require(rules.nonEmpty || uniqueKey.nonEmpty,
+      "dqChecks needs at least one rule or a uniqueKey")
     val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
       sum(when(pred, 1L).otherwise(0L)).as(s"v$i")
     } ++ uniqueKey.map { case (_, k) =>

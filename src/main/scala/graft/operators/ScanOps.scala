@@ -61,43 +61,42 @@ object ScanOps {
     * place, losers of a cross-JVM race delete their copy — a reader
     * sees a complete directory or none.
     */
-  def ensureHivePartitioned(s: SparkSession, d: String): String = {
-    val name = d.replaceAll("[^A-Za-z0-9.]+", "_")
-    val dest = new java.io.File(s"/tmp/graft_hive_events_$name")
-    def ready = new java.io.File(dest, "_SUCCESS").exists()
-    if (!ready) ScanOps.synchronized {
-      if (!ready) {
-        val tmp = java.nio.file.Files
-          .createTempDirectory(java.nio.file.Paths.get("/tmp"), ".hive_stage")
-          .toFile
-        T.events(s, d).write.partitionBy("event_type")
-          .mode("overwrite").parquet(tmp.toString)
-        // A half-written dest (no _SUCCESS: a crashed writer) is dead
-        // weight — clear it so the rename can land.
-        if (dest.exists() && !ready) deleteRec(dest)
-        if (!tmp.renameTo(dest)) deleteRec(tmp) // lost the race: theirs won
-      }
+  def ensureHivePartitioned(s: SparkSession, d: String): String =
+    stageOnce(s"graft_hive_events_${dirTag(d)}") { tmp =>
+      T.events(s, d).write.partitionBy("event_type")
+        .mode("overwrite").parquet(tmp)
     }
-    dest.toString
-  }
 
   /** Write-once ORC copy of `documents` — the other columnar format a
     * lakehouse inherits (years of Hive-era tables are ORC; a complete
     * engine reads them in place rather than forcing a rewrite). Same
     * staging discipline as the hive fixture.
     */
-  def ensureOrc(s: SparkSession, d: String): String = {
-    val name = d.replaceAll("[^A-Za-z0-9.]+", "_")
-    val dest = new java.io.File(s"/tmp/graft_orc_docs_$name")
+  def ensureOrc(s: SparkSession, d: String): String =
+    stageOnce(s"graft_orc_docs_${dirTag(d)}") { tmp =>
+      T.documents(s, d).write.mode("overwrite").orc(tmp)
+    }
+
+  private def dirTag(d: String): String = d.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** The write-once staging protocol, shared by every directory
+    * fixture: build into a fresh temp dir, atomically rename into
+    * place, losers of a cross-JVM race delete their copy — a reader
+    * sees a complete directory (Spark's _SUCCESS marker) or none.
+    * A half-written dest (no _SUCCESS: a crashed writer) is cleared
+    * so the rename can land.
+    */
+  private def stageOnce(destName: String)(write: String => Unit): String = {
+    val dest = new java.io.File(s"/tmp/$destName")
     def ready = new java.io.File(dest, "_SUCCESS").exists()
     if (!ready) ScanOps.synchronized {
       if (!ready) {
         val tmp = java.nio.file.Files
-          .createTempDirectory(java.nio.file.Paths.get("/tmp"), ".orc_stage")
+          .createTempDirectory(java.nio.file.Paths.get("/tmp"), ".stage")
           .toFile
-        T.documents(s, d).write.mode("overwrite").orc(tmp.toString)
+        write(tmp.toString)
         if (dest.exists() && !ready) deleteRec(dest)
-        if (!tmp.renameTo(dest)) deleteRec(tmp)
+        if (!tmp.renameTo(dest)) deleteRec(tmp) // lost the race: theirs won
       }
     }
     dest.toString

@@ -508,6 +508,28 @@ class LlmSpec extends SparkSpec {
     assert(rounds <= 12, s"expected O(log d) convergence, used $rounds rounds")
   }
 
+  test("chunkDedup: NULL and empty text keep their doc rows (one shared empty chunk)") {
+    import spark.implicits._
+    // NULL text must not vanish from the output (posexplode over a
+    // NULL sequence emits zero rows without the coalesce guard); it
+    // behaves as empty text: one empty chunk, first doc keeps it.
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),
+      (4L, "alpha beta gamma")) // exact dup of doc 1: all chunks dropped
+      .toDF("doc_id", "text")
+    val got = graft.llm.LlmDedup.chunkDedup(docs, 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == Map(
+      1L -> (2L, 2L, "alpha beta gamma"),
+      2L -> (1L, 1L, ""),   // first empty doc keeps the empty chunk
+      3L -> (1L, 0L, ""),   // later empty doc: chunk already seen
+      4L -> (2L, 0L, "")),  // full duplicate: nothing survives
+      got.toString)
+  }
+
   test("corpus_upsample: exact copy counts replayed, both directions exercised") {
     import graft.llm.CorpusPipeline
     val docs = T.documents(spark, sf)

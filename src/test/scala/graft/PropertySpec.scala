@@ -677,7 +677,12 @@ class PropertySpec extends SparkSpec {
   test("urlDedup ≡ local canonicalization + min-keep for ANY url set") {
     import graft.llm.LlmDedup
     val urls = Gen.nonEmptyListOf(for {
-      host <- Gen.oneOf("a.example.com", "b.example.com", "cdn.b.example.com")
+      // a.example.com / b.example.com parse; img_cdn.example.com has an
+      // UNDERSCORE — java.net.URI (behind parse_url) returns NULL host
+      // for it, exercising the unparsed-URL fallback (raw URL as its
+      // own canonical, never pooled with other unparseables).
+      host <- Gen.oneOf("a.example.com", "b.example.com",
+        "cdn.b.example.com", "img_cdn.example.com")
       www <- Gen.oneOf(true, false)
       up <- Gen.oneOf(true, false)
       seg <- Gen.choose(0, 5)
@@ -696,12 +701,18 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
       // Independent reference: regex parse (no parse_url), same rules —
       // lowercase host, strip leading www., strip trailing slash, drop
-      // query+fragment; keep = min doc_id per canonical.
+      // query+fragment; keep = min doc_id per canonical. Parseability
+      // mirrors the operator's contract (java.net.URI host), so
+      // underscored hosts take the unparsed-raw-URL fallback.
       def canon(u: String): String = {
-        val m = "https?://([^/?#]+)(/[^?#]*)?".r.findFirstMatchIn(u).get
-        val host = m.group(1).toLowerCase.replaceFirst("^www\\.", "")
-        val path = Option(m.group(2)).getOrElse("").replaceFirst("/$", "")
-        host + path
+        val parses = Option(new java.net.URI(u).getHost).isDefined
+        if (!parses) "unparsed:" + u
+        else {
+          val m = "https?://([^/?#]+)(/[^?#]*)?".r.findFirstMatchIn(u).get
+          val host = m.group(1).toLowerCase.replaceFirst("^www\\.", "")
+          val path = Option(m.group(2)).getOrElse("").replaceFirst("/$", "")
+          host + path
+        }
       }
       val byId = rows.toMap
       val minPer = rows.groupBy { case (_, u) => canon(u) }
