@@ -22,6 +22,32 @@ object TimeKeys {
     require(keys.nonEmpty, "pass one or more SparkEntry.queries key names")
     val unknown = keys.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown keys: $unknown")
+    // -Dgraft.jobs.debug: print every scheduled job's duration plus the
+    // driver-side GAP since the previous job ended — gaps are where
+    // analysis/optimization/codegen hide, and for iterative keys they
+    // routinely dwarf execution (the r9/r10 loop-economics findings).
+    if (sys.props.contains("graft.jobs.debug"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          @volatile private var lastEnd = 0L
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            starts.put(js.jobId, js.time)
+            val gap = if (lastEnd == 0) 0.0 else (js.time - lastEnd) / 1e3
+            val desc = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .getOrElse("").replaceAll("\\s+", " ").take(80)
+            println(f"JOB ${js.jobId}%3d start gap=$gap%.3fs $desc")
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            lastEnd = je.time
+            val dur = (je.time - starts.getOrDefault(je.jobId, je.time)) / 1e3
+            println(f"JOB ${je.jobId}%3d end   dur=$dur%.3fs")
+          }
+        })
     // noop sink, same as Bench: count() would let the optimizer prune
     // the final projection and sort — the work many keys exist to do.
     def run(k: String): Unit = SparkEntry.queries(k)(spark, sfDir)

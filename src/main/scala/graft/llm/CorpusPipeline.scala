@@ -57,17 +57,26 @@ object CorpusPipeline {
     // list in the SAME job — three formerly-sequential
     // materialization jobs collapsed into one. At cluster scale the
     // same role is persist(DISK_ONLY) or a staging write.
+    val dbg = sys.props.contains("graft.cc.debug")
+    def mark(label: String, t0: Long): Unit = if (dbg)
+      println(f"CURATE $label ${(System.nanoTime() - t0) / 1e9}%.3fs")
+    val tEx = System.nanoTime()
     val exact = scored
       .withColumn("digest", md5(lower(trim(col("text")))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "digest")
       .localCheckpoint(false)
+    mark("exact-ckpt-plan", tEx)
     // 3. near-dup drop: verified pairs → connected components → keep
     //    each component's smallest id (exact, chain-bias-free)
-    val reps = LlmDedup.connectedComponents(exact,
-        LlmDedup.minhashPairs(exact, nearDupJaccard, maxBandDf))
+    val tMh = System.nanoTime()
+    val pairs = LlmDedup.minhashPairs(exact, nearDupJaccard, maxBandDf)
+    mark("minhash-build", tMh)
+    val tCc = System.nanoTime()
+    val reps = LlmDedup.connectedComponents(exact, pairs)
       .filter(col("doc_id") === col("cluster")).select("doc_id")
+    mark("components", tCc)
     val kept = exact.join(reps, Seq("doc_id"))
     // 4. accounting columns
     kept
@@ -516,8 +525,10 @@ object CorpusPipeline {
     * `u48 · maxW · den < weight · num · 2^48`, cross-multiplied so no
     * division or transcendental ever runs — the same draw on any
     * partitioning, any engine (DuckDB replays it in HUGEINT; here the
-    * products ride DECIMAL(20,0)·(18,0) ≈ 38-digit headroom, exact
-    * far past any real weight scale). `p_keep` is emitted for
+    * products ride DECIMAL(36,0) — provably inside Spark's 38-cap, so
+    * overflow-to-NULL row drops are impossible; weights beyond the
+    * documented 1e12 bound raise_error instead). `p_keep` is emitted
+    * for
     * observability (one exactly-rounded double division). The max
     * weight is a ONE-ROW broadcast (the corpus-totals crossJoin
     * pattern, PlanSpec-allowlisted) — at 100 TB this is a metadata
@@ -529,15 +540,35 @@ object CorpusPipeline {
     // den = 0 would make the filter vacuously true (u48·maxW·0 < w·…)
     // and p_keep Infinity — a silent keep-everything; fail loudly.
     require(num > 0 && den > 0, s"num/den must be positive, got $num/$den")
+    // Precision budget (r11, closing the r10 advice): Spark caps
+    // DECIMAL products at precision 38 and non-ANSI overflow yields
+    // NULL — a NULL comparison silently DROPS the row instead of
+    // failing. The old (20,0)·(18,0)·int shape hit 39+ and relied on
+    // real weights being small. Now every factor is bounded so both
+    // products PROVABLY fit: u48 < 2⁴⁸ is DECIMAL(15,0) by
+    // construction; num/den ≤ 1e6 (compile-side require) ride
+    // DECIMAL(7,0); weights are runtime-guarded into DECIMAL(12,0)
+    // with a raise_error — out-of-bounds weights ERROR loudly rather
+    // than vanish. 15+12+1+7+1 = 36 ≤ 38 on the left,
+    // 12+7+1+15+1 = 36 on the right.
+    require(num <= 1000000 && den <= 1000000,
+      s"num/den must be ≤ 1e6 (DECIMAL(7,0) budget), got $num/$den")
+    def bounded(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c.isNull || c < 0 || c > 999999999999L,
+        raise_error(concat(
+          lit(s"ppsSample: $weightCol outside [0, 1e12): "),
+          coalesce(c.cast("string"), lit("NULL")))))
+        .otherwise(c.cast("decimal(12,0)"))
     val maxW = df.agg(max(col(weightCol)).as("max_w"))
-    val two48 = lit(281474976710656L).cast("decimal(20,0)")
+    val two48 = lit(281474976710656L).cast("decimal(15,0)")
     val u48 = expr(
       s"CAST(conv(substring(md5(concat_ws(':', $idCol, $seed)), 1, 12)" +
-        ", 16, 10) AS DECIMAL(20,0))")
+        ", 16, 10) AS DECIMAL(15,0))")
     df.crossJoin(broadcast(maxW))
       .withColumn("u48", u48)
-      .filter(col("u48") * col("max_w").cast("decimal(18,0)") * lit(den) <
-        col(weightCol).cast("decimal(18,0)") * lit(num) * two48)
+      .filter(col("u48") * bounded(col("max_w")) *
+          lit(den).cast("decimal(7,0)") <
+        bounded(col(weightCol)) * lit(num).cast("decimal(7,0)") * two48)
       .withColumn("p_keep", round(
         col(weightCol).cast("double") * num /
           (col("max_w").cast("double") * den), 6))

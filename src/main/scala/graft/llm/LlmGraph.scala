@@ -181,7 +181,11 @@ object LlmGraph {
       maxRounds: Int = 25): (DataFrame, Int) = {
     require(edges.columns.toSeq == Seq("src", "dst"),
       s"edges must be exactly (src, dst), got: ${edges.columns.mkString(",")}")
+    val dbg = sys.props.contains("graft.cc.debug")
+    val tE = System.nanoTime()
     val e = edges.localCheckpoint(false)
+    if (dbg) println(
+      f"CC edges-ckpt-plan ${(System.nanoTime() - tE) / 1e9}%.3fs")
     // STATS RESET — load-bearing, not style. localCheckpoint truncates
     // LINEAGE but the LogicalRDD it leaves behind INHERITS the origin
     // plan's size ESTIMATE, and Catalyst's size-only stats multiply
@@ -252,7 +256,10 @@ object LlmGraph {
       // pure driver planning). The lazy checkpoint defers everything
       // to the probe job — one planning pass per round — and still
       // truncates lineage so plan DEPTH stays constant.
+      val tCk = System.nanoTime()
       val next = stepped.localCheckpoint(false)
+      if (sys.props.contains("graft.cc.debug")) println(
+        f"CC round=$rounds ckpt-plan ${(System.nanoTime() - tCk) / 1e9}%.3fs")
       // The convergence probe is the round's one scheduled job; it
       // materializes the checkpoint as a side effect.
       val t0 = System.nanoTime()
@@ -303,10 +310,13 @@ object LlmGraph {
         // near-dup path that's corpus-sized shingling + the inverted-
         // index pair join), which needs the session's full parallelism
         // and AQE — applying the label-sized tuning there measured
-        // corpus_curate 1.6 → 3.1 s. At cluster scale with
-        // billion-node label tables, keep AQE on past round 0 too —
-        // there its runtime broadcast and skew handling earn their
-        // latency.
+        // corpus_curate 1.6 → 3.1 s in r10, and r11 re-measured the
+        // AQE-off-only variant (full round-0 parallelism kept) at
+        // corpus_curate 2.1 → 3.2 s / dedup_cluster 1.7 → 2.9 s:
+        // the static plans' non-broadcast joins cost more than every
+        // AQE round-trip combined. At cluster scale with billion-node
+        // label tables, keep AQE on past round 0 too — there its
+        // runtime broadcast and skew handling earn their latency.
         if (rounds == 1) {
           sess.conf.set("spark.sql.adaptive.enabled", "false")
           sess.conf.set("spark.sql.shuffle.partitions", "8")

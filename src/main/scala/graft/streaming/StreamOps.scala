@@ -204,6 +204,120 @@ object StreamOps {
       .toDF()
   }
 
+  /** One band-bucket posting's verdict: `hit` = this doc shares the
+    * bucket with an earlier-seen doc (a near-dup candidate signal). */
+  final case class BandHit(doc_id: Long, band: Int, hit: Boolean)
+
+  /** First-seen band-bucket OWNER — the stateful heart of
+    * `stream_neardup` (streaming MinHash near-dup). Keyed on the LSH
+    * band key from [[graft.llm.LlmDedup.portableBandPostings]]; state
+    * per bucket is exactly ONE long (the first-arrived doc_id), the
+    * hardest possible cap on per-bucket state — any later doc posting
+    * into an owned bucket is emitted as a hit, never stored. That is
+    * the streaming-native survivor rule (`stream_dedup`'s first-seen
+    * semantics lifted from exact digests to LSH buckets): a hot
+    * boilerplate bucket with 100k members costs 8 bytes of state, not
+    * a signature set — the maxBandDf economics enforced by
+    * construction.
+    *
+    * Replay order within a call is (event-time, doc_id) — batch mode
+    * hands ALL of a bucket's postings in one call, so the sort IS the
+    * ts-ordered arrival replay the oracle mirrors (owner = min doc_id
+    * when event time is the doc_id, the key's synthetic log order).
+    *
+    * With `retentionMs > 0` (streaming callers, TimeMode.EventTime) an
+    * event-time timer evicts the owner once the WATERMARK passes
+    * `last posting + retentionMs` — state tracks RECENTLY-ACTIVE
+    * buckets only, so an unbounded crawl stream holds a bounded state
+    * store; a re-arrival of evicted content is re-admitted (the
+    * at-least-once tradeoff every watermark-bounded streaming dedup
+    * makes, same as [[graft.llm.LlmDedup.streamingExactDedup]]).
+    */
+  final class BandOwnerProcessor(retentionMs: Long)
+      extends StatefulProcessor[String, (String, Int, Long, Long), BandHit] {
+    @transient private var owner: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[Long]("owner",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Int, Long, Long)],
+        timerValues: TimerValues): Iterator[BandHit] = {
+      // (bkey, band, doc_id, ts_ms) — sort by (ts_ms, doc_id): the
+      // deterministic arrival-log replay (micro-batches are unordered
+      // within a trigger).
+      val sorted = rows.toArray.sortBy(r => (r._4, r._3))
+      var maxTs = Long.MinValue
+      val out = sorted.map { r =>
+        maxTs = math.max(maxTs, r._4)
+        val own =
+          if (owner.exists()) owner.get()
+          else { owner.update(r._3); r._3 }
+        BandHit(r._3, r._2, r._3 != own)
+      }
+      if (retentionMs > 0) {
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(maxTs + retentionMs)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[BandHit] = {
+      owner.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Run [[BandOwnerProcessor]] over a (bkey, band, doc_id, ts_ms)
+    * posting frame — batch or streaming. `retentionMs > 0` switches to
+    * event-time mode (streaming callers must watermark the source
+    * column ts_ms derives from).
+    */
+  def nearDupPostingHits(posts: DataFrame, retentionMs: Long): DataFrame = {
+    val s = posts.sparkSession
+    import s.implicits._
+    ensureStateStoreCoordinator(s)
+    posts
+      .select(col("bkey"), col("band").cast("int"), col("doc_id"),
+        col("ts_ms"))
+      .as[(String, Int, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new BandOwnerProcessor(retentionMs),
+        if (retentionMs > 0) TimeMode.EventTime() else TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
+  /** Streaming MinHash near-dup over `documents` (batch form): band
+    * postings (stateless, cross-engine-replayable minhash) → bucket
+    * owners via [[BandOwnerProcessor]] → per-doc any-hit fold. A doc
+    * is `near_dup` iff ANY of its bands hit a bucket an earlier doc
+    * owns — the LSH or-construction, arrival-order-dependent exactly
+    * like `stream_dedup` (first-seen wins; later near-copies flag).
+    * Arrival time here is the synthetic log order doc_id (the fixture
+    * carries no timestamp); a streaming deployment passes real event
+    * time through [[nearDupPostingHits]] instead. Docs under 3 tokens
+    * have no shingles, post nothing, and are never near-dups.
+    *
+    * Scale: the postings are per-row math, the stateful hop shuffles
+    * ~40-byte rows once on bkey with O(1) state per bucket, the
+    * any-hit fold shuffles once on doc_id — corpus-linear, no pair
+    * materialization anywhere (contrast `dedup_minhash`, which emits
+    * the verified PAIRS; the stream form answers "is this new doc a
+    * near-copy of anything seen" without ever joining docs to docs).
+    */
+  def nearDupFlags(docs: DataFrame): DataFrame = {
+    val posts = graft.llm.LlmDedup.portableBandPostings(docs)
+      .withColumn("ts_ms", col("doc_id"))
+    val per = nearDupPostingHits(posts, retentionMs = 0L)
+      .groupBy("doc_id")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit_bands"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
+        (coalesce(col("n_hit_bands"), lit(0L)) > 0).as("near_dup"))
+  }
+
   /** Running per-user count via `flatMapGroupsWithState` — the
     * pre-Spark-4 stateful API, kept as the fallback path.
     */
@@ -337,6 +451,17 @@ object StreamOps {
         .orderBy("win_start", "rk")
     }),
 
+    // Streaming MinHash near-dup (r11): is this incoming doc a
+    // near-copy of ANYTHING already seen? Band postings from a
+    // cross-engine-replayable minhash (48-bit md5 base — DuckDB
+    // replays it bit-for-bit, unlike xxhash64's no-oracle battery),
+    // first-seen bucket owners in O(1)-per-bucket state, per-doc
+    // any-hit fold. Batch run = one micro-batch over the doc_id-
+    // ordered log; cross-batch recall and watermark eviction are the
+    // StreamingSpec scenarios.
+    "stream_neardup" -> ((s, d) =>
+      nearDupFlags(graft.T.documents(s, d)).orderBy("doc_id")),
+
     // Streaming CDC upsert ([[CdcProcessor]]): 'error' deletes the
     // key, anything else upserts value; last (event-time, event_id)
     // wins. Batch run = one micro-batch over the whole changelog;
@@ -413,6 +538,48 @@ object StreamOps {
         |       rk, event_type, n
         |FROM r WHERE rk <= 3
         |ORDER BY win_start, rk""".stripMargin,
+
+    // Bit-for-bit replay of the portable minhash banding: same token
+    // 3-gram shingles (the duckNgramCtes construction), same 48-bit
+    // md5-prefix base hash ('0x…'::BIGINT — HUGEINT would reject the
+    // literal), same 16 affine transforms masked to 48 bits (products
+    // < 2⁶², exact in BIGINT on both engines), same 8 band keys of 2
+    // row-minima each; min-over-bucket replays the first-seen owner
+    // (arrival = doc_id order in the batch image). Docs under 3
+    // tokens post nothing and restore via the left join.
+    "stream_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS sh
+        |  FROM t),
+        |h AS (SELECT doc_id,
+        |        ('0x' || substring(md5(sh), 1, 12))::BIGINT AS u48
+        |      FROM sh),
+        |p AS (SELECT unnest(range(16)) AS i),
+        |m AS (SELECT doc_id, i,
+        |        min(((2 * i + 3) * u48 + 1000003 * i)
+        |            & 281474976710655) AS m
+        |      FROM h CROSS JOIN p GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id,
+        |         CAST(i // 2 AS VARCHAR) || ':' ||
+        |           string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS bkey
+        |       FROM m GROUP BY doc_id, i // 2),
+        |hits AS (SELECT doc_id,
+        |           doc_id > min(doc_id) OVER (PARTITION BY bkey) AS hit
+        |         FROM bk),
+        |per AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_hit_bands
+        |        FROM hits GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |       coalesce(n_hit_bands, 0) AS n_hit_bands,
+        |       coalesce(n_hit_bands, 0) > 0 AS near_dup
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // The batch image of the stateful fold: last change per key by
     // (ts, event_id), deletes suppressed.

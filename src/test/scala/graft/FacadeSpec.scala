@@ -45,4 +45,20 @@ class FacadeSpec extends SparkSpec {
     val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     assert(Graft.ngramPairs(docs, 0.5, None).count() == 1)
   }
+
+  test("surface counts: 174 keys / 165 oracled — bump HERE plus README/SURVEY/Graft") {
+    // The tracked counts went stale three rounds running (r10 verdict
+    // directive #5): this assertion is the single source of truth. A
+    // new key fails it on purpose — update the expected counts here
+    // AND the three doc call-sites in the same commit:
+    //   README.md          ("§2 is the operator contract: N keys, M …")
+    //   SURVEY.md §2 totals ("Totals: N operator keys … M with …")
+    //   Graft.scala         ("the N `SparkEntry.queries` keys")
+    assert(SparkEntry.queries.size == 174,
+      s"queries.size = ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 165,
+      s"oracleSql.size = ${SparkEntry.oracleSql.size}")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
+  }
 }

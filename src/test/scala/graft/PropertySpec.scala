@@ -725,6 +725,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("nearDupFlags ≡ local portable-minhash banding + first-seen fold for ANY corpus") {
+    // Independent reference for stream_neardup's WHOLE chain —
+    // shingling, 48-bit md5 base hash, 16 affine minima, 8 band keys,
+    // first-seen bucket owners in doc_id order — rebuilt from scratch
+    // (MessageDigest + a mutable owner map), NOT by replaying the
+    // operator's column expressions: the DuckDB oracle replays the
+    // algorithm, so a shared algorithmic bug would hash-match green
+    // there (the r9 triangle-orientation lesson); this fold is the
+    // independent pin.
+    import graft.streaming.StreamOps
+    val vocab = Vector("ai", "be", "cu", "do", "el", "fa", "go", "hi")
+    val docsGen = Gen.nonEmptyListOf(for {
+      n <- Gen.choose(0, 12) // includes <3-token docs (no shingles)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" "))
+    forAllSeeded(docsGen) { texts0 =>
+      // plant an exact near-copy of the first doc at the end so every
+      // sample exercises the hit path, not just bucket claims
+      val texts = texts0 :+ texts0.head
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = StreamOps.nearDupFlags(rows.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSeq.sortBy(_._1)
+      def shingles(t: String): Seq[String] = {
+        val toks = t.split(" ", -1)
+        if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      }
+      def u48(s: String): Long = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+          .take(6).map(b => f"$b%02x").mkString, 16)
+      val mask = (1L << 48) - 1
+      def bkeys(t: String): Seq[String] = {
+        val us = shingles(t).map(u48)
+        if (us.isEmpty) Seq.empty
+        else {
+          val mins = (0 until 16).map(i =>
+            us.map(u => ((2L * i + 3) * u + 1000003L * i) & mask).min)
+          (0 until 8).map(b => s"$b:${mins(2 * b)}:${mins(2 * b + 1)}")
+        }
+      }
+      val owner = scala.collection.mutable.Map.empty[String, Long]
+      val want = rows.map { case (id, t) =>
+        val nHit = bkeys(t).count { k =>
+          owner.get(k) match {
+            case Some(o) => o != id
+            case None => owner(k) = id; false
+          }
+        }
+        (id, nHit.toLong, nHit > 0)
+      }
+      assert(got == want, s"got ${got.take(8)}, want ${want.take(8)}")
+    }
+  }
+
   test("ppsSample ≡ local BigInt md5 fold for ANY weights (and respects bounds)") {
     import graft.llm.CorpusPipeline
     val rows = Gen.nonEmptyListOf(for {
@@ -749,6 +805,23 @@ class PropertySpec extends SparkSpec {
       // The heaviest row's keep probability is num/den; a zero-weight
       // row could never be kept (w=1 minimum here keeps the gen total).
       assert(got.subsetOf(rs.map(_._1).toSet))
+    }
+    // r11 (advice): a weight beyond the documented 1e12 bound must
+    // ERROR loudly (raise_error) — the pre-guard shape let the decimal
+    // product overflow to NULL and silently DROP the row.
+    val boom = intercept[Exception] {
+      CorpusPipeline.ppsSample(
+        Seq((1L, 2000000000000L)).toDF("doc_id", "w"),
+        "doc_id", "w", num = 1, den = 4, seed = 7).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(boom).exists(t =>
+      Option(t.getMessage).exists(_.contains("ppsSample"))), boom.toString)
+    // num/den beyond the DECIMAL(7,0) budget must fail at build time.
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.ppsSample(Seq((1L, 5L)).toDF("doc_id", "w"),
+        "doc_id", "w", num = 2000000, den = 4, seed = 7)
     }
   }
 

@@ -250,6 +250,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_neardup: band owners persist across micro-batches; the watermark evicts them") {
+    // The two behaviors the batch oracle cannot check: (1) RECALL
+    // across batches — a near-copy arriving a batch after the original
+    // hits the original's band buckets; (2) CAPPED STATE — once the
+    // watermark passes owner-last-seen + retention, the event-time
+    // timer evicts the bucket owner, so the same content re-arriving
+    // later is re-admitted (state tracks recently-active buckets only).
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val docs = in.toDF().toDF("doc_id", "text", "ts")
+        .withWatermark("ts", "0 seconds")
+      val posts = graft.llm.LlmDedup
+        .portableBandPostings(docs, carry = Seq("ts"))
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      val hits = StreamOps.nearDupPostingHits(posts,
+        retentionMs = 60 * 60 * 1000L) // evict owners idle > 1 h
+      val q = hits.writeStream.format("memory").queryName("nd_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val text = "alpha beta gamma delta epsilon zeta"
+        in.addData((1L, text, ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        // Batch 2: an exact near-copy — every band must hit doc 1's
+        // buckets even though they were claimed a batch earlier.
+        in.addData((2L, text, ts("2024-01-01 10:30:00")))
+        q.processAllAvailable()
+        def hitsOf(id: Long): Seq[Boolean] = spark.table("nd_sink")
+          .filter(col("doc_id") === id).collect().map(_.getBoolean(2)).toSeq
+        assert(hitsOf(1L).nonEmpty && hitsOf(1L).forall(!_),
+          s"first-seen doc must claim, not hit: ${hitsOf(1L)}")
+        assert(hitsOf(2L).nonEmpty && hitsOf(2L).forall(identity),
+          s"cross-batch near-copy must hit every band: ${hitsOf(2L)}")
+        // Batch 3: unrelated traffic at 12:30 advances the watermark
+        // past 11:30 = doc 2's buckets' last-seen + retention → timers
+        // fire, owners evicted.
+        in.addData((3L, "one two three four five six", ts("2024-01-01 12:30:00")))
+        q.processAllAvailable()
+        // Batch 4: the same content again — buckets were evicted, so
+        // it re-claims instead of hitting (the at-least-once tradeoff).
+        in.addData((4L, text, ts("2024-01-01 12:40:00")))
+        q.processAllAvailable()
+        assert(hitsOf(4L).nonEmpty && hitsOf(4L).forall(!_),
+          s"evicted buckets must be re-claimable, not hits: ${hitsOf(4L)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("batch transformWithState equals the flatMapGroupsWithState fallback") {
     // stream_stateful's key runs the TWS form in batch (each group seen
     // once, empty initial state) — it must agree row-for-row with the
