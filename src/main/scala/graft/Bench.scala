@@ -73,9 +73,14 @@ object Bench {
     // column and keeps the sort, with zero sink I/O. (r7 methodology
     // change: numbers are NOT comparable to the count()-based r1-r6
     // history; cross-round retry minima just get conservative.)
+    // Pins cleared after every run (r11): a pin left live by an
+    // earlier key (or the warm-up pass) taxes every subsequent plan
+    // compilation via the CacheManager canonicalization walk — each
+    // key's timing must be its own cost, fresh-session honest.
     def run(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      finally Pins.clearAll()
     // Untimed warm-up pass: JVM/codegen/session init otherwise lands on
     // whichever query happens to run first (~10 s of noise in round 1).
     SparkEntry.queries.foreach { case (_, fn) =>

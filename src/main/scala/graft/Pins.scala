@@ -42,4 +42,26 @@ object Pins {
     }
     df.persist()
   }
+
+  /** Drop every live pin (r11). A slot's entry stays in the
+    * CacheManager until the NEXT invocation of its owning key replaces
+    * it — and any live entry taxes the DRIVER on every subsequent
+    * query compilation in the session (`useCachedData` canonicalizes
+    * each new plan's subtrees against each cached plan; measured
+    * ~0.5 s of pure planning on self-join-heavy trees). The timing
+    * mains call this between keys so no key's sweep reading pays for
+    * a pin some EARLIER key left behind; correctness never depends on
+    * a cache entry, so clearing mid-session is always safe.
+    */
+  def clearAll(): Unit = {
+    val it = slots.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      val df = slots.remove(k)
+      if (df != null) {
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+    }
+  }
 }

@@ -50,8 +50,14 @@ object TimeKeys {
         })
     // noop sink, same as Bench: count() would let the optimizer prune
     // the final projection and sort — the work many keys exist to do.
-    def run(k: String): Unit = SparkEntry.queries(k)(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    // Pins cleared after every run (r11): a pin some OTHER key (or the
+    // warm-up pass) left live taxes this key's planning via the
+    // CacheManager canonicalization walk — the timing must be the
+    // key's own cost, fresh-session honest.
+    def run(k: String): Unit =
+      try SparkEntry.queries(k)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      finally Pins.clearAll()
     // warm up the session on one untimed pass of each key
     keys.foreach(run)
     for (k <- keys) {

@@ -19,6 +19,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop pins between keys: a live entry taxes every later key's
+      // plan compilation (Pins.clearAll scaladoc) — ~170 keys in one
+      // session make that a real wall-clock cost
+      finally Pins.clearAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -69,23 +69,26 @@ object LlmGraph {
     // bucketed by src), even that exchange disappears.
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // The degree-annotated edge list is read EVERY round — without a
-    // pin each iteration's plan re-derives it from the source scan
-    // (explain showed the edge subtree cloned per round). Pins.repin,
-    // not bare persist: bounded slot, cold per invocation (honest
-    // bench timing), full plan kept visible for PlanSpec's join-shape
-    // sweep. At cluster scale this materialization is the one you'd
-    // write to a bucketed-by-src table instead.
-    // Pinned PRE-PARTITIONED on src: InMemoryTableScan preserves the
-    // cached partitioning, so every round's join reads the edges
-    // in place — the rank table (node-count sized, ≪ edges) is the
-    // only side that moves. This is the distributed-PageRank
+    // materialize-once boundary each iteration's plan re-derives it
+    // from the source scan (explain showed the edge subtree cloned per
+    // round). LAZY localCheckpoint, not Pins.repin/persist (r11, the
+    // minhashPairs rationale): a live CacheManager entry taxes every
+    // later plan compilation in the session via the useCachedData
+    // canonicalization walk; the checkpoint gives the same
+    // evaluate-once sharing with zero cache entries and stays cold
+    // (honest) per invocation. At cluster scale this materialization
+    // is the one you'd write to a bucketed-by-src table instead.
+    // Checkpointed PRE-PARTITIONED on src: LogicalRDD CAPTURES the
+    // physical plan's outputPartitioning, so every round's join reads
+    // the edges in place — the rank table (node-count sized, ≪ edges)
+    // is the only side that moves. This is the distributed-PageRank
     // invariant: edges never re-shuffle across iterations.
     // Both sides hang off the SAME src exchange (ReusedExchange), so
     // this join moves nothing; shuffle_hash skips SMJ's per-side sort.
     // No broadcast: deg is node-count sized — fine here, not at 10^9
     // nodes, and the co-partitioned join is free anyway.
-    val withDeg = graft.Pins.repin("llm.pagerankEdges",
-      edges.join(deg.hint("shuffle_hash"), "src"))
+    val withDeg = edges.join(deg.hint("shuffle_hash"), "src")
+      .localCheckpoint(false)
     // One synchronous round: damp-and-sum per-edge contributions to dst.
     def step(contribs: DataFrame): DataFrame =
       contribs.groupBy("dst")
@@ -462,9 +465,16 @@ object LlmGraph {
     // Orient u→v when (deg(u), u) < (deg(v), v); struct comparison is
     // lexicographic in both engines. The target's degree rides along —
     // the wedge ordering below needs it. The oriented frame feeds
-    // three join sides — pin it (the pagerank edge-pin rationale).
+    // THREE join sides (both wedge legs + the closure lookup) — the
+    // self-join-heaviest tree in the engine, so the materialize-once
+    // boundary is a LAZY localCheckpoint, not Pins.repin/persist (r11,
+    // the minhashPairs rationale): with a live cache entry every
+    // downstream consumer's compilation canonicalizes the oriented
+    // subtree against the cached plan, pure driver planning the
+    // checkpoint's opaque RDD leaf never pays — and zero CacheManager
+    // entries remain to tax LATER keys in the same session.
     val uLtV = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    val oriented = graft.Pins.repin("llm.triOriented",
+    val oriented =
       e.join(deg.withColumnRenamed("n", "u")
           .withColumnRenamed("dg", "du"), "u")
         .join(deg.withColumnRenamed("n", "v")
@@ -472,7 +482,8 @@ object LlmGraph {
         .select(
           when(uLtV, col("u")).otherwise(col("v")).as("s"),
           when(uLtV, col("v")).otherwise(col("u")).as("t"),
-          when(uLtV, col("dv")).otherwise(col("du")).as("dt")))
+          when(uLtV, col("dv")).otherwise(col("du")).as("dt"))
+        .localCheckpoint(false)
     val w1 = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
     val w2 = oriented.select(col("s"), col("t").as("c"), col("dt").as("dc"))
     val wedges = w1.join(w2, Seq("s"))
