@@ -175,6 +175,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("stream_neardup: two hash shuffles, membership never joins docs to docs") {
+    // The scale claim in nearDupFlags' scaladoc, machine-checked: the
+    // banding is narrow per-row math (the only exchange below the
+    // stateful hop is T.spread's round-robin fan-out, not a hash
+    // shuffle), then exactly TWO hash exchanges — the stateful
+    // operator's bkey clustering and the per-doc any-hit fold (which
+    // must partial-aggregate map-side: 8 posting rows per doc collapse
+    // before the wire). The doc restore must broadcast (per-doc counts
+    // ≤ corpus size), and nothing may pair docs with docs.
+    val p = plan("stream_neardup", graft.streaming.StreamOps.queries)
+    assert(p.contains("TransformWithState"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(p.contains("partial_sum"), "any-hit fold must map-side combine: " + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"), p)
+  }
+
   test("cube_region_rollup: one Expand into partial+final aggregation, one shuffle") {
     // The scale shape regionRollup's scaladoc claims, machine-checked:
     // grouping sets = a single Expand feeding a partial+final hash
