@@ -304,6 +304,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_neardup: claimed band owners survive a query RESTART from checkpoint") {
+    // The state-store recovery contract (the streamToParquet
+    // restart test's twin for TWS state): owners claimed before a
+    // graceful stop must be loaded back from the checkpoint's state
+    // store on restart — a near-copy arriving in the restarted query
+    // still hits every band. If recovery silently started empty, doc 2
+    // would CLAIM instead of hit and a continuous-ingest deployment
+    // would re-admit near-copies after every deploy.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val docs = in.toDF().toDF("doc_id", "text", "ts")
+        .withWatermark("ts", "0 seconds")
+      val posts = graft.llm.LlmDedup
+        .portableBandPostings(docs, carry = Seq("ts"))
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      val hits = StreamOps.nearDupPostingHits(posts,
+        retentionMs = 60 * 60 * 1000L)
+      val out = java.nio.file.Files.createTempDirectory("nd_restart_out")
+      val chk = java.nio.file.Files.createTempDirectory("nd_restart_chk")
+      def start() = hits.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", chk.toString)
+        .outputMode(OutputMode.Append()).start()
+      val text = "alpha beta gamma delta epsilon zeta"
+      val q1 = start()
+      try {
+        in.addData((1L, text, ts("2024-01-01 10:00:00")))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // Data arriving while the query is DOWN; the restart resumes
+      // from the committed offset (no re-processing of doc 1) and
+      // reloads the owner state doc 1 claimed.
+      in.addData((2L, text, ts("2024-01-01 10:30:00")))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val rows = spark.read.parquet(out.toString)
+        .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+      val (d1, d2) = (rows.filter(_._1 == 1L), rows.filter(_._1 == 2L))
+      assert(d1.size == 8 && d1.forall(!_._2),
+        s"doc 1 must claim its 8 bands exactly once across both runs: $rows")
+      assert(d2.size == 8 && d2.forall(_._2),
+        s"doc 2 must hit all 8 recovered buckets after restart: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("batch transformWithState equals the flatMapGroupsWithState fallback") {
     // stream_stateful's key runs the TWS form in batch (each group seen
     // once, empty initial state) — it must agree row-for-row with the
