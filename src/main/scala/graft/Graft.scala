@@ -34,7 +34,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graft.knnIvf(embeddings, 10, 16)
   * }}}
   *
-  * The driver-facing query catalog (the 174 `SparkEntry.queries` keys)
+  * The driver-facing query catalog (the 175 `SparkEntry.queries` keys)
   * sits one level up and is built FROM these pieces — this object is
   * the programmatic surface.
   */
@@ -144,6 +144,18 @@ object Graft {
   val chunkDedup = llm.LlmDedup.chunkDedup _
   /** Embedding-cosine near-dup pairs ([[llm.LlmVector.embedDupPairs]]). */
   val embedDupPairs = llm.LlmVector.embedDupPairs _
+  /** Streaming near-dup membership over first-seen LSH bucket owners
+    * ([[streaming.StreamOps.nearDupFlags]] batch form;
+    * [[streaming.StreamOps.nearDupPostingHits]] is the readStream
+    * hop). */
+  val nearDupFlags = streaming.StreamOps.nearDupFlags _
+
+  // ---- tokenization ------------------------------------------------
+  /** Learned top-10 char-pair merge table ([[llm.LlmText.bpeMergeTable]]). */
+  val bpeMergeTable = llm.LlmText.bpeMergeTable _
+  /** Greedy sequential BPE encode under a ranked merge table
+    * ([[llm.LlmText.bpeEncode]]). */
+  val bpeEncode = llm.LlmText.bpeEncode _
 
   // ---- similarity search -------------------------------------------
   /** Brute-force cosine top-k, blocked ([[llm.LlmVector.knnBrute]]). */

@@ -71,6 +71,7 @@ object VectorExpressions {
   private val mhIdent = FunctionIdentifier("graft_minhash")
   private val shIdent = FunctionIdentifier("graft_shingles")
   private val nfcIdent = FunctionIdentifier("graft_nfc")
+  private val bpeIdent = FunctionIdentifier("graft_bpe")
 
   /** Register once per session; safe to call repeatedly. */
   def register(spark: SparkSession): Unit = {
@@ -92,6 +93,11 @@ object VectorExpressions {
       nfcIdent,
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalize(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      bpeIdent,
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
+      (children: Seq[Expression]) => BpeEncode(children.head,
+        stringArrayLiteral("graft_bpe", children(1))))
   }
 
   /** Second arguments of the custom functions must be integral literals
@@ -100,6 +106,20 @@ object VectorExpressions {
     * `eval().asInstanceOf[Int]` throws on `CAST(16 AS BIGINT)` or a
     * column argument.
     */
+  /** The merge table parameterizes [[BpeEncode]]'s generated code, so
+    * it must arrive as a FOLDABLE array<string> (`lit(Array(...))`) —
+    * a per-row column argument would mean re-parsing the table per
+    * row and defeats the codegen reference object.
+    */
+  private def stringArrayLiteral(fn: String, e: Expression): Seq[String] =
+    e.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) if e.foldable =>
+        val a = e.eval(null).asInstanceOf[ArrayData]
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a foldable array<string> second argument, got: $other")
+    }
+
   private def intLiteral(fn: String, e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)

@@ -355,23 +355,75 @@ object LlmText {
     // char pairs are 2-char substrings, so pair extraction is a narrow
     // index-lambda over each DISTINCT word: the heavy count rides the
     // (word, n) frequency table (vocab-sized), never token instances.
-    "text_bpe_merges" -> ((s, d) => {
-      val words = T.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("n"))
-      words.filter(length(col("word")) >= 2)
-        .select(col("n"), explode(expr(
-          "transform(sequence(1, length(word) - 1), " +
-            "i -> substring(word, i, 2))")).as("pair"))
-        .groupBy("pair").agg(sum("n").as("cnt"))
-        .orderBy(desc("cnt"), asc("pair")).limit(10)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(desc("cnt"), asc("pair"))))
-        .select("rank", "pair", "cnt")
-        .orderBy("rank")
+    "text_bpe_merges" -> ((s, d) => bpeMergeTable(T.documents(s, d))),
+
+    // BPE ENCODE (r11) — apply the corpus-learned merge table back to
+    // the corpus: the tokenization step between learning merges and
+    // packing sequences. Per word: greedy lowest-rank-first,
+    // leftmost-first sequential merging (graft_bpe, a codegen'd native
+    // expression — the loop is inherently iterative, so no column-math
+    // form exists; see BpeEncode.scala). The merge table is a TOP-10
+    // driver collect (model-sized, the langProfile/IVF-centroid
+    // pattern) broadcast into the generated code; the encode itself is
+    // one narrow pass over the corpus — zero shuffles before the
+    // terminal sort at any scale. n_subwords is derived from the
+    // encoded string ('.' joins subwords within a word, so subwords =
+    // dots + nonempty words) — the same arithmetic the oracle runs on
+    // its symbol lists.
+    "text_bpe_encode" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val merges = bpeMergeTable(docs).orderBy("rank").collect()
+        .map(_.getString(1)).map(p => s"${p.substring(0, 1)} ${p.substring(1)}")
+      bpeEncode(docs, merges.toSeq).orderBy("doc_id")
     })
   )
+
+  /** Learned BPE-ish merge table: top-10 character pairs by corpus
+    * frequency over the distinct-word frequency table (each word
+    * counted with its multiplicity, pairs from 2-char substrings).
+    * Deterministic (count desc, pair asc). Shared by
+    * `text_bpe_merges` (which serves it) and `text_bpe_encode` (which
+    * applies it).
+    */
+  def bpeMergeTable(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    words.filter(length(col("word")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(word) - 1), " +
+          "i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("n").as("cnt"))
+      .orderBy(desc("cnt"), asc("pair")).limit(10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cnt"), asc("pair"))))
+      .select("rank", "pair", "cnt")
+      .orderBy("rank")
+  }
+
+  /** Apply a ranked merge table ("left right" entries, rank order) to
+    * `docs`' text — greedy sequential BPE per word (the [[graft.functions.BpeEncode]]
+    * contract). Returns (doc_id, n_subwords, encoded); works for
+    * arbitrary multi-char symbol tables, not just the char-pair table
+    * the key feeds it (PropertySpec exercises chained merges).
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    // T.spread: the single-file fixture scan is one input partition;
+    // fan out before the per-row merge loop (the portableBandPostings
+    // shape — a bucketed production table wouldn't need it)
+    val enc = T.spread(docs).select(col("doc_id"),
+      coalesce(col("text"), lit("")).as("text"))
+      .withColumn("encoded",
+        call_function("graft_bpe", col("text"), lit(merges.toArray)))
+    enc.select(col("doc_id"),
+        (length(col("encoded"))
+          - length(expr("replace(encoded, '.', '')"))
+          + size(filter(split(col("text"), " ", -1), w => w =!= ""))
+          ).cast("long").as("n_subwords"),
+        col("encoded"))
+  }
 
   val oracle: Map[String, String] = Map(
     // Bigrams via list_zip of the shifted slices (UNNEST order within
@@ -421,6 +473,74 @@ object LlmText {
         |SELECT row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank,
         |       pair, CAST(cnt AS BIGINT) AS cnt
         |FROM pairs ORDER BY cnt DESC, pair ASC LIMIT 10""".stripMargin,
+
+    // Full sequential replay of the graft_bpe contract: the SAME
+    // top-10 learned pair table (the text_bpe_merges CTE), then a
+    // recursive CTE applying ONE merge per level — the lowest-ranked
+    // applicable adjacent pair, leftmost first, exactly the
+    // expression's loop. `[rank, pos]` candidate lists sort
+    // lexicographically, so list_sort(...)[1] IS the (rank, leftmost)
+    // argmin; '|'-keyed pair lookup is unambiguous because corpus
+    // symbols never contain '|'. A word's final state is its
+    // max-step row (QUALIFY). coalesce around array_to_string: the
+    // empty word's empty symbol list must contribute '' to the
+    // string_agg, not vanish (split keeps empties on both engines).
+    "text_bpe_encode" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT w AS word, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT p.pair, sum(n) AS cnt FROM (
+        |    SELECT n, unnest(list_transform(
+        |      generate_series(1, length(word) - 1),
+        |      i -> substr(word, i, 2))) AS pair
+        |    FROM words WHERE length(word) >= 2) p
+        |  GROUP BY p.pair),
+        |m AS (
+        |  SELECT row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank,
+        |         substr(pair, 1, 1) AS l, substr(pair, 2, 1) AS r
+        |  FROM pairs ORDER BY cnt DESC, pair ASC LIMIT 10),
+        |ml AS (SELECT list(l || '|' || r ORDER BY rank) AS mlist FROM m),
+        |t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+        |      FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS wi, l[i] AS word
+        |  FROM t, unnest(generate_series(1, len(l))) AS s(i)),
+        |enc AS (
+        |  SELECT doc_id, wi,
+        |         list_transform(generate_series(1, length(word)),
+        |           i -> substr(word, i, 1)) AS syms,
+        |         0 AS step
+        |  FROM w
+        |  UNION ALL
+        |  SELECT doc_id, wi,
+        |         list_slice(syms, 1, best[2] - 1)
+        |           || [syms[best[2]] || syms[best[2] + 1]]
+        |           || list_slice(syms, best[2] + 2, len(syms)),
+        |         step + 1
+        |  FROM (
+        |    SELECT doc_id, wi, syms, step,
+        |           list_sort(list_filter(
+        |             list_transform(generate_series(1, len(syms) - 1),
+        |               p -> CASE WHEN list_position(mlist,
+        |                             syms[p] || '|' || syms[p + 1]) > 0
+        |                    THEN [list_position(mlist,
+        |                             syms[p] || '|' || syms[p + 1]), p]
+        |                    END),
+        |             x -> x IS NOT NULL))[1] AS best
+        |    FROM enc CROSS JOIN ml)
+        |  WHERE best IS NOT NULL),
+        |fin AS (
+        |  SELECT doc_id, wi, syms
+        |  FROM enc
+        |  QUALIFY row_number()
+        |    OVER (PARTITION BY doc_id, wi ORDER BY step DESC) = 1)
+        |SELECT doc_id,
+        |       CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+        |       string_agg(coalesce(array_to_string(syms, '.'), ''),
+        |                  ' ' ORDER BY wi) AS encoded
+        |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // generate_series is end-INCLUSIVE (matches Spark's sequence);
     // list slicing toks[a:b] is 1-based inclusive and clamps at the

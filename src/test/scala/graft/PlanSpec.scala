@@ -193,6 +193,18 @@ class PlanSpec extends SparkSpec {
       !p.contains("SortMergeJoin"), p)
   }
 
+  test("text_bpe_encode: one narrow codegen'd pass, no hash shuffle") {
+    // The encode is per-row work under the graft_bpe native
+    // expression: nothing may hash-shuffle between the scan and the
+    // terminal doc_id sort (the learned merge table is a collect-time
+    // input, not part of this plan), and the expression must sit in a
+    // whole-stage-codegen'd Project.
+    val p = plan("text_bpe_encode", graft.llm.LlmText.queries)
+    assert(p.contains("graft_bpe"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 0, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("cube_region_rollup: one Expand into partial+final aggregation, one shuffle") {
     // The scale shape regionRollup's scaladoc claims, machine-checked:
     // grouping sets = a single Expand feeding a partial+final hash

@@ -781,6 +781,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bpeEncode ≡ local sequential fold for ANY corpus and merge table") {
+    // Independent reference for text_bpe_encode's graft_bpe expression
+    // — a plain-Scala mutable-buffer fold of the same contract
+    // (lowest rank, then leftmost, one occurrence per step). The
+    // generator draws MULTI-CHAR merge symbols, exercising the merge
+    // chaining the key's learned char-pair table never produces (the
+    // reason bpeEncode is a general API, not key-private).
+    import graft.llm.LlmText
+    val alpha = Gen.oneOf("a", "b", "c")
+    val sym = Gen.choose(1, 2).flatMap(n =>
+      Gen.listOfN(n, alpha).map(_.mkString))
+    val mergesGen = Gen.listOfN(6, Gen.zip(sym, sym)).map(_.distinct)
+    val wordGen = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, alpha).map(_.mkString))
+    val docsGen = Gen.zip(mergesGen,
+      Gen.nonEmptyListOf(Gen.choose(0, 5).flatMap(n =>
+        Gen.listOfN(n, wordGen).map(_.mkString(" ")))))
+    forAllSeeded(docsGen) { case (merges, texts) =>
+      def encodeWord(w: String): Seq[String] = {
+        val syms = scala.collection.mutable.ArrayBuffer(
+          w.map(_.toString): _*)
+        var go = true
+        while (go) {
+          val cands = (0 until syms.length - 1).flatMap { p =>
+            val r = merges.indexWhere(m =>
+              m._1 == syms(p) && m._2 == syms(p + 1))
+            if (r >= 0) Some((r, p)) else None
+          }
+          if (cands.isEmpty) go = false
+          else {
+            val (_, p) = cands.min
+            syms(p) = syms(p) + syms(p + 1)
+            syms.remove(p + 1)
+          }
+        }
+        syms.toSeq
+      }
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        val encoded = t.split(" ", -1).map(encodeWord)
+        (i.toLong,
+          encoded.map(_.length.toLong).sum,
+          encoded.map(_.mkString(".")).mkString(" "))
+      }
+      val got = LlmText.bpeEncode(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        merges.map(m => s"${m._1} ${m._2}"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.sortBy(_._1)
+      assert(got == want, s"merges=$merges got=${got.take(4)} want=${want.take(4)}")
+    }
+  }
+
   test("ppsSample ≡ local BigInt md5 fold for ANY weights (and respects bounds)") {
     import graft.llm.CorpusPipeline
     val rows = Gen.nonEmptyListOf(for {

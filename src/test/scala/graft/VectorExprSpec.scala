@@ -134,4 +134,34 @@ class VectorExprSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [graft_nfc"), plan)
   }
+
+  test("graft_bpe: sequential lowest-rank/leftmost merges, codegen'd") {
+    VectorExpressions.register(spark)
+    // (t,h) < (h,e): "the" merges t+h first, so (h,e) never applies;
+    // (a,a) then (aa,a) chains: "aaaaa" -> aa, then [aa,a,a,a] has
+    // (a,a) at pos 1 (rank 3 < rank 4 of (aa,a)) -> [aa,aa,a], then
+    // only (aa,a) applies at the LEFT pair -> [aa,aaa]. Empty words
+    // (double space) must survive as '' between single spaces.
+    val merges = Seq("t h", "h e", "a a", "aa a")
+    val texts = Seq("the ththe aaaaa", "a  het", "xyz theaaa", "")
+    val expect = Seq("th.e th.th.e aa.aaa", "a  he.t", "x.y.z th.e.aaa", "")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        call_function("graft_bpe", col("text"), lit(merges.toArray)).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.indices.foreach(i =>
+      assert(got(i.toLong) == expect(i), s"'${texts(i)}': ${got(i.toLong)}"))
+    // driver-side helper agrees
+    assert(graft.functions.BpeEncode.encodeOf("the aaaaa",
+      Seq(("t", "h"), ("h", "e"), ("a", "a"), ("aa", "a"))) ==
+      "th.e aa.aaa")
+    // no merges -> every code point its own subword
+    assert(graft.functions.BpeEncode.encodeOf("dog", Seq.empty) == "d.o.g")
+    // stays inside whole-stage codegen over a parquet scan
+    val plan = T.documents(spark, sf)
+      .select(call_function("graft_bpe", col("text"), lit(Array("t h"))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_bpe"), plan)
+  }
 }
