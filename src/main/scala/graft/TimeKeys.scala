@@ -23,9 +23,13 @@ object TimeKeys {
     val unknown = keys.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown keys: $unknown")
     // -Dgraft.jobs.debug: print every scheduled job's duration plus the
-    // driver-side GAP since the previous job ended — gaps are where
+    // driver-side GAP since the last job END — gaps are where
     // analysis/optimization/codegen hide, and for iterative keys they
     // routinely dwarf execution (the r9/r10 loop-economics findings).
+    // Jobs CAN overlap (AQE schedules broadcast/stage jobs
+    // concurrently): a negative gap is printed as such and means
+    // "started while another job ran" — only positive gaps are idle
+    // driver time. Diagnostics only, never used by the timing itself.
     if (sys.props.contains("graft.jobs.debug"))
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
@@ -44,7 +48,8 @@ object TimeKeys {
           override def onJobEnd(
               je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
             lastEnd = je.time
-            val dur = (je.time - starts.getOrDefault(je.jobId, je.time)) / 1e3
+            val started = starts.remove(je.jobId)
+            val dur = (je.time - (if (started == 0L) je.time else started)) / 1e3
             println(f"JOB ${je.jobId}%3d end   dur=$dur%.3fs")
           }
         })

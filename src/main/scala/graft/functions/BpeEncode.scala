@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression applying a RANKED BPE merge table to a
@@ -17,10 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * symbol pair, LEFTMOST occurrence first, one occurrence per step,
   * until no merge applies — the canonical sequential (priority-queue)
   * BPE encode, where a merge's output symbol can immediately feed a
-  * lower-ranked merge (("aa","a") after ("a","a")). Output: subwords
-  * joined with `.` inside a word, words joined with a single space —
-  * a plain string column, so the driver's hash compare covers every
-  * subword boundary and no ARRAY ever reaches a final projection.
+  * lower-ranked merge (("aa","a") after ("a","a")). Output is a
+  * struct: `encoded` (subwords joined with `.` inside a word, words
+  * joined with a single space — a plain string, so the driver's hash
+  * compare covers every subword boundary) plus `n_subwords` counted
+  * from the symbol lists themselves — NOT reverse-engineered from the
+  * joined string, where input text containing `.` would over-count.
   *
   * Why a custom Expression (the [[Shingles]] ladder rationale): the
   * merge loop is inherently iterative per word — column math can't
@@ -45,7 +48,9 @@ case class BpeEncode(child: Expression, merges: Seq[String])
     case t => TypeCheckResult.TypeCheckFailure(
       s"graft_bpe expects a string column, got $t")
   }
-  override def dataType: DataType = StringType
+  override def dataType: DataType = StructType(Seq(
+    StructField("encoded", StringType, nullable = false),
+    StructField("n_subwords", LongType, nullable = false)))
   override def prettyName: String = "graft_bpe"
 
   @transient private lazy val table: Array[Array[String]] =
@@ -55,8 +60,12 @@ case class BpeEncode(child: Expression, merges: Seq[String])
     BpeEncode.compute(s.asInstanceOf[UTF8String], table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpeMerges", table,
-      classOf[Array[Array[String]]].getName)
+    // no explicit class-name arg: addReferenceObj would paste it into
+    // a Java cast verbatim, and getName renders arrays as
+    // "[[Ljava.lang.String;" — invalid Java source that fails janino
+    // and silently drops the WHOLE stage out of codegen. The default
+    // (CodeGenerator.typeName) emits "java.lang.String[][]".
+    val ref = ctx.addReferenceObj("bpeMerges", table)
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.BpeEncode.compute($s, $ref);")
   }
@@ -68,22 +77,24 @@ case class BpeEncode(child: Expression, merges: Seq[String])
 object BpeEncode {
   /** Encode every whitespace token of `text`; called from both eval
     * and generated code. `table(r) = Array(left, right)` in rank
-    * order.
+    * order. Returns (encoded, n_subwords).
     */
-  def compute(text: UTF8String, table: Array[Array[String]]): UTF8String = {
+  def compute(text: UTF8String, table: Array[Array[String]]): InternalRow = {
     val words = text.toString.split(" ", -1)
     val sb = new java.lang.StringBuilder
+    var nSub = 0L
     var wi = 0
     while (wi < words.length) {
       if (wi > 0) sb.append(' ')
-      encodeWord(words(wi), table, sb)
+      nSub += encodeWord(words(wi), table, sb)
       wi += 1
     }
-    UTF8String.fromString(sb.toString)
+    new GenericInternalRow(Array[Any](UTF8String.fromString(sb.toString), nSub))
   }
 
+  /** Appends the encoded word; returns its subword count. */
   private def encodeWord(w: String, table: Array[Array[String]],
-      sb: java.lang.StringBuilder): Unit = {
+      sb: java.lang.StringBuilder): Int = {
     // symbols start as code points (DuckDB substr/length are
     // character-semantics; surrogate pairs must stay whole)
     val syms = new java.util.ArrayList[String](w.length)
@@ -123,10 +134,12 @@ object BpeEncode {
       sb.append(syms.get(k))
       k += 1
     }
+    syms.size
   }
 
   /** Direct helper for specs/driver-side replay. */
   def encodeOf(text: String, merges: Seq[(String, String)]): String =
     compute(UTF8String.fromString(text),
-      merges.map(m => Array(m._1, m._2)).toArray).toString
+      merges.map(m => Array(m._1, m._2)).toArray)
+      .getUTF8String(0).toString
 }

@@ -366,14 +366,17 @@ object LlmText {
     // driver collect (model-sized, the langProfile/IVF-centroid
     // pattern) broadcast into the generated code; the encode itself is
     // one narrow pass over the corpus — zero shuffles before the
-    // terminal sort at any scale. n_subwords is derived from the
-    // encoded string ('.' joins subwords within a word, so subwords =
-    // dots + nonempty words) — the same arithmetic the oracle runs on
-    // its symbol lists.
+    // terminal sort at any scale. The learned pairs split on the
+    // first CODE POINT (offsetByCodePoints, not substring(0,1)): a
+    // pair starting with a supplementary character must not shear
+    // into a lone surrogate the code-point symbols can never match.
     "text_bpe_encode" -> ((s, d) => {
       val docs = T.documents(s, d)
       val merges = bpeMergeTable(docs).orderBy("rank").collect()
-        .map(_.getString(1)).map(p => s"${p.substring(0, 1)} ${p.substring(1)}")
+        .map(_.getString(1)).map { p =>
+          val k = p.offsetByCodePoints(0, 1)
+          s"${p.substring(0, k)} ${p.substring(k)}"
+        }
       bpeEncode(docs, merges.toSeq).orderBy("doc_id")
     })
   )
@@ -412,17 +415,17 @@ object LlmText {
     graft.functions.VectorExpressions.register(docs.sparkSession)
     // T.spread: the single-file fixture scan is one input partition;
     // fan out before the per-row merge loop (the portableBandPostings
-    // shape — a bucketed production table wouldn't need it)
-    val enc = T.spread(docs).select(col("doc_id"),
-      coalesce(col("text"), lit("")).as("text"))
-      .withColumn("encoded",
-        call_function("graft_bpe", col("text"), lit(merges.toArray)))
-    enc.select(col("doc_id"),
-        (length(col("encoded"))
-          - length(expr("replace(encoded, '.', '')"))
-          + size(filter(split(col("text"), " ", -1), w => w =!= ""))
-          ).cast("long").as("n_subwords"),
-        col("encoded"))
+    // shape — a bucketed production table wouldn't need it).
+    // n_subwords comes out of the expression's struct — counted from
+    // the symbol lists in the same pass, never reverse-engineered
+    // from the '.'-joined string (input text containing '.' would
+    // over-count there).
+    T.spread(docs).select(col("doc_id"),
+        call_function("graft_bpe",
+          coalesce(col("text"), lit("")), lit(merges.toArray)).as("r"))
+      .select(col("doc_id"),
+        col("r").getField("n_subwords").as("n_subwords"),
+        col("r").getField("encoded").as("encoded"))
   }
 
   val oracle: Map[String, String] = Map(

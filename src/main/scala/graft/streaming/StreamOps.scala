@@ -236,9 +236,13 @@ object StreamOps {
   final class BandOwnerProcessor(retentionMs: Long)
       extends StatefulProcessor[String, (String, Int, Long, Long), BandHit] {
     @transient private var owner: ValueState[Long] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    @transient private var lastMs: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       owner = getHandle.getValueState[Long]("owner",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      lastMs = getHandle.getValueState[Long]("last",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
     override def handleInputRows(key: String,
         rows: Iterator[(String, Int, Long, Long)],
         timerValues: TimerValues): Iterator[BandHit] = {
@@ -255,15 +259,25 @@ object StreamOps {
         BandHit(r._3, r._2, r._3 != own)
       }
       if (retentionMs > 0) {
+        // Re-arm MONOTONICALLY (the SessionFinalizeProcessor pattern):
+        // the timer keys off the across-batch MAX posting time, kept
+        // in state — a later batch carrying only late-but-in-watermark
+        // postings must never pull the timer EARLIER, or the owner
+        // would evict before `last posting + retention` and re-admit
+        // a near-copy the contract says is still retained.
+        val last = math.max(maxTs,
+          if (lastMs.exists()) lastMs.get() else Long.MinValue)
+        lastMs.update(last)
         getHandle.listTimers().foreach(t =>
           getHandle.deleteTimer(t.asInstanceOf[Long]))
-        getHandle.registerTimer(maxTs + retentionMs)
+        getHandle.registerTimer(last + retentionMs)
       }
       out.iterator
     }
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[BandHit] = {
       owner.clear()
+      lastMs.clear()
       Iterator.empty
     }
   }

@@ -145,23 +145,51 @@ class VectorExprSpec extends SparkSpec {
     val merges = Seq("t h", "h e", "a a", "aa a")
     val texts = Seq("the ththe aaaaa", "a  het", "xyz theaaa", "")
     val expect = Seq("th.e th.th.e aa.aaa", "a  he.t", "x.y.z th.e.aaa", "")
+    val nSub = Seq(7L, 3L, 6L, 0L)
     val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
       .select(col("doc_id"),
-        call_function("graft_bpe", col("text"), lit(merges.toArray)).as("e"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        call_function("graft_bpe", col("text"), lit(merges.toArray)).as("r"))
+      .select(col("doc_id"), col("r.encoded"), col("r.n_subwords"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
     texts.indices.foreach(i =>
-      assert(got(i.toLong) == expect(i), s"'${texts(i)}': ${got(i.toLong)}"))
+      assert(got(i.toLong) == ((expect(i), nSub(i))),
+        s"'${texts(i)}': ${got(i.toLong)}"))
     // driver-side helper agrees
     assert(graft.functions.BpeEncode.encodeOf("the aaaaa",
       Seq(("t", "h"), ("h", "e"), ("a", "a"), ("aa", "a"))) ==
       "th.e aa.aaa")
     // no merges -> every code point its own subword
     assert(graft.functions.BpeEncode.encodeOf("dog", Seq.empty) == "d.o.g")
-    // stays inside whole-stage codegen over a parquet scan
-    val plan = T.documents(spark, sf)
-      .select(call_function("graft_bpe", col("text"), lit(Array("t h"))))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("*(1) Project [graft_bpe"), plan)
+    // n_subwords counts symbols, not separator chars: input text
+    // containing '.' must not inflate it ('a.b' -> 3 subwords whose
+    // join 'a...b' has 3 dots)
+    assert(graft.functions.BpeEncode.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a.b"),
+      Array.empty).getLong(1) == 3L)
+    // stays inside whole-stage codegen over a parquet scan — and the
+    // generated code must actually COMPILE: fallback=false makes a
+    // janino failure throw instead of silently dropping the stage to
+    // interpreted eval (the r11 addReferenceObj getName bug, which
+    // the plan-string assertion alone cannot catch)
+    val prevFb = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = T.documents(spark, sf)
+        .select(call_function("graft_bpe", col("text"),
+          lit(Array("t h"))).as("r"))
+      assert(df.queryExecution.executedPlan.toString
+        .contains("*(1) Project [graft_bpe"), df.queryExecution.toString)
+      // force the expression through the compiled stage: a bare
+      // count() would let the optimizer PRUNE the graft_bpe
+      // projection (the noop-sink lesson) and compile a stage that
+      // never contains it — vacuously green
+      assert(df.select(sum(length(col("r.encoded")))).collect()
+        .head.getLong(0) > 0)
+    } finally prevFb match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
   }
 }
