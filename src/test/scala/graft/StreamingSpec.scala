@@ -304,6 +304,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_neardup: a late in-watermark posting must not pull the eviction timer earlier") {
+    // The timer is armed at across-batch MAX posting time + retention
+    // (persisted, the SessionFinalizeProcessor pattern). A batch
+    // carrying only LATE-but-in-watermark postings for a bucket must
+    // re-arm from that persisted max — re-arming from the batch's own
+    // (earlier) timestamps would evict the owner before
+    // last-posting + retention and re-admit a near-copy early.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val docs = in.toDF().toDF("doc_id", "text", "ts")
+        .withWatermark("ts", "2 hours") // late postings stay in-watermark
+      val posts = graft.llm.LlmDedup
+        .portableBandPostings(docs, carry = Seq("ts"))
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      val hits = StreamOps.nearDupPostingHits(posts,
+        retentionMs = 60 * 60 * 1000L) // retention 1 h
+      val q = hits.writeStream.format("memory").queryName("nd_late_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val text = "alpha beta gamma delta epsilon zeta"
+        // Owner claims at 10:00 -> timer must sit at 11:00.
+        in.addData((1L, text, ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        // A LATE posting at 9:10 (in-watermark: wm is far behind).
+        // Buggy re-arm-from-batch would move the timer to 10:10.
+        in.addData((2L, text, ts("2024-01-01 09:10:00")))
+        q.processAllAvailable()
+        // Unrelated traffic at 12:30 -> watermark 10:30: past the
+        // buggy 10:10 timer, before the correct 11:00 one.
+        in.addData((3L, "one two three four five six", ts("2024-01-01 12:30:00")))
+        q.processAllAvailable()
+        // Same content again: the owner must STILL hold its buckets.
+        in.addData((4L, text, ts("2024-01-01 12:35:00")))
+        q.processAllAvailable()
+        def hitsOf(id: Long): Seq[Boolean] = spark.table("nd_late_sink")
+          .filter(col("doc_id") === id).collect().map(_.getBoolean(2)).toSeq
+        assert(hitsOf(2L).nonEmpty && hitsOf(2L).forall(identity),
+          s"late near-copy must still hit: ${hitsOf(2L)}")
+        assert(hitsOf(4L).nonEmpty && hitsOf(4L).forall(identity),
+          s"owner evicted early — late posting pulled the timer back: ${hitsOf(4L)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream_neardup: claimed band owners survive a query RESTART from checkpoint") {
     // The state-store recovery contract (the streamToParquet
     // restart test's twin for TWS state): owners claimed before a
