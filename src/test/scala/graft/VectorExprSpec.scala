@@ -135,6 +135,39 @@ class VectorExprSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_nfc"), plan)
   }
 
+  test("every native expression's generated stage COMPILES (fallback=false)") {
+    // The r11 graft_bpe lesson, applied to the whole family: a janino
+    // failure silently drops the stage to interpreted eval, plan
+    // strings still advertise codegen, and local-relation tests fold
+    // to pre-evaluated LocalTableScans — so only a forced evaluation
+    // over a real scan with fallback=false actually proves the
+    // generated code compiles.
+    VectorExpressions.register(spark)
+    val prevFb = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = T.documents(spark, sf)
+      val n = docs
+        .select(
+          call_function("graft_shingles", col("text"), lit(3)).as("sh"),
+          call_function("graft_nfc", col("text")).as("nf"))
+        .select(
+          call_function("graft_minhash", col("sh"), lit(16)).as("mh"),
+          length(col("nf")).as("ln"))
+        .filter(size(col("mh")) === 16 && col("ln") >= 0)
+        .count()
+      assert(n > 0)
+      val embs = T.embeddings(spark, sf)
+      val d = embs.select(call_function("graft_dot",
+          col("embedding"), col("embedding")).as("d"))
+        .agg(sum(col("d"))).collect().head.getDouble(0)
+      assert(d > 0)
+    } finally prevFb match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("graft_bpe: sequential lowest-rank/leftmost merges, codegen'd") {
     VectorExpressions.register(spark)
     // (t,h) < (h,e): "the" merges t+h first, so (h,e) never applies;
