@@ -483,8 +483,12 @@ object LlmText {
     // applicable adjacent pair, leftmost first, exactly the
     // expression's loop. `[rank, pos]` candidate lists sort
     // lexicographically, so list_sort(...)[1] IS the (rank, leftmost)
-    // argmin; '|'-keyed pair lookup is unambiguous because corpus
-    // symbols never contain '|'. A word's final state is its
+    // argmin; '|'-keyed pair lookup is unambiguous because THIS key's
+    // merge symbols are single corpus chars ([a-z]) — the general
+    // multi-char API (where a '|' inside a symbol could alias keys)
+    // is pinned componentwise by the PropertySpec fold instead, the
+    // same key-config-vs-API split as every fixture-shaped oracle
+    // here. A word's final state is its
     // max-step row (QUALIFY). coalesce around array_to_string: the
     // empty word's empty symbol list must contribute '' to the
     // string_agg, not vanish (split keeps empties on both engines).
