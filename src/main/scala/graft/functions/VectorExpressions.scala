@@ -72,6 +72,7 @@ object VectorExpressions {
   private val shIdent = FunctionIdentifier("graft_shingles")
   private val nfcIdent = FunctionIdentifier("graft_nfc")
   private val bpeIdent = FunctionIdentifier("graft_bpe")
+  private val mh48Ident = FunctionIdentifier("graft_minhash48")
 
   /** Register once per session; safe to call repeatedly. */
   def register(spark: SparkSession): Unit = {
@@ -98,6 +99,11 @@ object VectorExpressions {
       new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe"),
       (children: Seq[Expression]) => BpeEncode(children.head,
         stringArrayLiteral("graft_bpe", children(1))))
+    spark.sessionState.functionRegistry.registerFunction(
+      mh48Ident,
+      new ExpressionInfo(classOf[Minhash48].getName, "graft_minhash48"),
+      (children: Seq[Expression]) => Minhash48(children.head,
+        intLiteral("graft_minhash48", children(1))))
   }
 
   /** Second arguments of the custom functions must be integral literals

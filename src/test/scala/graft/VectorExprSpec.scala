@@ -153,8 +153,10 @@ class VectorExprSpec extends SparkSpec {
           call_function("graft_nfc", col("text")).as("nf"))
         .select(
           call_function("graft_minhash", col("sh"), lit(16)).as("mh"),
+          call_function("graft_minhash48", col("sh"), lit(16)).as("mh48"),
           length(col("nf")).as("ln"))
-        .filter(size(col("mh")) === 16 && col("ln") >= 0)
+        .filter(size(col("mh")) === 16 && size(col("mh48")) === 16 &&
+          col("ln") >= 0)
         .count()
       assert(n > 0)
       val embs = T.embeddings(spark, sf)
@@ -166,6 +168,43 @@ class VectorExprSpec extends SparkSpec {
       case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
       case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
+  }
+
+  test("graft_minhash48 ≡ the interpreted md5-prefix column-math, bit for bit") {
+    // The portable battery MUST stay bit-identical to the
+    // conv(substring(md5(s),1,12),16,10) + affine array_min
+    // formulation it replaced — that math is what stream_neardup's
+    // DuckDB oracle replays, so any divergence here is a silent
+    // cross-engine break the hash compare would catch a round later.
+    VectorExpressions.register(spark)
+    val mask = lit((1L << 48) - 1)
+    val docs = T.documents(spark, sf).limit(50)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("sh", call_function("graft_shingles", col("text"), lit(3)))
+    val legacyCols = (0 until 16).map { i =>
+      array_min(transform(
+        transform(col("sh"), s =>
+          conv(substring(md5(s), 1, 12), 16, 10).cast("long")),
+        u => (u * lit(2L * i + 3) + lit(1000003L * i)).bitwiseAND(mask)))
+        .as(s"m$i")
+    }
+    val rows = docs.select(
+      (col("doc_id") +:
+        call_function("graft_minhash48", col("sh"), lit(16)).as("mh") +:
+        legacyCols): _*)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val native = r.getSeq[Long](1)
+      val legacy = (0 until 16).map(i => r.getLong(2 + i))
+      assert(native == legacy, s"doc ${r.getLong(0)}: $native vs $legacy")
+    }
+    // driver-side helper agrees with a hand value: md5("a b c") prefix
+    assert(graft.functions.Minhash48.signatureOf(Seq("a b c"), 1) ==
+      Seq(java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest("a b c".getBytes("UTF-8")).take(6)
+          .map(b => f"$b%02x").mkString, 16) * 3 & ((1L << 48) - 1)))
   }
 
   test("graft_bpe: sequential lowest-rank/leftmost merges, codegen'd") {
