@@ -14,11 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * 12), 16, 10)`), then k affine rows `(u48·(2i+3) + 1000003·i) &
   * (2⁴⁸−1)` with the per-row minimum over the shingle set.
   *
-  * Why it exists next to [[MinhashSig]]: the xxhash64 battery is the
-  * FAST default for engine-internal sketches (dedup_minhash and
-  * friends — no DuckDB equivalent, hence no-oracle), while this one is
-  * the ORACLED family: every step is exact integer math both engines
-  * reproduce (products < 2⁶², §2.12). Before r11 the portable math ran
+  * Why it exists next to [[MinhashSig]]: xxhash64 (MinhashSig's base)
+  * has no DuckDB equivalent, so anything built on it is no-oracle;
+  * this battery is the ORACLED family — every step exact integer math
+  * both engines reproduce (products < 2⁶², §2.12) — and since r12 it
+  * is the battery behind `dedup_minhash`/`corpus_curate` too (MinhashSig
+  * stays registered as the max-throughput engine-internal alternative
+  * for callers that never need a cross-engine replay). Before r11 the
+  * portable math ran
   * as one interpreted `transform` building the u48 array plus 16
   * interpreted `array_min(transform(...))` passes per doc — per-
   * element lambda dispatch outside WholeStageCodegen, in the posting
