@@ -345,21 +345,21 @@ object CorpusPipeline {
       .drop("__scrubbed")
 
   /** Driver-facing keys for the composed pipeline and its sampling/
-    * packing stages (no oracle — all three hinge on xxhash64, which
-    * has no DuckDB equivalent, same status as dedup_minhash; ScalaTest
-    * covers curation semantics, determinism, mix, and packing
-    * invariants). Registering them makes the pipeline visible to the
-    * driver's rows/bench gates instead of being API-only.
+    * packing stages. Registering them makes the pipeline visible to
+    * the driver's rows/bench gates instead of being API-only.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The composed curation pipeline end-to-end — quality gate → exact
     // dedup → minhash near-dup component drop → accounting — as a
     // driver-facing key, not just an API: the composition is the
     // product story and should be rows/bench-gated like its parts.
-    // No oracle: minhashPairs' xxhash64 signatures have no DuckDB
-    // equivalent (same status as dedup_minhash); PipelineSpec covers
-    // the stage semantics and the DeterminismSpec/PlanSpec sweeps
-    // cover stability and join shape.
+    // Oracled since r12 (possible once minhashPairs moved to the
+    // portable md5 battery): the DuckDB replay composes the
+    // text_quality score, the exact-dedup window, the
+    // dedup_minhash banding+Jaccard CTEs over the exact-dedup slice,
+    // and dedup_cluster's recursive-CTE components. PipelineSpec
+    // still covers the stage semantics; DeterminismSpec/PlanSpec
+    // sweep stability and join shape.
     "corpus_curate" -> ((s, d) =>
       curate(graft.T.documents(s, d), minQuality = 1.0,
           nearDupJaccard = 0.35)
@@ -576,6 +576,52 @@ object CorpusPipeline {
   }
 
   val oracle: Map[String, String] = Map(
+    // The full curation pipeline, stage by stage (r12): quality =
+    // text_quality's rounded expression (the ln is fenced by round —
+    // the same rounded values the text_quality oracle already
+    // hash-matches); exact dedup = dedup_exact's ranked window over
+    // the gated slice; near-dup pairs = dedup_minhash's portable
+    // banding + Jaccard CTEs rebuilt over the exact-dedup survivors
+    // (`ex` — LlmDedup.duckNgramCtes is relation-parameterized for
+    // exactly this); components = dedup_cluster's recursive min-label
+    // closure with `ex` as the singleton base; keep = component
+    // representative (cluster = own id).
+    "corpus_curate" ->
+      s"""WITH RECURSIVE q0 AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, text,
+        |    round(ln(len(toks) + 1)
+        |      * (1 - len(list_filter(toks, s -> s IN
+        |          ('the', 'a', 'of', 'and', 'to', 'in')))::DOUBLE / len(toks))
+        |      * (len(list_distinct(toks))::DOUBLE / len(toks)), 4) AS quality
+        |  FROM q0),
+        |ex AS (
+        |  SELECT doc_id, lang, text, quality FROM (
+        |    SELECT *, row_number() OVER (
+        |        PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        |    FROM q WHERE quality >= 1.0)
+        |  WHERE rn = 1),
+        |${LlmDedup.duckNgramCtes("ex")},
+        |${LlmDedup.duckMinhashCandCtes},
+        |pairs AS (
+        |  SELECT j.d1, j.d2 FROM jac j
+        |  JOIN cand c ON j.d1 = c.d1 AND j.d2 = c.d2
+        |  WHERE j.j >= 0.35),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM ex
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, min(dst) AS cluster
+        |         FROM reach GROUP BY src)
+        |SELECT e.doc_id AS doc_id, e.lang AS lang, e.quality AS quality,
+        |       len(string_split(e.text, ' ')) AS n_tokens
+        |FROM ex e JOIN comp c ON e.doc_id = c.doc_id
+        |WHERE c.cluster = e.doc_id
+        |ORDER BY e.doc_id""".stripMargin,
     // Identical ranked-argmax for the dominant lang; sums cast off
     // HUGEINT; quantile_cont = Spark's exact percentile (agg_outlier
     // precedent).
