@@ -121,21 +121,38 @@ object CorpusPipeline {
 
   /** Deterministic stratified sample — training-mix weights per
     * stratum (e.g. per language). Content-hash Bernoulli: a row is
-    * kept iff hash(id, seed) mod 1e6 falls under its stratum's
-    * fraction, so its fate depends only on its own values — same seed
-    * → same sample on ANY partitioning or cluster size. (Spark's
-    * `df.stat.sampleBy` does NOT have this property: it seeds an RNG
-    * per partition, so the sample changes with the partitioning —
-    * measured, not assumed.) Strata absent from `fractions` drop.
+    * kept iff its 60-bit md5 prefix falls under its stratum's
+    * fraction threshold, so its fate depends only on its own values —
+    * same seed → same sample on ANY partitioning or cluster size.
+    * (Spark's `df.stat.sampleBy` does NOT have this property: it
+    * seeds an RNG per partition, so the sample changes with the
+    * partitioning — measured, not assumed.) Strata absent from
+    * `fractions` drop.
+    *
+    * The draw is the [[corpusMix]]/[[trainValTestSplit]] hex-compare
+    * contract (r12 — previously `xxhash64 mod 1e6`, which no DuckDB
+    * oracle could replay): fractions quantize to PPM (round(v·10⁶) —
+    * the documented resolution of a sampling RATE; callers wanting
+    * finer than one-in-a-million control are sizing, not sampling),
+    * then threshold = ppm·2⁶⁰/10⁶ in exact BigInt, zero-padded to 16
+    * hex chars so the lexicographic compare IS the numeric compare —
+    * rate 1.0 is the `'1' + 15×'0'` sentinel above every 60-bit draw.
+    * Pure per-row column math: no join, no shuffle, no driver state
+    * beyond the compiled when-chain.
     */
   def stratifiedSample(docs: DataFrame, stratumCol: String, idCol: String,
       fractions: Map[String, Double], seed: Long): DataFrame = {
-    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
-      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    require(fractions.values.forall(v => v >= 0.0 && v <= 1.0),
+      s"fractions must be in [0, 1]: $fractions")
+    val two60 = BigInt(1) << 60
+    val th = fractions.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, v)) =>
+        val ppm = BigInt(math.round(v * 1e6))
+        when(col(stratumCol) === k,
+          lit(f"${(ppm * two60 / 1000000).toLong}%016x")).otherwise(acc)
     }
-    docs.filter(
-      pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double")
-        / 1000000.0 < frac)
+    docs.filter(concat(lit("0"),
+      substring(md5(concat_ws(":", col(idCol), lit(seed))), 1, 15)) < th)
   }
 
   /** Target-proportion training-mix rebalance — the static data-mixing
@@ -370,6 +387,8 @@ object CorpusPipeline {
     // Training-mix downsample: en halved, zh kept, the rest thinned —
     // arbitrary but fixed weights; same seed → same sample on any
     // partitioning (DeterminismSpec sweeps this key like every other).
+    // Oracled since r12: the md5 hex-threshold draw replays
+    // bit-for-bit (previously xxhash64 — no DuckDB equivalent).
     "sample_stratified" -> ((s, d) =>
       stratifiedSample(graft.T.documents(s, d), "lang", "doc_id",
           Map("en" -> 0.5, "de" -> 0.8, "es" -> 0.8, "fr" -> 0.8,
@@ -650,6 +669,23 @@ object CorpusPipeline {
         |       n_langs, top_lang, en_share
         |FROM base b JOIN dom USING (source)
         |ORDER BY b.source""".stripMargin,
+
+    // Same ppm→threshold integer derivation in HUGEINT (exact,
+    // mirrors the driver-side BigInt), same 16-char zero-padded hex
+    // compare; the VALUES carry the ppm quantization of the key's
+    // fractions (0.5/0.8/1.0 → 500000/800000/1000000).
+    "sample_stratified" ->
+      """WITH fr AS (SELECT * FROM (VALUES ('en', 500000), ('de', 800000),
+        |                ('es', 800000), ('fr', 800000), ('zh', 1000000))
+        |              AS t(lang, ppm)),
+        |th AS (SELECT lang,
+        |  printf('%016x', CAST(CAST(ppm AS HUGEINT)
+        |    * 1152921504606846976 // 1000000 AS BIGINT)) AS thresh
+        |  FROM fr)
+        |SELECT doc_id, lang, n_chars FROM documents d JOIN th USING (lang)
+        |WHERE '0' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)
+        |      < thresh
+        |ORDER BY doc_id""".stripMargin,
 
     // Same integer threshold derivation in HUGEINT (exact, mirrors the
     // driver-side BigInt), same 16-char zero-padded hex compare.
