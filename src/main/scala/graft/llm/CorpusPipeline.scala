@@ -285,6 +285,14 @@ object CorpusPipeline {
     * standard pack-then-truncate tradeoff; exact capacity packing is
     * inherently sequential and doesn't distribute.
     *
+    * The shard hash is the 48-bit md5 prefix mod `nShards` (r12 —
+    * previously xxhash64, which no DuckDB oracle can replay; the
+    * [[ppsSample]] u48 parse): shard assignment is the ONLY hash in
+    * the operator, so portability here makes the whole packing
+    * replayable row-for-row. Any uniform hash works equally well for
+    * load balance; md5's extra ns/doc is noise next to the window
+    * shuffle.
+    *
     * Output: one row per packed sequence — (seq_id, doc_ids sorted,
     * n_docs, n_tokens).
     */
@@ -294,7 +302,9 @@ object CorpusPipeline {
     docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(nShards)))
+      .withColumn("shard", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)" +
+          s" AS BIGINT) % $nShards"))
       .withColumn("start", sum(col("n_tok")).over(w) - col("n_tok"))
       .withColumn("bin", (col("start") / maxTokens).cast("long"))
       .groupBy("shard", "bin")
@@ -398,13 +408,13 @@ object CorpusPipeline {
 
     // Fixed-budget sequence packing; doc_ids joined to a string (the
     // ARRAY-free house rule for driver-facing finals, like
-    // agg_collect).
+    // agg_collect). Oracled since r12: the md5-prefix shard hash
+    // replays bit-for-bit (previously xxhash64).
     "pack_sequences" -> ((s, d) =>
       packSequences(graft.T.documents(s, d), maxTokens = 512, nShards = 8)
         .select(col("seq_id"), array_join(col("doc_ids"), ",").as("doc_ids"),
           col("n_docs"), col("n_tokens"))
-        .orderBy("seq_id"))
-,
+        .orderBy("seq_id")),
     // Exact-k uniform sample (r8): order by a content hash, take k —
     // "give me exactly 100 random-but-reproducible docs" (eval slices,
     // spot-check samples, few-shot pools). sample_stratified's
@@ -745,6 +755,29 @@ object CorpusPipeline {
         |WHERE u48 * CAST(max_w AS HUGEINT) * 10
         |      < CAST(n_chars AS HUGEINT) * 1 * 281474976710656
         |ORDER BY doc_id""".stripMargin,
+    // Same 48-bit md5-prefix shard, same per-shard doc_id-ordered
+    // cumulative-token window (ROWS ≡ Spark's RANGE default — doc_id
+    // is unique), same start//maxTokens binning (start ≥ 0, so
+    // truncation = floor on both engines), ordered string_agg for the
+    // sorted id list.
+    "pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 8
+        |      AS shard
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, n_tok, shard,
+        |         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) - n_tok AS start
+        |  FROM d)
+        |SELECT CAST(shard * 1000000 + (start // 512) AS BIGINT) AS seq_id,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |         AS doc_ids,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM w GROUP BY shard, start // 512 ORDER BY seq_id""".stripMargin,
+
     "sample_uniform_k" ->
       """SELECT doc_id, lang, sample_key FROM (
         |  SELECT doc_id, lang,
