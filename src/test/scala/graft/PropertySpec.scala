@@ -781,6 +781,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs ≡ local bit-vote + banding + Hamming fold for ANY corpus") {
+    // Independent reference for the 48-bit portable simhash chain —
+    // md5-prefix token hash, per-instance ±1 bit votes, sign
+    // fingerprint, 4×12-bit band blocking, Hamming gate — rebuilt
+    // from scratch (MessageDigest + plain Scala folds), NOT by
+    // replaying the operator's column expressions: the DuckDB oracle
+    // replays the algorithm, so a shared algorithmic bug would
+    // hash-match green there; this fold is the independent pin.
+    val vocab = Vector("ai", "be", "cu", "do", "el", "fa", "go", "hi")
+    val docsGen = Gen.nonEmptyListOf(for {
+      n <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" "))
+    def u48(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString, 16)
+    def fp(t: String): Long = {
+      val hs = t.split(" ", -1).toSeq.map(u48)
+      (0 until 48).map { b =>
+        val v = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (v > 0) 1L << b else 0L
+      }.sum
+    }
+    forAllSeeded(docsGen) { texts0 =>
+      // plant an exact copy of the first doc so every sample exercises
+      // the pair path (hamming 0), not just fingerprinting
+      val texts = texts0 :+ texts0.head
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val maxH = 3
+      val got = graft.llm.LlmDedup.simhashPairs(rows.toDF("doc_id", "text"), maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val fps = rows.map { case (id, t) => id -> fp(t) }
+      val want = (for {
+        (a, fa) <- fps; (b, fb) <- fps if a < b
+        shareBand = (0 until 4).exists(k =>
+          ((fa >> (12 * k)) & 0xFFFL) == ((fb >> (12 * k)) & 0xFFFL))
+        h = java.lang.Long.bitCount(fa ^ fb)
+        if shareBand && h <= maxH
+      } yield (a, b, h)).toSet
+      assert(got == want, s"got ${got.take(8)}, want ${want.take(8)}")
+    }
+  }
+
   test("bpeEncode ≡ local sequential fold for ANY corpus and merge table") {
     // Independent reference for text_bpe_encode's graft_bpe expression
     // — a plain-Scala mutable-buffer fold of the same contract
