@@ -46,7 +46,7 @@ class FacadeSpec extends SparkSpec {
     assert(Graft.ngramPairs(docs, 0.5, None).count() == 1)
   }
 
-  test("surface counts: 175 keys / 166 oracled — bump HERE plus README/SURVEY/Graft") {
+  test("surface counts: 175 keys / 171 oracled — bump HERE plus README/SURVEY/Graft") {
     // The tracked counts went stale three rounds running (r10 verdict
     // directive #5): this assertion is the single source of truth. A
     // new key fails it on purpose — update the expected counts here
@@ -56,7 +56,7 @@ class FacadeSpec extends SparkSpec {
     //   Graft.scala         ("the N `SparkEntry.queries` keys")
     assert(SparkEntry.queries.size == 175,
       s"queries.size = ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 166,
+    assert(SparkEntry.oracleSql.size == 171,
       s"oracleSql.size = ${SparkEntry.oracleSql.size}")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
