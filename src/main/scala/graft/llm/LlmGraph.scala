@@ -416,30 +416,135 @@ object LlmGraph {
     // stage at scale is the per-order self-join building co-occurrence
     // counts, which is Σ C(basket, 2) rows — basket-bounded, never
     // catalog².
-    "graph_triangles" -> ((s, d) => {
-      // Basket pair generation WITHOUT a self-join: one groupBy(order)
-      // with a map-side-combining collect_set (the distinct is free —
-      // a set IS distinct), then the C(k,2) pairs spill out of a
-      // narrow index-lambda transform over the sorted basket (u < v by
-      // construction). One 600k-row shuffle replaces the
-      // distinct+self-join's two, and the only other exchange is the
-      // pair-count groupBy — measured 2.0 s → ~1.2 s at sf0.1.
-      val e = T.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), " +
-            "y -> struct(x AS u, y AS v))))")).as("pr"))
-        .select(col("pr.u").as("u"), col("pr.v").as("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select("u", "v")
-      triangleCounts(e)
+    "graph_triangles" -> ((s, d) =>
+      triangleCounts(supportEdges(s, d))
         .withColumnRenamed("node", "part_id")
+        .orderBy("part_id")),
+
+    // Community detection (r12) over the same support-≥2 market-basket
+    // co-occurrence graph as graph_triangles — the next motif up from
+    // triangles: WHICH parts cluster together, not just how tightly.
+    // In a corpus pipeline this is the topical-clustering pass (group
+    // pages/domains by link or co-occurrence structure before
+    // per-community mix decisions); here parts play documents and
+    // shared orders play links. Fixed-round synchronous label
+    // propagation — deterministic by construction (see
+    // [[labelPropagation]]), so the whole run is oracle-able as
+    // unrolled SQL rounds, unlike the converge-until-stable LPA whose
+    // round count is data-dependent.
+    "graph_communities" -> ((s, d) => {
+      // Checkpoint the PAIR LIST before mirroring it into both edge
+      // directions (the connectedComponents lesson): the union embeds
+      // the whole basket-build subtree once per direction otherwise,
+      // and the lazy checkpoint inside labelPropagation would then
+      // EXECUTE the 600k-pair build twice (measured: two ~0.5-0.7 s
+      // jobs where one suffices).
+      val e = supportEdges(s, d).localCheckpoint(false)
+      val edges = e.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+      val lab = labelPropagation(edges, rounds = 3)
+      // community size as a window over the final labels, NOT a
+      // groupBy+self-join: lab is an unmaterialized 3-round subtree,
+      // and feeding it to both join sides would execute the whole
+      // propagation twice (the ngramPairs re-evaluation lesson).
+      lab
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("label")))
+        .select(col("node").as("part_id"), col("label").as("community"),
+          col("n_members"))
         .orderBy("part_id")
     })
   )
+
+  /** Support-≥2 part co-occurrence edges over `lineitem` — parts are
+    * adjacent when they ship in the same order at least twice (the
+    * standard basket-mining floor that drops single-co-occurrence
+    * noise: 1.2M raw pairs → ~3.5k edges at sf0.1). Returns (u, v)
+    * with u < v, deduplicated. Shared by `graph_triangles` and
+    * `graph_communities`.
+    *
+    * Basket pair generation WITHOUT a self-join: one groupBy(order)
+    * with a map-side-combining collect_set (the distinct is free — a
+    * set IS distinct), then the C(k,2) pairs spill out of a narrow
+    * index-lambda transform over the sorted basket (u < v by
+    * construction). One 600k-row shuffle replaces the
+    * distinct+self-join's two, and the only other exchange is the
+    * pair-count groupBy — measured 2.0 s → ~1.2 s at sf0.1. At scale
+    * the pair volume is Σ C(basket, 2) — basket-bounded, never
+    * catalog².
+    */
+  private def supportEdges(s: SparkSession, d: String): DataFrame =
+    // T.spread between the basket agg and the pair explode: AQE
+    // coalesces the basket exchange to a handful of partitions (the
+    // map output is small — compressed arrays), but the next stage
+    // EXPLODES it ~600k pairs and carries the pair-count map side —
+    // profiled at 0.71 s on 4 tasks where 32 take ~0.1 s. The classic
+    // AQE underestimate in front of an explosive operator; the extra
+    // basket-sized exchange is noise next to the explode stage it
+    // parallelizes.
+    T.spread(T.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps")))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS u, y AS v))))")).as("pr"))
+      .select(col("pr.u").as("u"), col("pr.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("u", "v")
+
+  /** Fixed-round SYNCHRONOUS label propagation over directed
+    * `edges(src, dst)` (pass both directions for an undirected
+    * graph): every node starts as its own label; each round, every
+    * node adopts the most frequent label among its NEIGHBORS, ties
+    * broken toward the smallest label. Returns (node, label) for
+    * every edge endpoint after `rounds` rounds — callers restore
+    * isolated nodes as singletons if they carry them (the
+    * [[LlmDedup.connectedComponents]] left-join pattern).
+    *
+    * Deterministic on purpose, in every place classic LPA is not:
+    * synchronous updates (no visit order), a total tie order
+    * (count desc, label asc), and a FIXED round count rather than
+    * convergence (sync LPA can oscillate between two labelings
+    * forever on bipartite-ish regions — a convergence loop would
+    * hang there, and "stable" labelings differ run to run in the
+    * asynchronous variant). Three rounds propagate labels three hops
+    * — the community scale of a basket graph; this is the standard
+    * "run N rounds of LPA" recipe, not an approximation of some
+    * canonical answer.
+    *
+    * Scale shape: each round is one edge-sized equi-join + one
+    * (node, label)-sized count + one per-node argmax window over ≤
+    * deg(node) counted rows — all shuffle-bounded, no driver state.
+    * The edge frame feeds every round, so it is checkpointed ONCE
+    * (lazy — materializes inside round 1's shuffle); round count is
+    * a compile-time constant so the plan is `rounds` joins deep, no
+    * fixpoint probing needed (the componentsWithRounds loop
+    * machinery exists for DATA-DEPENDENT round counts; a fixed small
+    * count composes cheaper as one plan).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    var labels: DataFrame = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      // argmax as max_by over the (cnt, -label) pair — highest count,
+      // ties to the LOWEST label via the negation — instead of a
+      // ranked window: same total order, but an aggregate combines
+      // map-side and skips the window's per-partition sort (3 sorts
+      // across the unrolled rounds).
+      labels = e
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max_by(col("label"),
+          struct(col("cnt"), (-col("label")).as("nl"))).as("label"))
+    }
+    labels
+  }
 
   /** Per-node triangle participation counts over UNDIRECTED edges
     * `(u, v)` with `u < v`, no duplicates. Returns (node,
@@ -580,6 +685,44 @@ object LlmGraph {
         |  SELECT a AS part_id FROM tri
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri)
-        |GROUP BY part_id ORDER BY part_id""".stripMargin
+        |GROUP BY part_id ORDER BY part_id""".stripMargin,
+
+    // Same support-≥2 edge construction as graph_triangles, then the
+    // three LPA rounds UNROLLED as CTE pairs (votes vN → labels lN):
+    // the round count is a fixed constant, so no recursion is needed
+    // and each round is a plain join + count + ranked argmax with the
+    // identical (count desc, label asc) tie order. All-integer math.
+    "graph_communities" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ed AS (SELECT u AS src, v AS dst FROM e
+        |       UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+        |v1 AS (SELECT ed.src AS node, l.label, count(*) AS cnt
+        |       FROM ed JOIN l0 l ON ed.dst = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (
+        |           PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        |         FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT ed.src AS node, l.label, count(*) AS cnt
+        |       FROM ed JOIN l1 l ON ed.dst = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (
+        |           PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        |         FROM v2) WHERE rn = 1),
+        |v3 AS (SELECT ed.src AS node, l.label, count(*) AS cnt
+        |       FROM ed JOIN l2 l ON ed.dst = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (
+        |           PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        |         FROM v3) WHERE rn = 1),
+        |sz AS (SELECT label, count(*) AS n_members FROM l3 GROUP BY label)
+        |SELECT l3.node AS part_id, l3.label AS community, sz.n_members
+        |FROM l3 JOIN sz USING (label)
+        |ORDER BY part_id""".stripMargin
   )
 }

@@ -781,6 +781,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation ≡ local synchronous-rounds fold for ANY graph") {
+    // Independent reference for the fixed-round sync LPA — adjacency
+    // map + R rounds of majority-vote with the (count desc, label asc)
+    // tie order, rebuilt in plain Scala collections (the DuckDB oracle
+    // unrolls the same algorithm as SQL, so it cannot catch a shared
+    // algorithmic bug; this fold can).
+    // a + non-zero offset mod 15: distinct endpoints WITHOUT a Gen
+    // filter (filtered generators exhaust under fixed seeds)
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 14L); d <- Gen.choose(1L, 14L)
+    } yield { val b = (a + d) % 15; (math.min(a, b), math.max(a, b)) })
+      .map(_.distinct)
+    forAllSeeded(edgeGen) { und =>
+      val dirs = und ++ und.map { case (a, b) => (b, a) }
+      val rounds = 3
+      val got = graft.llm.LlmGraph.labelPropagation(
+          dirs.toDF("src", "dst"), rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val adj = dirs.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+      (1 to rounds).foreach { _ =>
+        lab = adj.map { case (n, ns) =>
+          val votes = ns.map(lab).groupBy(identity)
+            .map { case (l, xs) => (l, xs.size) }
+          n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      assert(got == lab, s"got ${got.toSeq.sorted.take(8)}, " +
+        s"want ${lab.toSeq.sorted.take(8)}")
+    }
+  }
+
   test("simhashPairs ≡ local bit-vote + banding + Hamming fold for ANY corpus") {
     // Independent reference for the 48-bit portable simhash chain —
     // md5-prefix token hash, per-instance ±1 bit votes, sign
