@@ -304,6 +304,131 @@ object LlmVector {
       .orderBy("v1", "rank")
   }
 
+  /** Deterministic L2 sub-quantizer codebook for one PQ subspace —
+    * Lloyd over `sub(vec_id, sub)` with the same engine-independent
+    * determinism ladder as [[kMeansOn]], except centroids are MEANS,
+    * not sums: PQ reconstructs vectors from codebook entries, so the
+    * entry's MAGNITUDE matters (a sum-centroid would scale each
+    * subspace by its cell population and wreck the reconstruction;
+    * cosine-only consumers never cared). The mean still dodges the
+    * cross-engine decimal-division trap: the exact DECIMAL(28,10)
+    * component sum casts to DOUBLE and divides by the integer member
+    * count — double division is exactly rounded on both engines, so
+    * the replay stays bit-identical.
+    *
+    * Assignment is argmin of `dot(c,c) − 2·dot(x,c)` (the L2 distance
+    * minus the per-row constant ‖x‖², which cannot change the argmin
+    * and — dropped on BOTH sides — cannot perturb float ties either),
+    * ties to the smaller seed id. Returned centroids are ordered by
+    * seed id; the POSITION in the returned seq is the PQ code.
+    */
+  private[graft] def pqCodebook(sub: DataFrame, nSub: Int,
+      iters: Int): Seq[Seq[Float]] = {
+    graft.functions.VectorExpressions.register(sub.sparkSession)
+    var cents: Seq[(Long, Seq[Float])] = sub.orderBy("vec_id").limit(nSub)
+      .select("vec_id", "sub")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    for (_ <- 1 to iters) {
+      val cand = cents.sortBy(_._1).map { case (cid, ce) =>
+        val cc = ce.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        struct((lit(cc) - lit(2.0) * dot(col("sub"), lit(ce.toArray)))
+          .as("d2"), lit(cid).as("cid"))
+      }
+      val sums = sub.withColumn("mm", array_min(array(cand: _*)))
+        .select(col("mm.cid").as("cid"),
+          posexplode(col("sub")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(28, 10))).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2), r.getLong(3)))
+      cents = sums.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, ps) =>
+        cid -> ps.sortBy(_._2)
+          .map(p => (p._3.doubleValue / p._4).toFloat).toSeq
+      }
+    }
+    cents.sortBy(_._1).map(_._2)
+  }
+
+  /** PQ code (0-based position into `book`) for one subspace — the
+    * same argmin/tiebreak as [[pqCodebook]]'s training assignment
+    * (book position order IS seed-id order, so tie-to-smaller-j ≡
+    * tie-to-smaller-cid). A narrow literal battery like [[assign]]:
+    * no join, no exchange.
+    */
+  private[graft] def pqCode(subCol: Column, book: Seq[Seq[Float]]): Column =
+    array_min(array(book.zipWithIndex.map { case (ce, j) =>
+      val cc = ce.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      struct((lit(cc) - lit(2.0) * dot(subCol, lit(ce.toArray))).as("d2"),
+        lit(j).as("j"))
+    }: _*)).getField("j")
+
+  /** Per-(session, dataset, params) PQ codebooks — cached for the same
+    * reason as [[ivfIndex]]: codebook training is index BUILD, search
+    * is the per-query product (FAISS trains once, serves many).
+    */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[Seq[Seq[Float]]]]()
+
+  private def pqBooks(s: SparkSession, d: String, e: DataFrame, m: Int,
+      nSub: Int, iters: Int): Seq[Seq[Seq[Float]]] = {
+    pqCache.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
+    pqCache.computeIfAbsent((s, s"$d|$m|$nSub|$iters"), _ => {
+      val dim = 64
+      val w = dim / m
+      (0 until m).map { si =>
+        pqCodebook(e.select(col("vec_id"),
+          slice(col("embedding"), si * w + 1, w).as("sub")), nSub, iters)
+      }
+    })
+  }
+
+  /** IVF + product quantization — the canonical billion-scale ANN
+    * memory layout (FAISS IVFPQ): the coarse quantizer bounds WHICH
+    * vectors are candidates (home-cell equi-join, the [[knnIvf]]
+    * economics) and PQ bounds WHAT the scan reads per candidate — a
+    * few bytes of codes instead of the full vector (m sub-codes here;
+    * at 100 TB the decisive difference between an in-memory index and
+    * re-reading the corpus per query). Scoring is asymmetric (ADC):
+    * the QUERY keeps its exact vector, each candidate is replaced by
+    * its reconstruction — codebook entries concatenated by code — and
+    * est_cos = dot(q, recon) / (‖q‖·‖recon‖). Everything after
+    * training is narrow literal-battery column math + the one cell
+    * equi-join; training is [[pqCodebook]]'s deterministic mean-Lloyd
+    * per subspace.
+    */
+  def knnIvfPqSearch(e: DataFrame, cents: Seq[(Long, Seq[Float])],
+      books: Seq[Seq[Seq[Float]]], k: Int): DataFrame = {
+    val m = books.size
+    val w = 64 / m
+    val recon = concat((0 until m).map { si =>
+      val sub = slice(col("embedding"), si * w + 1, w)
+      element_at(array(books(si).map(ce => lit(ce.toArray)): _*),
+        (pqCode(sub, books(si)) + 1).cast("int"))
+    }: _*)
+    // One materialized frame feeds both join sides (the searchIvf
+    // rationale — cold per invocation via Pins.repin); the query side
+    // reads the exact vector columns, the candidate side the
+    // reconstruction.
+    val assigned = graft.Pins.repin("llm.searchIvfPq",
+      assign(e, cents)
+        .withColumn("recon", recon)
+        .withColumn("rnrm", sqrt(dot(col("recon"), col("recon")))))
+    val l = assigned.select(col("cell"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val r = assigned.select(col("cell"), col("vec_id").as("v2"),
+      col("recon").as("r2"), col("rnrm").as("n2"))
+    val wnd = Window.partitionBy("v1").orderBy(desc("est_cos"), asc("v2"))
+    l.join(r, Seq("cell")).filter(col("v1") =!= col("v2"))
+      .withColumn("est_cos",
+        round(dot(col("e1"), col("r2")) / (col("n1") * col("n2")), 6))
+      .withColumn("rank", row_number().over(wnd))
+      .filter(col("rank") <= k)
+      .select("v1", "v2", "est_cos", "rank")
+      .orderBy("v1", "rank")
+  }
+
   /** Near-duplicate vector pairs: shared-bucket candidates, exact
     * cosine verification at `threshold`.
     */
@@ -395,6 +520,19 @@ object LlmVector {
     // via the same sign-LSH candidate path (identical/near-identical
     // vectors share buckets; never all-pairs). Planted-dup recall is
     // asserted in LlmSpec; the oracle replays bucket+threshold in SQL.
+    // IVF-PQ (r12): the FAISS-IVFPQ layout — coarse cells bound the
+    // candidates (shared [[ivfIndex]] quantizer: same dataset, same
+    // build as knn_ivf), 4×16-dim PQ codebooks of 8 mean-centroids
+    // bound the per-candidate bytes; asymmetric (ADC) scoring against
+    // reconstructions. Training is deterministic mean-Lloyd
+    // ([[pqCodebook]]), so the full run — coarse k-means, sub-k-means,
+    // codes, reconstruction, est-cosine ranking — replays in DuckDB.
+    "knn_ivf_pq" -> ((s, d) => {
+      val (e, cents) = ivfIndex(s, d, nCells = 16, iters = 2)
+      knnIvfPqSearch(e, cents,
+        pqBooks(s, d, e, m = 4, nSub = 8, iters = 1), k = 3)
+    }),
+
     "dedup_embed" -> ((s, d) => embedDupPairs(T.embeddings(s, d), 0.95)),
 
     // Multimodal row: text + vector + metadata joined into one frame,
@@ -482,6 +620,46 @@ object LlmVector {
        |    FROM (SELECT cell, i, sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS sx
        |          FROM x_$out GROUP BY cell, i)
        |    GROUP BY cell))""".stripMargin
+  /** One PQ subspace replay (r12): slice `embedding[lo:hi]` → 8
+    * lowest-id seed sub-centroids → one mean-Lloyd step (assign by
+    * `dot(c,c) − 2·dot(x,c)` with ties to the smaller seed id — the
+    * ‖x‖² term is dropped on BOTH engines, see [[pqCodebook]]; means
+    * via the exact-decimal-sum → double-division ladder) → encode
+    * every sub-vector against the trained codebook, emitting its
+    * chosen entry as `recon`. Mirrors [[pqCodebook]]/[[pqCode]] step
+    * for step.
+    */
+  private def duckPq(si: Int, lo: Int, hi: Int) = {
+    val cc = "list_reduce(list_transform(c.ce, x -> x::DOUBLE * x::DOUBLE)" +
+      ", (a,b) -> a+b)"
+    val dxc = duckDotCols("v.sub", "c.ce")
+    s"""s_$si AS (SELECT vec_id, embedding[$lo:$hi] AS sub FROM e),
+       |c0_$si AS (SELECT vec_id AS cid, sub AS ce FROM s_$si
+       |           ORDER BY vec_id LIMIT 8),
+       |aa_$si AS (
+       |  SELECT v.vec_id, v.sub, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ($cc - 2 * $dxc), c.cid) AS crn
+       |  FROM s_$si v CROSS JOIN c0_$si c),
+       |gx_$si AS (SELECT cid, generate_subscripts(sub, 1) AS i,
+       |                  unnest(sub) AS x
+       |           FROM aa_$si WHERE crn = 1),
+       |cb_$si AS (
+       |  SELECT cid, list(CAST(CAST(sx AS DOUBLE) / n AS FLOAT)
+       |                   ORDER BY i) AS ce
+       |  FROM (SELECT cid, i,
+       |               sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS sx,
+       |               count(*) AS n
+       |        FROM gx_$si GROUP BY cid, i)
+       |  GROUP BY cid),
+       |enc_$si AS (
+       |  SELECT vec_id, ce AS recon FROM (
+       |    SELECT v.vec_id, c.ce,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ($cc - 2 * $dxc), c.cid) AS crn
+       |    FROM s_$si v CROSS JOIN cb_$si c) WHERE crn = 1)""".stripMargin
+  }
+
   // Sign-LSH bucket over the first 4 dims — mirrors signCode(e, 4).
   private val duckBucket =
     """(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
@@ -574,6 +752,51 @@ object LlmVector {
         |    PARTITION BY v1 ORDER BY cos DESC, v2) AS "rank" FROM p)
         |SELECT v1, v2, cos, "rank" FROM rk WHERE "rank" <= 3
         |ORDER BY v1, "rank"""".stripMargin,
+    // Full IVF-PQ replay: knn_ivf's coarse chain (seeds → two decimal
+    // Lloyd steps → home cells) + four [[duckPq]] subspace chains
+    // (seed sub-centroids → one mean-Lloyd step → encode), then the
+    // concatenated reconstructions scored asymmetrically inside home
+    // cells — every double along the way the identical expression
+    // tree on identical inputs.
+    "knn_ivf_pq" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        |c0 AS (
+        |  SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm FROM e
+        |  ORDER BY vec_id LIMIT 16),
+        |${duckLloyd("c0", "c1")},
+        |${duckLloyd("c1", "c2")},
+        |af AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      (${duckDotCols("e.embedding", "c.ce")} / (e.nrm * c.cnrm))
+        |      DESC, c.cid) AS crn
+        |  FROM e CROSS JOIN c2 c),
+        |asg AS (SELECT cid AS cell, vec_id, embedding, nrm FROM af WHERE crn = 1),
+        |${duckPq(0, 1, 16)},
+        |${duckPq(1, 17, 32)},
+        |${duckPq(2, 33, 48)},
+        |${duckPq(3, 49, 64)},
+        |rec AS (
+        |  SELECT vec_id,
+        |    enc_0.recon || enc_1.recon || enc_2.recon || enc_3.recon AS recon
+        |  FROM enc_0 JOIN enc_1 USING (vec_id) JOIN enc_2 USING (vec_id)
+        |       JOIN enc_3 USING (vec_id)),
+        |rn0 AS (SELECT vec_id, recon, ${duckNormOf("recon")} AS rnrm
+        |        FROM rec),
+        |p AS (
+        |  SELECT l.vec_id AS v1, r.vec_id AS v2,
+        |    round(${duckDotCols("l.embedding", "r.recon")}
+        |          / (l.nrm * r.rnrm), 6) AS est_cos
+        |  FROM asg l JOIN (SELECT a.cell, a.vec_id, q.recon, q.rnrm
+        |                   FROM asg a JOIN rn0 q USING (vec_id)) r
+        |    ON l.cell = r.cell AND l.vec_id <> r.vec_id),
+        |rk AS (
+        |  SELECT v1, v2, est_cos, row_number() OVER (
+        |    PARTITION BY v1 ORDER BY est_cos DESC, v2) AS "rank" FROM p)
+        |SELECT v1, v2, est_cos, "rank" FROM rk WHERE "rank" <= 3
+        |ORDER BY v1, "rank"""".stripMargin,
+
     "dedup_embed" ->
       s"""WITH e AS (
         |  SELECT vec_id, $duckBucket AS bucket, embedding, $duckNorm AS nrm

@@ -781,6 +781,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pqCodebook/pqCode ≡ local mean-Lloyd fold for ANY sub-vectors") {
+    // Independent reference for the PQ sub-quantizer — seed selection,
+    // (dot(c,c) − 2·dot(x,c), cid) argmin assignment, exact-decimal
+    // component sums, double-division means, position codes — rebuilt
+    // in plain Scala (BigDecimal + tuple ordering), NOT by replaying
+    // the operator's expressions: the DuckDB oracle replays the
+    // algorithm, so this fold is the independent pin.
+    def dotd(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    val vecGen = Gen.nonEmptyListOf(
+      Gen.listOfN(4, Gen.choose(-64, 64).map(_ / 16.0f))).map(_.take(12))
+    forAllSeeded(vecGen) { vs0 =>
+      val vs = vs0.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      val nSub = math.min(3, vs.size)
+      val iters = 2
+      val df = vs.toDF("vec_id", "sub")
+      val got = graft.llm.LlmVector.pqCodebook(df, nSub, iters)
+      // local fold
+      var cents: Seq[(Long, Seq[Float])] = vs.sortBy(_._1).take(nSub)
+      (1 to iters).foreach { _ =>
+        val asg = vs.map { case (_, x) =>
+          val best = cents.sortBy(_._1).map { case (cid, ce) =>
+            (dotd(ce, ce) - 2.0 * dotd(x, ce), cid) }.min
+          (best._2, x)
+        }
+        cents = asg.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, xs) =>
+          val n = xs.size
+          cid -> xs.head._2.indices.map { i =>
+            val s = xs.map(v => BigDecimal(v._2(i).toDouble)
+              .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+            (s.toDouble / n).toFloat
+          }.toSeq
+        }
+      }
+      val want = cents.sortBy(_._1).map(_._2)
+      assert(got == want, s"books: got $got want $want")
+      // encode against the trained book must pick the local argmin
+      graft.functions.VectorExpressions.register(spark)
+      val codes = df.select(col("vec_id"),
+          graft.llm.LlmVector.pqCode(col("sub"), got).as("c"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      vs.foreach { case (id, x) =>
+        val wantC = got.zipWithIndex.map { case (ce, j) =>
+          (dotd(ce, ce) - 2.0 * dotd(x, ce), j) }.min._2
+        assert(codes(id) == wantC, s"code for $id: ${codes(id)} vs $wantC")
+      }
+    }
+  }
+
   test("labelPropagation ≡ local synchronous-rounds fold for ANY graph") {
     // Independent reference for the fixed-round sync LPA — adjacency
     // map + R rounds of majority-vote with the (count desc, label asc)
