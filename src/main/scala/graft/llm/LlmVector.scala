@@ -402,27 +402,34 @@ object LlmVector {
       books: Seq[Seq[Seq[Float]]], k: Int): DataFrame = {
     val m = books.size
     val w = 64 / m
-    val recon = concat((0 until m).map { si =>
-      val sub = slice(col("embedding"), si * w + 1, w)
+    def bookLookup(si: Int, code: Column) =
       element_at(array(books(si).map(ce => lit(ce.toArray)): _*),
-        (pqCode(sub, books(si)) + 1).cast("int"))
-    }: _*)
+        (code + 1).cast("int"))
+    // Codes + the reconstruction norm are computed BEFORE the join;
+    // the reconstruction itself AFTER it: the candidate side of the
+    // cell shuffle then carries m small code ints + one double per
+    // vector instead of the 64-float reconstruction — which is the
+    // entire point of PQ (at 100 TB the in-cell scan streams codes,
+    // not vectors; the codebooks ride along as plan literals exactly
+    // like [[assign]]'s centroid battery).
+    val recon = concat((0 until m).map(si =>
+      bookLookup(si, col(s"c$si"))): _*)
     // One materialized frame feeds both join sides (the searchIvf
     // rationale — cold per invocation via Pins.repin); the query side
-    // reads the exact vector columns, the candidate side the
-    // reconstruction.
+    // reads the exact vector columns, the candidate side the codes.
     val assigned = graft.Pins.repin("llm.searchIvfPq",
       assign(e, cents)
-        .withColumn("recon", recon)
-        .withColumn("rnrm", sqrt(dot(col("recon"), col("recon")))))
+        .withColumns((0 until m).map(si => s"c$si" ->
+          pqCode(slice(col("embedding"), si * w + 1, w), books(si))).toMap)
+        .withColumn("rnrm", sqrt(dot(recon, recon))))
     val l = assigned.select(col("cell"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
-    val r = assigned.select(col("cell"), col("vec_id").as("v2"),
-      col("recon").as("r2"), col("rnrm").as("n2"))
+    val r = assigned.select(col("cell") +: col("vec_id").as("v2") +:
+      col("rnrm").as("n2") +: (0 until m).map(si => col(s"c$si")): _*)
     val wnd = Window.partitionBy("v1").orderBy(desc("est_cos"), asc("v2"))
     l.join(r, Seq("cell")).filter(col("v1") =!= col("v2"))
       .withColumn("est_cos",
-        round(dot(col("e1"), col("r2")) / (col("n1") * col("n2")), 6))
+        round(dot(col("e1"), recon) / (col("n1") * col("n2")), 6))
       .withColumn("rank", row_number().over(wnd))
       .filter(col("rank") <= k)
       .select("v1", "v2", "est_cos", "rank")
