@@ -432,6 +432,24 @@ object LlmGraph {
     // [[labelPropagation]]), so the whole run is oracle-able as
     // unrolled SQL rounds, unlike the converge-until-stable LPA whose
     // round count is data-dependent.
+    // Seed-distance scoring (r12): min-hop distance from a TRUSTED
+    // SEED SET, capped at 3 hops — the TrustRank-style propagation a
+    // web-corpus curator runs ("how many links from a vetted domain is
+    // this page?"); pages beyond the cap are treated as unvouched
+    // (dist −1). Over the same support-≥2 co-occurrence graph; every
+    // 50th part plays the seed list. Fixed-depth min-plus relaxation —
+    // the shortest-path family member next to components (reachability)
+    // and communities (labels); capped depth is both the semantics
+    // (trust decays fast) and what keeps the unrolled oracle exact.
+    "graph_seed_distance" -> ((s, d) => {
+      val e = supportEdges(s, d).localCheckpoint(false)
+      val edges = e.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+      seedDistance(edges, col("node") % 50 === 0, depth = 3)
+        .select(col("node").as("part_id"), col("dist"))
+        .orderBy("part_id")
+    }),
+
     "graph_communities" -> ((s, d) => {
       // Checkpoint the PAIR LIST before mirroring it into both edge
       // directions (the connectedComponents lesson): the union embeds
@@ -493,6 +511,43 @@ object LlmGraph {
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select("u", "v")
+
+  /** Min-hop distance from a seed set over directed `edges(src, dst)`
+    * (pass both directions for undirected), capped at `depth` hops:
+    * `depth` rounds of synchronous min-plus relaxation
+    * `d'(v) = min(d(v), 1 + min over in-neighbors d(u))`, seeds at 0,
+    * everything unreached after `depth` rounds at −1. `isSeed` is a
+    * predicate over the `node` column, so callers pass a rule
+    * (id % 50 = 0, a domain allowlist join, …) without materializing
+    * a seed table. Returns (node, dist) for every edge endpoint.
+    *
+    * All-integer math and a fixed round count — deterministic and
+    * replayable as unrolled SQL (the labelPropagation rationale; BFS
+    * to a DATA-DEPENDENT radius would be componentsWithRounds' probed
+    * loop instead). Each round is one edge equi-join + one min per
+    * node + one node-sized left join — shuffle-bounded, no driver
+    * state. 999 is the internal "unreached" sentinel: any value
+    * > depth works (distances are ≤ depth by construction), and an
+    * integer sentinel keeps `least`/`min` three-valued-logic-free
+    * where NULL-as-infinity would need coalesce at every step.
+    */
+  def seedDistance(edges: DataFrame, isSeed: org.apache.spark.sql.Column,
+      depth: Int): DataFrame = {
+    require(depth >= 1 && depth < 999, s"depth must be in [1, 999): $depth")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    var d: DataFrame = e.select(col("src").as("node")).distinct()
+      .withColumn("dist", when(isSeed, 0L).otherwise(999L))
+    for (_ <- 1 to depth) {
+      val nb = e
+        .join(d.select(col("node").as("dst"), col("dist").as("dd")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("dd")).as("mind"))
+      d = d.join(nb, Seq("node"), "left")
+        .select(col("node"), least(col("dist"),
+          coalesce(col("mind") + 1, lit(999L))).as("dist"))
+    }
+    d.select(col("node"),
+      when(col("dist") === 999L, -1L).otherwise(col("dist")).as("dist"))
+  }
 
   /** Fixed-round SYNCHRONOUS label propagation over directed
     * `edges(src, dst)` (pass both directions for an undirected
@@ -686,6 +741,40 @@ object LlmGraph {
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri)
         |GROUP BY part_id ORDER BY part_id""".stripMargin,
+
+    // Same support-≥2 edge construction, then three min-plus rounds
+    // UNROLLED (nN = per-node neighbor minimum, dN = relaxed
+    // distances): seeds CASE to 0, the 999 sentinel and the final −1
+    // fold mirror the operator exactly. All-integer math.
+    "graph_seed_distance" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ed AS (SELECT u AS src, v AS dst FROM e
+        |       UNION ALL SELECT v, u FROM e),
+        |d0 AS (SELECT DISTINCT src AS node,
+        |         CAST(CASE WHEN src % 50 = 0 THEN 0 ELSE 999 END AS BIGINT)
+        |           AS dist
+        |       FROM ed),
+        |n1 AS (SELECT ed.src AS node, min(d.dist) AS mind
+        |       FROM ed JOIN d0 d ON ed.dst = d.node GROUP BY 1),
+        |d1 AS (SELECT d.node, least(d.dist, coalesce(mind + 1, 999)) AS dist
+        |       FROM d0 d LEFT JOIN n1 USING (node)),
+        |n2 AS (SELECT ed.src AS node, min(d.dist) AS mind
+        |       FROM ed JOIN d1 d ON ed.dst = d.node GROUP BY 1),
+        |d2 AS (SELECT d.node, least(d.dist, coalesce(mind + 1, 999)) AS dist
+        |       FROM d1 d LEFT JOIN n2 USING (node)),
+        |n3 AS (SELECT ed.src AS node, min(d.dist) AS mind
+        |       FROM ed JOIN d2 d ON ed.dst = d.node GROUP BY 1),
+        |d3 AS (SELECT d.node, least(d.dist, coalesce(mind + 1, 999)) AS dist
+        |       FROM d2 d LEFT JOIN n3 USING (node))
+        |SELECT node AS part_id,
+        |       CAST(CASE WHEN dist = 999 THEN -1 ELSE dist END AS BIGINT)
+        |         AS dist
+        |FROM d3 ORDER BY part_id""".stripMargin,
 
     // Same support-≥2 edge construction as graph_triangles, then the
     // three LPA rounds UNROLLED as CTE pairs (votes vN → labels lN):

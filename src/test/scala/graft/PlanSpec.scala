@@ -131,6 +131,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate posexplode"), "probe-cell explode expected: " + p)
   }
 
+  test("knn_ivf_pq: the candidate side shuffles codes, never vectors") {
+    // The point of PQ: the in-cell scan streams a few code ints per
+    // candidate, not the 64-float vector (or its reconstruction) —
+    // the reconstruction is rebuilt from codebook PLAN LITERALS above
+    // the join. Pin it structurally: the join's candidate (right)
+    // side outputs exactly (cell, v2, n2, c0..c3); a `recon` or
+    // `embedding` column there means the shuffle regressed to
+    // vector-width rows.
+    val p = plan("knn_ivf_pq", graft.llm.LlmVector.queries)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate-side projection renames vec_id→v2 and carries the
+    // codes; `embedding` there would mean vector-width shuffle rows
+    val candProjs = p.linesIterator.filter(l =>
+      l.contains("Project [") && l.contains(" AS v2")).toSeq
+    assert(candProjs.nonEmpty, "candidate-side projection not found: " + p)
+    candProjs.foreach { l =>
+      assert(!l.contains("embedding") && !l.contains("recon"),
+        "candidate side must carry codes only: " + l)
+      assert(l.contains("c0") && l.contains("c3"),
+        "candidate side missing the PQ codes: " + l)
+    }
+  }
+
   test("text_vocab cuts top-k via TakeOrderedAndProject before windowing") {
     // The scale property: the global rank/cum windows run over the
     // 100-row cut, never over the full vocabulary.

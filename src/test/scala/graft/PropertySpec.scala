@@ -781,6 +781,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("seedDistance ≡ local capped BFS for ANY graph and seed rule") {
+    // Independent reference: plain BFS frontier expansion capped at
+    // `depth`, rebuilt with Scala collections (the oracle unrolls the
+    // operator's own min-plus rounds, so a shared off-by-one in the
+    // relaxation would pass there; BFS is a structurally different
+    // computation of the same function).
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 14L); d <- Gen.choose(1L, 14L)
+    } yield { val b = (a + d) % 15; (math.min(a, b), math.max(a, b)) })
+      .map(_.distinct)
+    forAllSeeded(edgeGen) { und =>
+      val dirs = und ++ und.map { case (a, b) => (b, a) }
+      val depth = 3
+      val got = graft.llm.LlmGraph.seedDistance(
+          dirs.toDF("src", "dst"), col("node") % 4 === 0, depth)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val adj = dirs.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      val nodes = adj.keySet
+      var dist = nodes.filter(_ % 4 == 0).map(_ -> 0L).toMap
+      var frontier = dist.keySet
+      (1 to depth).foreach { lvl =>
+        frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+          .filterNot(dist.contains)
+        dist ++= frontier.map(_ -> lvl.toLong)
+      }
+      val want = nodes.map(n => n -> dist.getOrElse(n, -1L)).toMap
+      assert(got == want, s"got ${got.toSeq.sorted.take(8)}, " +
+        s"want ${want.toSeq.sorted.take(8)}")
+    }
+  }
+
   test("pqCodebook/pqCode ≡ local mean-Lloyd fold for ANY sub-vectors") {
     // Independent reference for the PQ sub-quantizer — seed selection,
     // (dot(c,c) − 2·dot(x,c), cid) argmin assignment, exact-decimal
