@@ -332,6 +332,51 @@ object StreamOps {
         (coalesce(col("n_hit_bands"), lit(0L)) > 0).as("near_dup"))
   }
 
+  /** Streaming corpus curation (r12) — the continuous-ingest form of
+    * `corpus_curate`: quality gate (stateless) → FIRST-SEEN exact
+    * dedup (`stream_dedup`'s digest rule) → near-dup membership drop
+    * ([[nearDupFlags]]' first-seen band owners). This is the pipeline
+    * a crawl feed runs BEFORE documents ever land in the corpus store;
+    * the batch key replays it over the doc_id-ordered arrival log.
+    *
+    * Survivor-rule contrast with the batch `corpus_curate`, on
+    * purpose: batch clustering keeps each near-dup COMPONENT's
+    * smallest id (global view), the stream keeps every doc that hits
+    * NO owned band bucket at its arrival moment (first-seen-wins, the
+    * only rule a one-pass stream can implement — same relationship as
+    * `dedup_exact` vs `stream_dedup`). Over an ordered log the kept
+    * sets differ only on transitive chains whose links arrive out of
+    * cluster order; both drop every doc that near-duplicates an
+    * earlier KEPT doc.
+    *
+    * Scale: the gate is per-row math, the digest dedup shuffles one
+    * ~48-byte row per doc, the band hop shuffles 8 ~40-byte postings
+    * per doc with O(1) state per bucket — corpus-linear, no pairs,
+    * no driver state; the streaming form is the same operators with
+    * `dropDuplicates` + [[nearDupPostingHits]] state stores
+    * (cross-batch composition asserted in StreamingSpec).
+    */
+  def curateStream(docs: DataFrame, minQuality: Double): DataFrame = {
+    val scored = docs
+      .withColumn("quality",
+        round(graft.llm.LlmText.qualityScore(col("text")), 4))
+      .filter(col("quality") >= minQuality)
+    // Batch image of dropDuplicates over the ordered log: lowest
+    // doc_id per digest. Checkpointed once — it feeds the band
+    // postings AND the final survivor join.
+    val exact = scored
+      .withColumn("digest", md5(lower(trim(col("text")))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("digest").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("rn", "digest")
+      .localCheckpoint(false)
+    val keep = nearDupFlags(exact.select(col("doc_id"), col("text")))
+      .filter(!col("near_dup")).select("doc_id")
+    exact.join(keep, Seq("doc_id"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+  }
+
   /** Running per-user count via `flatMapGroupsWithState` — the
     * pre-Spark-4 stateful API, kept as the fallback path.
     */
@@ -476,6 +521,16 @@ object StreamOps {
     "stream_neardup" -> ((s, d) =>
       nearDupFlags(graft.T.documents(s, d)).orderBy("doc_id")),
 
+    // Streaming corpus curation (r12): the continuous-ingest
+    // composition — quality gate → first-seen digest dedup →
+    // first-seen band-owner near-dup drop — as one driver-facing key
+    // over the doc_id-ordered arrival log (see [[curateStream]] for
+    // the batch-vs-stream survivor-rule contrast).
+    "stream_curate" -> ((s, d) =>
+      curateStream(graft.T.documents(s, d), minQuality = 1.0)
+        .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
+        .orderBy("doc_id")),
+
     // Streaming CDC upsert ([[CdcProcessor]]): 'error' deletes the
     // key, anything else upserts value; last (event-time, event_id)
     // wins. Batch run = one micro-batch over the whole changelog;
@@ -594,6 +649,46 @@ object StreamOps {
         |       coalesce(n_hit_bands, 0) > 0 AS near_dup
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Composes the already-proven replays: text_quality's rounded
+    // score, the first-seen digest window, and stream_neardup's
+    // band-owner fold (via the shared duckNgramCtes/duckMinhashCandCtes
+    // chains rebuilt over the exact-dedup survivors `ex` — the
+    // corpus_curate parameterization; the unused jac/cand CTEs cost
+    // nothing, DuckDB never plans unreferenced CTEs). A doc survives
+    // iff its quality clears the gate, it is the first arrival of its
+    // digest, and NONE of its 8 bands hits an earlier-owned bucket.
+    "stream_curate" ->
+      s"""WITH q0 AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, text,
+        |    round(ln(len(toks) + 1)
+        |      * (1 - len(list_filter(toks, s -> s IN
+        |          ('the', 'a', 'of', 'and', 'to', 'in')))::DOUBLE / len(toks))
+        |      * (len(list_distinct(toks))::DOUBLE / len(toks)), 4) AS quality
+        |  FROM q0),
+        |ex AS (
+        |  SELECT doc_id, lang, text, quality FROM (
+        |    SELECT *, row_number() OVER (
+        |        PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        |    FROM q WHERE quality >= 1.0)
+        |  WHERE rn = 1),
+        |${graft.llm.LlmDedup.duckNgramCtes("ex")},
+        |${graft.llm.LlmDedup.duckMinhashCandCtes},
+        |hits AS (SELECT doc_id,
+        |           doc_id > min(doc_id) OVER (PARTITION BY bkey) AS hit
+        |         FROM bk),
+        |per AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_hit
+        |        FROM hits GROUP BY doc_id)
+        |SELECT e.doc_id AS doc_id, e.lang AS lang, e.quality AS quality,
+        |       len(string_split(e.text, ' ')) AS n_tokens
+        |FROM ex e LEFT JOIN per USING (doc_id)
+        |WHERE coalesce(n_hit, 0) = 0
+        |ORDER BY e.doc_id""".stripMargin,
 
     // The batch image of the stateful fold: last change per key by
     // (ts, event_id), deletes suppressed.

@@ -250,6 +250,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_curate composes gate → digest dedup → band owners in ONE streaming query") {
+    // The batch key replays this composition over the ordered log; the
+    // spec proves the REAL streaming form runs as a single query with
+    // two chained stateful operators (dropDuplicates state + the
+    // band-owner transformWithState) and that each stage does its job
+    // across micro-batches: the gate drops junk statelessly, an exact
+    // copy posts nothing (digest state), and a cross-batch near-copy
+    // hits the original's buckets.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val docs = in.toDF().toDF("doc_id", "text", "ts")
+        .withWatermark("ts", "10 minutes")
+      val gated = docs
+        .withColumn("quality",
+          round(graft.llm.LlmText.qualityScore(col("text")), 4))
+        .filter(col("quality") >= 0.5)
+      val deduped = gated
+        .withColumn("digest", md5(lower(trim(col("text")))))
+        .dropDuplicates("digest")
+      val posts = graft.llm.LlmDedup
+        .portableBandPostings(deduped, carry = Seq("ts"))
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      val hits = StreamOps.nearDupPostingHits(posts,
+        retentionMs = 24 * 60 * 60 * 1000L)
+      val q = hits.writeStream.format("memory").queryName("sc_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val good = "alpha beta gamma delta epsilon zeta"
+        in.addData(
+          (1L, good, ts("2024-01-01 10:00:00")),
+          (2L, "the the the the", ts("2024-01-01 10:00:00")), // quality 0
+          (3L, good, ts("2024-01-01 10:01:00")))              // exact copy
+        q.processAllAvailable()
+        in.addData((4L, good + " eta", ts("2024-01-01 10:20:00")))
+        q.processAllAvailable()
+        val rows = spark.table("sc_sink")
+          .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+        val byDoc = rows.groupBy(_._1)
+        assert(byDoc.contains(1L) && byDoc(1L).forall(!_._2),
+          s"first good doc must claim its buckets: $rows")
+        assert(!byDoc.contains(2L), s"gated junk must never post: $rows")
+        assert(!byDoc.contains(3L),
+          s"exact copy must be digest-deduped before posting: $rows")
+        assert(byDoc.contains(4L) && byDoc(4L).exists(_._2),
+          s"cross-batch near-copy must hit an owned bucket: $rows")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream_neardup: band owners persist across micro-batches; the watermark evicts them") {
     // The two behaviors the batch oracle cannot check: (1) RECALL
     // across batches — a near-copy arriving a batch after the original
