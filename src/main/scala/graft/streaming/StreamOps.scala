@@ -513,11 +513,11 @@ object StreamOps {
     // Streaming MinHash near-dup (r11): is this incoming doc a
     // near-copy of ANYTHING already seen? Band postings from a
     // cross-engine-replayable minhash (48-bit md5 base — DuckDB
-    // replays it bit-for-bit, unlike xxhash64's no-oracle battery),
-    // first-seen bucket owners in O(1)-per-bucket state, per-doc
-    // any-hit fold. Batch run = one micro-batch over the doc_id-
-    // ordered log; cross-batch recall and watermark eviction are the
-    // StreamingSpec scenarios.
+    // replays it bit-for-bit; since r12 the same battery as the batch
+    // dedup_minhash), first-seen bucket owners in O(1)-per-bucket
+    // state, per-doc any-hit fold. Batch run = one micro-batch over
+    // the doc_id-ordered log; cross-batch recall and watermark
+    // eviction are the StreamingSpec scenarios.
     "stream_neardup" -> ((s, d) =>
       nearDupFlags(graft.T.documents(s, d)).orderBy("doc_id")),
 
