@@ -371,7 +371,7 @@ object LlmVector {
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Seq[Seq[Seq[Float]]]]()
 
-  private def pqBooks(s: SparkSession, d: String, e: DataFrame, m: Int,
+  private[graft] def pqBooks(s: SparkSession, d: String, e: DataFrame, m: Int,
       nSub: Int, iters: Int): Seq[Seq[Seq[Float]]] = {
     pqCache.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
     pqCache.computeIfAbsent((s, s"$d|$m|$nSub|$iters"), _ => {
@@ -433,6 +433,38 @@ object LlmVector {
       .withColumn("rank", row_number().over(wnd))
       .filter(col("rank") <= k)
       .select("v1", "v2", "est_cos", "rank")
+      .orderBy("v1", "rank")
+  }
+
+  /** Two-stage ANN serving (r12): PQ SHORTLIST → EXACT RERANK — the
+    * pattern every production vector store runs (FAISS + refine): the
+    * cheap scan ranks candidates by the PQ estimate
+    * ([[knnIvfPqSearch]], codes only through the shuffle), then the
+    * top-`kCand` shortlist per query — and ONLY the shortlist —
+    * fetches exact vectors by id and reranks by true cosine to the
+    * final `k`. At 100 TB the exact vectors are touched for
+    * corpus×kCand rows instead of every candidate pair, which is what
+    * makes exact answers affordable over a compressed index; recall
+    * is bounded by the shortlist (a true neighbor the PQ estimate
+    * pushes below rank kCand is lost — the standard knob, grow kCand
+    * to buy recall).
+    */
+  def knnRerank(e: DataFrame, cents: Seq[(Long, Seq[Float])],
+      books: Seq[Seq[Seq[Float]]], kCand: Int, k: Int): DataFrame = {
+    val shortlist = knnIvfPqSearch(e, cents, books, kCand)
+      .select("v1", "v2")
+    val ve = e.select(col("vec_id"), col("embedding"), col("nrm"))
+    val wnd = Window.partitionBy("v1").orderBy(desc("cos"), asc("v2"))
+    shortlist
+      .join(ve.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1")), Seq("v1"))
+      .join(ve.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("nrm").as("n2")), Seq("v2"))
+      .withColumn("cos",
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .withColumn("rank", row_number().over(wnd))
+      .filter(col("rank") <= k)
+      .select("v1", "v2", "cos", "rank")
       .orderBy("v1", "rank")
   }
 
@@ -538,6 +570,15 @@ object LlmVector {
       val (e, cents) = ivfIndex(s, d, nCells = 16, iters = 2)
       knnIvfPqSearch(e, cents,
         pqBooks(s, d, e, m = 4, nSub = 8, iters = 1), k = 3)
+    }),
+
+    // Two-stage serving (r12): top-10 PQ shortlist per query, exact
+    // cosine rerank to top-3 — shares the cached coarse quantizer and
+    // PQ codebooks with knn_ivf_pq (same dataset, same build).
+    "knn_rerank" -> ((s, d) => {
+      val (e, cents) = ivfIndex(s, d, nCells = 16, iters = 2)
+      knnRerank(e, cents,
+        pqBooks(s, d, e, m = 4, nSub = 8, iters = 1), kCand = 10, k = 3)
     }),
 
     "dedup_embed" -> ((s, d) => embedDupPairs(T.embeddings(s, d), 0.95)),
@@ -667,6 +708,50 @@ object LlmVector {
        |    FROM s_$si v CROSS JOIN cb_$si c) WHERE crn = 1)""".stripMargin
   }
 
+  /** The full IVF-PQ replay chain up to the est-cosine ranking `rk`
+    * (exclusive of the final k cut) — shared verbatim by knn_ivf_pq
+    * (cut at 3) and knn_rerank (shortlist at 10 → exact rerank):
+    * knn_ivf's coarse chain (seeds → two decimal Lloyd steps → home
+    * cells) + four [[duckPq]] subspace chains, then concatenated
+    * reconstructions scored asymmetrically inside home cells.
+    */
+  private lazy val duckIvfPqChain: String =
+    s"""e AS (
+      |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+      |c0 AS (
+      |  SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm FROM e
+      |  ORDER BY vec_id LIMIT 16),
+      |${duckLloyd("c0", "c1")},
+      |${duckLloyd("c1", "c2")},
+      |af AS (
+      |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      (${duckDotCols("e.embedding", "c.ce")} / (e.nrm * c.cnrm))
+      |      DESC, c.cid) AS crn
+      |  FROM e CROSS JOIN c2 c),
+      |asg AS (SELECT cid AS cell, vec_id, embedding, nrm FROM af WHERE crn = 1),
+      |${duckPq(0, 1, 16)},
+      |${duckPq(1, 17, 32)},
+      |${duckPq(2, 33, 48)},
+      |${duckPq(3, 49, 64)},
+      |rec AS (
+      |  SELECT vec_id,
+      |    enc_0.recon || enc_1.recon || enc_2.recon || enc_3.recon AS recon
+      |  FROM enc_0 JOIN enc_1 USING (vec_id) JOIN enc_2 USING (vec_id)
+      |       JOIN enc_3 USING (vec_id)),
+      |rn0 AS (SELECT vec_id, recon, ${duckNormOf("recon")} AS rnrm
+      |        FROM rec),
+      |p AS (
+      |  SELECT l.vec_id AS v1, r.vec_id AS v2,
+      |    round(${duckDotCols("l.embedding", "r.recon")}
+      |          / (l.nrm * r.rnrm), 6) AS est_cos
+      |  FROM asg l JOIN (SELECT a.cell, a.vec_id, q.recon, q.rnrm
+      |                   FROM asg a JOIN rn0 q USING (vec_id)) r
+      |    ON l.cell = r.cell AND l.vec_id <> r.vec_id),
+      |rk AS (
+      |  SELECT v1, v2, est_cos, row_number() OVER (
+      |    PARTITION BY v1 ORDER BY est_cos DESC, v2) AS "rank" FROM p)""".stripMargin
+
   // Sign-LSH bucket over the first 4 dims — mirrors signCode(e, 4).
   private val duckBucket =
     """(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
@@ -766,42 +851,28 @@ object LlmVector {
     // cells — every double along the way the identical expression
     // tree on identical inputs.
     "knn_ivf_pq" ->
-      s"""WITH e AS (
-        |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
-        |c0 AS (
-        |  SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm FROM e
-        |  ORDER BY vec_id LIMIT 16),
-        |${duckLloyd("c0", "c1")},
-        |${duckLloyd("c1", "c2")},
-        |af AS (
-        |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      (${duckDotCols("e.embedding", "c.ce")} / (e.nrm * c.cnrm))
-        |      DESC, c.cid) AS crn
-        |  FROM e CROSS JOIN c2 c),
-        |asg AS (SELECT cid AS cell, vec_id, embedding, nrm FROM af WHERE crn = 1),
-        |${duckPq(0, 1, 16)},
-        |${duckPq(1, 17, 32)},
-        |${duckPq(2, 33, 48)},
-        |${duckPq(3, 49, 64)},
-        |rec AS (
-        |  SELECT vec_id,
-        |    enc_0.recon || enc_1.recon || enc_2.recon || enc_3.recon AS recon
-        |  FROM enc_0 JOIN enc_1 USING (vec_id) JOIN enc_2 USING (vec_id)
-        |       JOIN enc_3 USING (vec_id)),
-        |rn0 AS (SELECT vec_id, recon, ${duckNormOf("recon")} AS rnrm
-        |        FROM rec),
-        |p AS (
-        |  SELECT l.vec_id AS v1, r.vec_id AS v2,
-        |    round(${duckDotCols("l.embedding", "r.recon")}
-        |          / (l.nrm * r.rnrm), 6) AS est_cos
-        |  FROM asg l JOIN (SELECT a.cell, a.vec_id, q.recon, q.rnrm
-        |                   FROM asg a JOIN rn0 q USING (vec_id)) r
-        |    ON l.cell = r.cell AND l.vec_id <> r.vec_id),
-        |rk AS (
-        |  SELECT v1, v2, est_cos, row_number() OVER (
-        |    PARTITION BY v1 ORDER BY est_cos DESC, v2) AS "rank" FROM p)
+      s"""WITH $duckIvfPqChain
         |SELECT v1, v2, est_cos, "rank" FROM rk WHERE "rank" <= 3
+        |ORDER BY v1, "rank"""".stripMargin,
+
+    // Two-stage rerank: the SAME PQ chain ranks the shortlist
+    // (rank ≤ 10), then exact cosine over shortlist pairs only —
+    // joined back to `e` by id, mirroring the operator's
+    // fetch-exact-vectors-for-the-shortlist shape — reranks to the
+    // final top-3.
+    "knn_rerank" ->
+      s"""WITH $duckIvfPqChain,
+        |sl AS (SELECT v1, v2 FROM rk WHERE "rank" <= 10),
+        |px AS (
+        |  SELECT sl.v1, sl.v2,
+        |    round(${duckDotCols("a.embedding", "b.embedding")}
+        |          / (a.nrm * b.nrm), 6) AS cos
+        |  FROM sl JOIN e a ON sl.v1 = a.vec_id
+        |          JOIN e b ON sl.v2 = b.vec_id),
+        |rr AS (
+        |  SELECT v1, v2, cos, row_number() OVER (
+        |    PARTITION BY v1 ORDER BY cos DESC, v2) AS "rank" FROM px)
+        |SELECT v1, v2, cos, "rank" FROM rr WHERE "rank" <= 3
         |ORDER BY v1, "rank"""".stripMargin,
 
     "dedup_embed" ->

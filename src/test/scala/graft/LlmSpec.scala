@@ -195,6 +195,30 @@ class LlmSpec extends SparkSpec {
     assert(rKm >= 0.7, s"k-means recall $rKm below floor")
   }
 
+  test("knn_rerank with an exhaustive shortlist equals knn_ivf exactly") {
+    // Rerank correctness pinned by a provable identity: when the PQ
+    // shortlist keeps EVERY in-cell candidate, the exact rerank over
+    // it must reproduce knn_ivf (exact in-cell scoring) row for row —
+    // the PQ estimate then only orders a set the rerank fully re-sorts.
+    // (The key's kCand = 10 trades recall for shortlist size; this
+    // pins the machinery, not the knob.)
+    import graft.llm.LlmVector
+    graft.functions.VectorExpressions.register(spark)
+    val emb = T.embeddings(spark, sf)
+    val n = emb.count().toInt
+    val e = T.spread(emb).withColumn("nrm",
+      sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+    val cents = LlmVector.kMeansCentroids(emb, nCells = 16, nIters = 2)
+    val books = LlmVector.pqBooks(spark, sf, e, m = 4, nSub = 8, iters = 1)
+    val full = LlmVector.knnRerank(e, cents, books, kCand = n, k = 3)
+      .collect().map(_.toSeq).toSeq
+    graft.Pins.clearAll()
+    val ivf = LlmVector.queries("knn_ivf")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(full == ivf,
+      s"exhaustive rerank must equal knn_ivf: ${full.take(3)} vs ${ivf.take(3)}")
+  }
+
   test("multi-probe IVF: recall rises with nprobe; probing all cells IS brute force") {
     import spark.implicits._
     val dim = 8; val per = 40
