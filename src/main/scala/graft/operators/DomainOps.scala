@@ -139,6 +139,50 @@ object DomainOps {
       .withColumn("passed", col("n_violations") === 0)
   }
 
+  /** Distribution-drift scoring (r12) between two row populations of
+    * one frame — the Population Stability Index, the monitoring
+    * number a data pipeline alarms on between corpus snapshots ("did
+    * the new crawl shift the language mix / length distribution?").
+    * `side` must evaluate 0 (baseline) or 1 (current); `features`
+    * maps a feature name to its BUCKET expression (a categorical
+    * column, or an integer-divided numeric — bucketing is the
+    * caller's contract so both engines replay it exactly). Per
+    * feature: bucket counts per side in ONE pass (a missing bucket on
+    * one side is a 0 count, no outer join needed), add-one smoothing
+    * over the union of observed buckets (keeps every ln finite,
+    * deterministically), PSI = Σ (p_cur − p_base)·ln(p_cur/p_base),
+    * `drifted` at the classic 0.1 alert line.
+    *
+    * Shape: one union over |features| narrow projections → one
+    * (feature, bucket) count → window totals over the tiny counted
+    * frame → |features| output rows; shuffle volume is bucket-bounded
+    * regardless of corpus size. The PSI sum is the one double
+    * accumulation — tens of terms, fenced by round(·, 6) (§7.5, the
+    * text_perplexity precedent).
+    */
+  def psiDrift(df: DataFrame, side: Column,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "psiDrift needs at least one feature")
+    val f = features.map { case (name, bucket) =>
+      df.select(lit(name).as("feature"), bucket.cast("string").as("bucket"),
+        side.cast("int").as("s"))
+    }.reduce(_ unionByName _)
+    val g = f.groupBy("feature", "bucket")
+      .agg(sum(when(col("s") === 0, 1L).otherwise(0L)).as("cb"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("cc"))
+    val w = Window.partitionBy("feature")
+    g.withColumn("nb", sum("cb").over(w))
+      .withColumn("nc", sum("cc").over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("pb", (col("cb") + 1).cast("double") / (col("nb") + col("k")))
+      .withColumn("pc", (col("cc") + 1).cast("double") / (col("nc") + col("k")))
+      .groupBy("feature")
+      .agg(max(col("k")).as("n_buckets"),
+        round(sum((col("pc") - col("pb")) * log(col("pc") / col("pb"))), 6)
+          .as("psi"))
+      .withColumn("drifted", col("psi") >= 0.1)
+  }
+
   private def scd2Raw(s: SparkSession, d: String): DataFrame =
     scd2Compress(T.orders(s, d)
       .select(col("o_custkey").as("key"), col("o_orderkey").as("chSeq"),
@@ -298,6 +342,20 @@ object DomainOps {
               col("o_orderdate") >= lit("2030-01-01").cast("timestamp"))),
           uniqueKey = Some(("orderkey_unique", col("o_orderkey"))))
         .orderBy("check_name")),
+
+    // Distribution drift (r12): PSI between the even-doc_id corpus
+    // snapshot (baseline) and the odd one (current) over language mix,
+    // char-length deciles (width 200), and token-length deciles
+    // (width 20) — the alarm a curation pipeline rings when a new
+    // crawl shifts the mix. Bucketing is exact integer division, so
+    // the oracle replays the buckets bit-for-bit; the PSI sum is the
+    // one rounded double.
+    "dq_drift" -> ((s, d) =>
+      psiDrift(T.documents(s, d), col("doc_id") % 2, Seq(
+          "lang" -> col("lang"),
+          "n_chars_b200" -> expr("n_chars div 200"),
+          "n_tokens_b20" -> expr("size(split(text, ' ')) div 20")))
+        .orderBy("feature")),
 
     // 3-level hierarchical rollup over the joined region tree — the
     // AGS Land→Kreis→Gemeinde prefix aggregation analogue.
@@ -517,6 +575,42 @@ object DomainOps {
         |  UNION ALL SELECT 'orderdate_in_range', v4 FROM a
         |  UNION ALL SELECT 'orderkey_unique', v5 FROM a)
         |ORDER BY check_name""".stripMargin,
+
+    // Same one-pass bucket counts per side, same add-one smoothing
+    // over the union of observed buckets, same Σ(pc−pb)·ln(pc/pb)
+    // fenced by round; integer-division buckets replay exactly.
+    "dq_drift" ->
+      """WITH f AS (
+        |  SELECT 'lang' AS feature, lang AS bucket,
+        |         CAST(doc_id % 2 AS INT) AS s FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars_b200', CAST(n_chars // 200 AS VARCHAR),
+        |         CAST(doc_id % 2 AS INT) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_tokens_b20',
+        |         CAST(len(string_split(text, ' ')) // 20 AS VARCHAR),
+        |         CAST(doc_id % 2 AS INT) FROM documents),
+        |g AS (
+        |  SELECT feature, bucket,
+        |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS cb,
+        |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cc
+        |  FROM f GROUP BY 1, 2),
+        |t AS (
+        |  SELECT feature,
+        |    sum(cb) OVER (PARTITION BY feature) AS nb,
+        |    sum(cc) OVER (PARTITION BY feature) AS nc,
+        |    count(*) OVER (PARTITION BY feature) AS k,
+        |    cb, cc
+        |  FROM g),
+        |p AS (
+        |  SELECT feature, k,
+        |    (cb + 1)::DOUBLE / (nb + k) AS pb,
+        |    (cc + 1)::DOUBLE / (nc + k) AS pc
+        |  FROM t)
+        |SELECT feature, CAST(max(k) AS BIGINT) AS n_buckets,
+        |       round(sum((pc - pb) * ln(pc / pb)), 6) AS psi,
+        |       round(sum((pc - pb) * ln(pc / pb)), 6) >= 0.1 AS drifted
+        |FROM p GROUP BY feature ORDER BY feature""".stripMargin,
     "region_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region_name,
         |       coalesce(n_name, 'ALL') AS nation_name,

@@ -781,6 +781,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("psiDrift ≡ local smoothed-PSI fold for ANY two populations") {
+    // Independent reference: plain Scala counts + add-one smoothing +
+    // the PSI sum (folded over sorted buckets — a DIFFERENT double
+    // summation order than Spark's partition order, so agreement at
+    // round(·, 6) also exercises the §7.5 rounding fence).
+    val rowGen = Gen.nonEmptyListOf(for {
+      b <- Gen.oneOf("a", "b", "c", "d", "e")
+      s <- Gen.oneOf(0, 1)
+    } yield (b, s))
+    forAllSeeded(rowGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((b, s), i) => (i.toLong, b, s) }
+        .toDF("id", "bucket", "side")
+      val got = graft.operators.DomainOps.psiDrift(df, col("side"),
+          Seq("f" -> col("bucket")))
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .toSeq
+      val buckets = rows.map(_._1).distinct.sorted
+      val k = buckets.size
+      val nb = rows.count(_._2 == 0)
+      val nc = rows.count(_._2 == 1)
+      val psi = buckets.map { b =>
+        val cb = rows.count(r => r._1 == b && r._2 == 0)
+        val cc = rows.count(r => r._1 == b && r._2 == 1)
+        val pb = (cb + 1).toDouble / (nb + k)
+        val pc = (cc + 1).toDouble / (nc + k)
+        (pc - pb) * math.log(pc / pb)
+      }.sum
+      val want = BigDecimal(psi)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got == Seq(("f", k.toLong, want, want >= 0.1)),
+        s"got $got want psi=$want k=$k")
+    }
+  }
+
   test("seedDistance ≡ local capped BFS for ANY graph and seed rule") {
     // Independent reference: plain BFS frontier expansion capped at
     // `depth`, rebuilt with Scala collections (the oracle unrolls the
