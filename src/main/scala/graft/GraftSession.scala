@@ -25,6 +25,15 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // maxPartitionBytes stays at the 128 MB default DELIBERATELY
+      // (r12, measured): shrinking it to 2 MB to "parallelize" the
+      // single-file fixture scans made every probed key SLOWER
+      // (fn_cast 1.70 → 2.13 s, scan_pruned 0.40 → 0.52 s min-of-5,
+      // same conditions) — the parquet ROW GROUP is the decode unit,
+      // so sub-row-group splits re-decode instead of parallelizing,
+      // and the extra tasks are pure overhead. Per-row-EXPENSIVE
+      // stages over small scans are parallelized the other way:
+      // T.spread at the specific operator (the §7.6 r2 note).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
