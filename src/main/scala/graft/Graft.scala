@@ -124,6 +124,12 @@ object Graft {
     llm.LlmGraph.components(edges, maxRounds)
   /** Degree-oriented triangle counts ([[llm.LlmGraph.triangleCounts]]). */
   val triangleCounts = llm.LlmGraph.triangleCounts _
+  /** Fixed-round deterministic label-propagation communities
+    * ([[llm.LlmGraph.labelPropagation]]). */
+  val labelPropagation = llm.LlmGraph.labelPropagation _
+  /** Capped-depth min-hop distance from a seed set
+    * ([[llm.LlmGraph.seedDistance]]). */
+  val seedDistance = llm.LlmGraph.seedDistance _
 
   // ---- dedup family ------------------------------------------------
   /** Shingle-Jaccard near-dup pairs ([[llm.LlmDedup.ngramPairs]]). */
@@ -167,6 +173,12 @@ object Graft {
     llm.LlmVector.knnIvf(emb, k, nCells)
   /** Multi-probe IVF ([[llm.LlmVector.knnIvfProbe]]). */
   val knnIvfProbe = llm.LlmVector.knnIvfProbe _
+  /** IVF + product-quantization ADC search over a built index
+    * ([[llm.LlmVector.knnIvfPqSearch]]). */
+  val knnIvfPqSearch = llm.LlmVector.knnIvfPqSearch _
+  /** Two-stage PQ-shortlist → exact-rerank serving
+    * ([[llm.LlmVector.knnRerank]]). */
+  val knnRerank = llm.LlmVector.knnRerank _
 
   // ---- corpus pipeline ---------------------------------------------
   /** Quality gate → dedup → near-dup drop → accounting
@@ -185,6 +197,12 @@ object Graft {
   /** Weight-proportional (PPS) Bernoulli sampling
     * ([[llm.CorpusPipeline.ppsSample]]). */
   val ppsSample = llm.CorpusPipeline.ppsSample _
+  /** Streaming-shaped curation: gate → first-seen exact → near-dup
+    * drop ([[streaming.StreamOps.curateStream]]). */
+  val curateStream = streaming.StreamOps.curateStream _
+  /** PSI distribution drift between two populations
+    * ([[operators.DomainOps.psiDrift]]). */
+  val psiDrift = operators.DomainOps.psiDrift _
 
   // ---- streaming state ---------------------------------------------
   /** Cross-batch running counts ([[streaming.StreamOps.runningCountsTWS]]). */
