@@ -538,10 +538,20 @@ object LlmGraph {
     var d: DataFrame = e.select(col("src").as("node")).distinct()
       .withColumn("dist", when(isSeed, 0L).otherwise(999L))
     for (_ <- 1 to depth) {
+      // Each round references d TWICE (the left-join base and the
+      // neighbor-minimum side), so without a materialize-once boundary
+      // the plan embeds every prior round's subtree 2× per round —
+      // 2^depth copies of the round-0 distinct by the end (seen in the
+      // executed plan; the [[labelPropagation]] loop reads its state
+      // once per round and doesn't need this). A lazy checkpoint per
+      // round pins the node-sized frame instead: three tiny
+      // materializations replace the exponential re-computation.
+      val dc = d.localCheckpoint(false)
       val nb = e
-        .join(d.select(col("node").as("dst"), col("dist").as("dd")), Seq("dst"))
+        .join(dc.select(col("node").as("dst"), col("dist").as("dd")),
+          Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("dd")).as("mind"))
-      d = d.join(nb, Seq("node"), "left")
+      d = dc.join(nb, Seq("node"), "left")
         .select(col("node"), least(col("dist"),
           coalesce(col("mind") + 1, lit(999L))).as("dist"))
     }
