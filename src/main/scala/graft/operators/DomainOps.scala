@@ -163,10 +163,19 @@ object DomainOps {
   def psiDrift(df: DataFrame, side: Column,
       features: Seq[(String, Column)]): DataFrame = {
     require(features.nonEmpty, "psiDrift needs at least one feature")
-    val f = features.map { case (name, bucket) =>
-      df.select(lit(name).as("feature"), bucket.cast("string").as("bucket"),
-        side.cast("int").as("s"))
-    }.reduce(_ unionByName _)
+    // ONE scan with a narrow feature explode, not a union of
+    // per-feature projections: the union form read the corpus once
+    // PER FEATURE (three FileScans in the executed plan) — at scale
+    // one pass over all feature columns beats |features| passes over
+    // one column each.
+    val f = df
+      .select(side.cast("int").as("s"),
+        explode(array(features.map { case (name, bucket) =>
+          struct(lit(name).as("feature"),
+            bucket.cast("string").as("bucket"))
+        }: _*)).as("fb"))
+      .select(col("fb.feature").as("feature"),
+        col("fb.bucket").as("bucket"), col("s"))
     val g = f.groupBy("feature", "bucket")
       .agg(sum(when(col("s") === 0, 1L).otherwise(0L)).as("cb"),
         sum(when(col("s") === 1, 1L).otherwise(0L)).as("cc"))
