@@ -430,8 +430,45 @@ object AggOps {
               .cast("double") /
               sum(T.dec(col("l_quantity"))).cast("double"),
             6).as("wavg_price"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Wilson 95% confidence interval per group (r12): the proportion
+    // estimate every quality dashboard and A/B readout needs NEXT TO
+    // the rate itself ("13% ± what?") — Wilson, not the textbook
+    // normal interval, because it behaves at small n and extreme p
+    // (never leaves [0,1]). Cross-engine exact BY CONSTRUCTION: p and
+    // n come from exact integer counts, and every remaining operation
+    // (+, −, ×, ÷, sqrt) is correctly rounded under IEEE 754, so the
+    // identical expression tree yields bit-identical doubles on both
+    // engines — no decimal fencing needed beyond the final round; the
+    // z and z² literals are Scala-computed once and interpolated into
+    // BOTH sides. One two-phase hash aggregate; shuffle carries one
+    // row per group.
+    "agg_wilson" -> ((s, d) => {
+      val g = T.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 100, 1L).otherwise(0L)).as("k"))
+      val n = col("n").cast("double")
+      val p = col("k").cast("double") / n
+      val denom = lit(1.0) + lit(wilsonZ2) / n
+      val center = (p + lit(wilsonZ2) / (lit(2.0) * n)) / denom
+      val half = (lit(wilsonZ) *
+        sqrt(p * (lit(1.0) - p) / n + lit(wilsonZ2) / (lit(4.0) * n * n))) /
+        denom
+      g.select(col("event_type"), col("n"), col("k"),
+          round(p, 6).as("p_hat"),
+          round(center - half, 6).as("ci_lo"),
+          round(center + half, 6).as("ci_hi"))
+        .orderBy("event_type")
+    })
   )
+
+  /** Two-sided 95% normal quantile, and its square — shared by the
+    * Spark expression and the generated oracle SQL so the literals
+    * can never drift apart. */
+  private val wilsonZ = 1.959963984540054
+  private lazy val wilsonZ2 = wilsonZ * wilsonZ
 
   /** Exact mergeable distinct counts over `df("g", "id")` (id must be
     * a non-negative integral within `words`·63): one row per group
@@ -708,6 +745,30 @@ object AggOps {
         |                 * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
         |        / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE),
         |        6) AS wavg_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Identical expression tree and association as the Spark side; the
+    // z/z² literals are the SAME Scala-rendered doubles interpolated
+    // into both, so the correctly-rounded +,−,×,÷,sqrt chain is
+    // bit-identical before the rounding fence.
+    "agg_wilson" ->
+      s"""WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS k
+        |  FROM events GROUP BY event_type),
+        |c AS (
+        |  SELECT event_type, n, k, CAST(n AS DOUBLE) AS nd,
+        |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p
+        |  FROM g)
+        |SELECT event_type, n, k,
+        |  round(p, 6) AS p_hat,
+        |  round((p + $wilsonZ2/(2.0*nd))/(1.0 + $wilsonZ2/nd)
+        |        - ($wilsonZ*sqrt(p*(1.0-p)/nd + $wilsonZ2/(4.0*nd*nd)))
+        |          /(1.0 + $wilsonZ2/nd), 6) AS ci_lo,
+        |  round((p + $wilsonZ2/(2.0*nd))/(1.0 + $wilsonZ2/nd)
+        |        + ($wilsonZ*sqrt(p*(1.0-p)/nd + $wilsonZ2/(4.0*nd*nd)))
+        |          /(1.0 + $wilsonZ2/nd), 6) AS ci_hi
+        |FROM c ORDER BY event_type""".stripMargin
   )
 }

@@ -781,6 +781,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Wilson interval ≡ local formula for ANY counts, and stays in [0,1]") {
+    // Independent recomputation of agg_wilson's interval from raw
+    // (group, success) rows — same z, same formula in plain scala.math
+    // — plus the property that sells Wilson over the textbook normal
+    // interval: the bounds never leave [0, 1] for ANY k/n.
+    val rowGen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      hit <- Gen.oneOf(true, false)
+    } yield (g, hit))
+    val z = 1.959963984540054
+    val z2 = z * z
+    forAllSeeded(rowGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, h), i) =>
+          (i.toLong, g, if (h) 150.0 else 50.0) }
+        .toDF("event_id", "event_type", "value")
+      // same shape as the key, over the synthetic frame
+      val got = {
+        val gr = df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") >= 100, 1L).otherwise(0L)).as("k"))
+        val n = col("n").cast("double")
+        val p = col("k").cast("double") / n
+        val denom = lit(1.0) + lit(z2) / n
+        val center = (p + lit(z2) / (lit(2.0) * n)) / denom
+        val half = (lit(z) *
+          sqrt(p * (lit(1.0) - p) / n + lit(z2) / (lit(4.0) * n * n))) / denom
+        gr.select(col("event_type"),
+            round(center - half, 6).as("lo"),
+            round(center + half, 6).as("hi"))
+          .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+          .toMap
+      }
+      val want = rows.groupBy(_._1).map { case (g, xs) =>
+        val n = xs.size.toDouble
+        val k = xs.count(_._2).toDouble
+        val p = k / n
+        val denom = 1.0 + z2 / n
+        val center = (p + z2 / (2.0 * n)) / denom
+        val half = (z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) / denom
+        def r6(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        g -> (r6(center - half), r6(center + half))
+      }
+      assert(got == want, s"got $got want $want")
+      got.values.foreach { case (lo, hi) =>
+        assert(lo >= 0.0 && hi <= 1.0 && lo <= hi,
+          s"Wilson bounds must stay in [0,1]: ($lo, $hi)")
+      }
+    }
+  }
+
   test("psiDrift ≡ local smoothed-PSI fold for ANY two populations") {
     // Independent reference: plain Scala counts + add-one smoothing +
     // the PSI sum (folded over sorted buckets — a DIFFERENT double
