@@ -34,7 +34,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graft.knnIvf(embeddings, 10, 16)
   * }}}
   *
-  * The driver-facing query catalog (the 182 `SparkEntry.queries` keys)
+  * The driver-facing query catalog (the 191 `SparkEntry.queries` keys)
   * sits one level up and is built FROM these pieces — this object is
   * the programmatic surface.
   */
@@ -103,6 +103,21 @@ object Graft {
   /** Per-group OLS fit from exact decimal moments
     * ([[operators.AggOps.linregFit]]). */
   val linregFit = operators.AggOps.linregFit _
+  /** One-pass pairwise Pearson correlation matrix
+    * ([[operators.AggOps.corrMatrix]]). */
+  val corrMatrix = operators.AggOps.corrMatrix _
+  /** Per-entity lag-k autocorrelation battery
+    * ([[operators.TimeSeries.autocorr]]). */
+  val autocorr = operators.TimeSeries.autocorr _
+  /** Trailing exact median/min/max band
+    * ([[operators.TimeSeries.rollingBand]]). */
+  def rollingBand(df: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      width: Int = 7): DataFrame =
+    operators.TimeSeries.rollingBand(df, w, width)
+  /** Holt level+trend smoothing state per series
+    * ([[operators.TimeSeries.holtSmooth]]). */
+  val holtSmooth = operators.TimeSeries.holtSmooth _
 
   // ---- data quality ------------------------------------------------
   /** Per-column completeness/cardinality/range profile
@@ -126,10 +141,19 @@ object Graft {
   val triangleCounts = llm.LlmGraph.triangleCounts _
   /** Fixed-round deterministic label-propagation communities
     * ([[llm.LlmGraph.labelPropagation]]). */
-  val labelPropagation = llm.LlmGraph.labelPropagation _
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      assumeSimple: Boolean = false): DataFrame =
+    llm.LlmGraph.labelPropagation(edges, rounds, assumeSimple)
   /** Capped-depth min-hop distance from a seed set
     * ([[llm.LlmGraph.seedDistance]]). */
-  val seedDistance = llm.LlmGraph.seedDistance _
+  def seedDistance(edges: DataFrame, isSeed: Column, depth: Int,
+      assumeSimple: Boolean = false): DataFrame =
+    llm.LlmGraph.seedDistance(edges, isSeed, depth, assumeSimple)
+  /** Wedge-bounded neighborhood Jaccard similarity
+    * ([[llm.LlmGraph.jaccardPairs]]). */
+  val jaccardPairs = llm.LlmGraph.jaccardPairs _
+  /** Fixed-round k-core peel ([[llm.LlmGraph.kcorePeel]]). */
+  val kcorePeel = llm.LlmGraph.kcorePeel _
 
   // ---- dedup family ------------------------------------------------
   /** Shingle-Jaccard near-dup pairs ([[llm.LlmDedup.ngramPairs]]). */

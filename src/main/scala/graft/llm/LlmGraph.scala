@@ -445,7 +445,8 @@ object LlmGraph {
       val e = supportEdges(s, d).localCheckpoint(false)
       val edges = e.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
-      seedDistance(edges, col("node") % 50 === 0, depth = 3)
+      seedDistance(edges, col("node") % 50 === 0, depth = 3,
+          assumeSimple = true)
         .select(col("node").as("part_id"), col("dist"))
         .orderBy("part_id")
     }),
@@ -460,7 +461,7 @@ object LlmGraph {
       val e = supportEdges(s, d).localCheckpoint(false)
       val edges = e.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
-      val lab = labelPropagation(edges, rounds = 3)
+      val lab = labelPropagation(edges, rounds = 3, assumeSimple = true)
       // community size as a window over the final labels, NOT a
       // groupBy+self-join: lab is an unmaterialized 3-round subtree,
       // and feeding it to both join sides would execute the whole
@@ -470,6 +471,46 @@ object LlmGraph {
           org.apache.spark.sql.expressions.Window.partitionBy("label")))
         .select(col("node").as("part_id"), col("label").as("community"),
           col("n_members"))
+        .orderBy("part_id")
+    }),
+
+    // Structural node similarity (r13): neighborhood Jaccard
+    // |N(a)∩N(b)| / |N(a)∪N(b)| for every pair sharing a neighbor,
+    // over the same support-≥2 co-occurrence graph. minCommon = 1, not
+    // 2: the support-≥2 graph is already sparse at sf0.1 (no pair
+    // shares two neighbors there — a ≥2 gate returns ZERO rows at the
+    // bench sf, a vacuous key), and the wedge groupBy does the same
+    // work either way; the gate only post-filters. The link-structure
+    // complement to the CONTENT similarity tiers (minhash/simhash/
+    // ngram): two parts are structurally similar when they co-occur
+    // with the same OTHER parts, even if they never share an order —
+    // in a web corpus this is "pages linked by the same hubs", the
+    // mirror-site / template-family signal URL and content dedup both
+    // miss. All-integer counts and one final division — exact by
+    // construction.
+    "graph_jaccard" -> ((s, d) => {
+      val e = supportEdges(s, d).localCheckpoint(false)
+      jaccardPairs(e, minCommon = 1)
+        .select(col("a").as("part_a"), col("b").as("part_b"),
+          col("common"), col("jaccard"))
+        .orderBy("part_a", "part_b")
+    }),
+
+    // Dense-core extraction (r13): two rounds of k-core peeling
+    // (k = 2) over the support-≥2 co-occurrence graph — drop nodes
+    // with fewer than k surviving neighbors, then re-check, since
+    // removals cascade. The dense-subgraph curation primitive (link
+    // farms and boilerplate rings survive coreness thresholds;
+    // long-tail legitimate pages don't), and the third member of the
+    // peel/propagate family: components (reachability), communities
+    // (labels), core (density). A FIXED round count, like
+    // seedDistance's capped depth, is both the semantics ("peel
+    // twice") and what keeps the unrolled oracle exact — full k-core
+    // convergence is data-dependent (componentsWithRounds territory).
+    "graph_kcore" -> ((s, d) => {
+      val e = supportEdges(s, d).localCheckpoint(false)
+      kcorePeel(e, k = 2, rounds = 2)
+        .withColumnRenamed("node", "part_id")
         .orderBy("part_id")
     })
   )
@@ -532,12 +573,36 @@ object LlmGraph {
     * where NULL-as-infinity would need coalesce at every step.
     */
   def seedDistance(edges: DataFrame, isSeed: org.apache.spark.sql.Column,
-      depth: Int): DataFrame = {
+      depth: Int, assumeSimple: Boolean = false): DataFrame = {
     require(depth >= 1 && depth < 999, s"depth must be in [1, 999): $depth")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    var d: DataFrame = e.select(col("src").as("node")).distinct()
-      .withColumn("dist", when(isSeed, 0L).otherwise(999L))
-    for (_ <- 1 to depth) {
+    // Round-1 fast path (r13): over DISTINCT edges the first
+    // relaxation needs no join at all — every node's candidate is
+    // min over neighbors of their seed-init distance, so ONE
+    // aggregate over the edge list (isSeed re-aimed at dst) replaces
+    // the node-universe distinct + the join + the left-join, exactly
+    // (the least/coalesce algebra matches the generic round on every
+    // branch; the equivalence is property-pinned in PropertySpec).
+    // Three exchanges and one checkpoint round-trip fewer — the
+    // round-0 planning cost the r12 orientation note named. Only
+    // sound when callers guarantee simple edges (duplicates don't
+    // change a MIN, but the generic path is kept as the contract for
+    // arbitrary input and as the property's reference).
+    var d: DataFrame =
+      if (assumeSimple)
+        // `isSeed` is written over a `node` column, so each use gets
+        // a frame where `node` IS the endpoint being tested: first
+        // dst (the neighbor vote), then src (the node's own init).
+        e.select(col("src"), col("dst").as("node"))
+          .select(col("src"), when(isSeed, 0L).otherwise(999L).as("dd"))
+          .groupBy(col("src").as("node")).agg(min(col("dd")).as("mind"))
+          .select(col("node"), least(
+            when(isSeed, 0L).otherwise(999L),
+            coalesce(col("mind") + 1, lit(999L))).as("dist"))
+      else
+        e.select(col("src").as("node")).distinct()
+          .withColumn("dist", when(isSeed, 0L).otherwise(999L))
+    for (_ <- (if (assumeSimple) 2 else 1) to depth) {
       // Each round references d TWICE (the left-join base and the
       // neighbor-minimum side), so without a materialize-once boundary
       // the plan embeds every prior round's subtree 2× per round —
@@ -589,12 +654,25 @@ object LlmGraph {
     * machinery exists for DATA-DEPENDENT round counts; a fixed small
     * count composes cheaper as one plan).
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      assumeSimple: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    var labels: DataFrame = e.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-    for (_ <- 1 to rounds) {
+    // Round-1 fast path (r13): with DISTINCT edges and self-id init,
+    // every neighbor votes a UNIQUE label (its own id) exactly once —
+    // all counts are 1, so the (count desc, label asc) argmax is just
+    // the SMALLEST neighbor id. One aggregate over the edge list
+    // replaces the node-universe distinct + round-1's join and two
+    // groupBys, bit-identically (equivalence property-pinned in
+    // PropertySpec). Duplicate edges would break the all-counts-1
+    // premise, so the generic path stays the default contract.
+    var labels: DataFrame =
+      if (assumeSimple)
+        e.groupBy(col("src").as("node")).agg(min(col("dst")).as("label"))
+      else
+        e.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+    for (_ <- (if (assumeSimple) 2 else 1) to rounds) {
       // argmax as max_by over the (cnt, -label) pair — highest count,
       // ties to the LOWEST label via the negation — instead of a
       // ranked window: same total order, but an aggregate combines
@@ -609,6 +687,87 @@ object LlmGraph {
           struct(col("cnt"), (-col("label")).as("nl"))).as("label"))
     }
     labels
+  }
+
+  /** Fixed-round k-core peel over UNDIRECTED edges `(u, v)` with
+    * `u < v`, deduplicated: `rounds` iterations of "drop every node
+    * with fewer than `k` surviving neighbors" (removals cascade, so
+    * each round re-checks against the PREVIOUS round's survivors),
+    * then the surviving nodes with their final degrees. Returns
+    * (node, deg); peeled nodes are absent. A fixed round count is the
+    * deterministic, unroll-oracle-able variant (the seedDistance
+    * rationale); converged k-core needs data-dependent rounds (the
+    * componentsWithRounds probe machinery).
+    *
+    * Scale shape per round: one mirrored-degree count + two semi-joins
+    * of the edge list against the node-sized keep set — all
+    * shuffle-bounded, no driver state. The edge frame is referenced
+    * three times per round (two mirror directions + the join base),
+    * so each round's survivor list is lazily checkpointed before the
+    * next round reads it (the seedDistance twice-per-round lesson).
+    */
+  def kcorePeel(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(e.columns.toSeq == Seq("u", "v"),
+      s"edges must be exactly (u, v), got: ${e.columns.mkString(",")}")
+    require(k >= 1 && rounds >= 1, s"need k, rounds >= 1: $k, $rounds")
+    def mirror(ed: DataFrame) =
+      ed.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(ed.select(col("v").as("src"), col("u").as("dst")))
+    var edges = e
+    for (_ <- 1 to rounds) {
+      val keep = mirror(edges).groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select("node")
+      edges = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(false)
+    }
+    mirror(edges).groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+  }
+
+  /** Neighborhood Jaccard similarity over UNDIRECTED edges `(u, v)`
+    * with `u < v`, deduplicated: for every node pair (a, b) with at
+    * least `minCommon` common neighbors,
+    * `jaccard = common / (deg(a) + deg(b) − common)`. Returns
+    * (a, b, common, jaccard) with a < b; pairs below the floor are
+    * absent. (a, b) may or may not be an edge themselves — the score
+    * measures shared context, not adjacency.
+    *
+    * Candidate generation is the triangle-counting wedge shape:
+    * common-neighbor pairs enumerate as per-center wedges
+    * (a ←w→ b, a < b), then one count per (a, b) — volume
+    * Σ_w C(deg(w), 2), never |V|². Hub centers dominate that sum at
+    * web scale; the standard cap (drop or sample centers above a
+    * degree ceiling, the shingle df-cap analogue) composes here as a
+    * pre-filter on `edges` and costs recall only on pairs whose ONLY
+    * shared context is a hub — the pairs with the least structural
+    * signal. The degree frame is node-sized (≪ pair output); its two
+    * joins hash on the pair columns the wedge count just produced.
+    * All counts are integers; the one division happens once per
+    * output row on their double images (exactly rounded both
+    * engines), then round(·, 6).
+    */
+  def jaccardPairs(e: DataFrame, minCommon: Int): DataFrame = {
+    require(e.columns.toSeq == Seq("u", "v"),
+      s"edges must be exactly (u, v), got: ${e.columns.mkString(",")}")
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = adj.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("dg"))
+    val co = adj.select(col("src").as("w"), col("dst").as("a"))
+      .join(adj.select(col("src").as("w"), col("dst").as("b")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    co.join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        round(col("common").cast("double") /
+          (col("da") + col("db") - col("common")).cast("double"), 6)
+          .as("jaccard"))
   }
 
   /** Per-node triangle participation counts over UNDIRECTED edges
@@ -822,6 +981,61 @@ object LlmGraph {
         |sz AS (SELECT label, count(*) AS n_members FROM l3 GROUP BY label)
         |SELECT l3.node AS part_id, l3.label AS community, sz.n_members
         |FROM l3 JOIN sz USING (label)
-        |ORDER BY part_id""".stripMargin
+        |ORDER BY part_id""".stripMargin,
+
+    // Same support-≥2 edge construction, then the same wedge-shaped
+    // common-neighbor count with the same ≥ 2 floor; degrees come off
+    // the mirrored adjacency, and the one division replays on the
+    // identical integer inputs.
+    "graph_jaccard" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ed AS (SELECT u AS src, v AS dst FROM e
+        |       UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT src AS node, count(*) AS dg FROM ed GROUP BY 1),
+        |co AS (
+        |  SELECT x.dst AS a, y.dst AS b, count(*) AS common
+        |  FROM ed x JOIN ed y ON x.src = y.src AND x.dst < y.dst
+        |  GROUP BY 1, 2 HAVING count(*) >= 1)
+        |SELECT co.a AS part_a, co.b AS part_b, co.common,
+        |       round(CAST(co.common AS DOUBLE) /
+        |             CAST(da.dg + db.dg - co.common AS DOUBLE), 6)
+        |         AS jaccard
+        |FROM co JOIN deg da ON co.a = da.node
+        |        JOIN deg db ON co.b = db.node
+        |ORDER BY part_a, part_b""".stripMargin,
+
+    // Same support-≥2 edge construction, then the two peel rounds
+    // UNROLLED (kN = surviving node set, eN = surviving edges): the
+    // keep sets are distinct node lists, so the inner joins replay
+    // the operator's semi-joins exactly; final degrees off the last
+    // mirrored survivor set. All-integer math.
+    "graph_kcore" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ed0 AS (SELECT u AS src, v AS dst FROM e
+        |        UNION ALL SELECT v, u FROM e),
+        |k0 AS (SELECT src AS node FROM ed0
+        |       GROUP BY src HAVING count(*) >= 2),
+        |e1 AS (SELECT e.u, e.v FROM e
+        |       JOIN k0 a ON e.u = a.node JOIN k0 b ON e.v = b.node),
+        |ed1 AS (SELECT u AS src, v AS dst FROM e1
+        |        UNION ALL SELECT v, u FROM e1),
+        |k1 AS (SELECT src AS node FROM ed1
+        |       GROUP BY src HAVING count(*) >= 2),
+        |e2 AS (SELECT e1.u, e1.v FROM e1
+        |       JOIN k1 a ON e1.u = a.node JOIN k1 b ON e1.v = b.node),
+        |ed2 AS (SELECT u AS src, v AS dst FROM e2
+        |        UNION ALL SELECT v, u FROM e2)
+        |SELECT src AS part_id, count(*) AS deg
+        |FROM ed2 GROUP BY src ORDER BY part_id""".stripMargin
   )
 }

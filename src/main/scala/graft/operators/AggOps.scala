@@ -461,7 +461,70 @@ object AggOps {
           round(center - half, 6).as("ci_lo"),
           round(center + half, 6).as("ci_hi"))
         .orderBy("event_type")
-    })
+    }),
+
+    // Welch two-sample t (r13): per event_type, the t statistic and
+    // Welch–Satterthwaite degrees of freedom between the even- and
+    // odd-user cohorts — the A/B readout next to agg_wilson's
+    // proportion CI (means with unequal variances, the default safe
+    // test; pooled-variance Student assumes equal spread). ONE
+    // aggregate takes both cohorts' exact-decimal moments via
+    // conditional sums (no second scan, no join); every downstream op
+    // (+,−,×,÷,sqrt) is correctly rounded so the identical double
+    // program is bit-equal cross-engine (the agg_wilson rationale);
+    // nullif guards the zero-pooled-spread and n≤1 edges into NULL on
+    // both sides.
+    "agg_ttest" -> ((s, d) => {
+      val aSide = col("user_id") % 2 === 0
+      val g = T.events(s, d).groupBy("event_type").agg(
+        sum(when(aSide, 1L).otherwise(0L)).as("n_a"),
+        sum(when(aSide, T.dec(col("value")))).as("sa"),
+        sum(when(aSide, T.dec(col("value")) * T.dec(col("value")))).as("ssa"),
+        sum(when(!aSide, 1L).otherwise(0L)).as("n_b"),
+        sum(when(!aSide, T.dec(col("value")))).as("sb"),
+        sum(when(!aSide, T.dec(col("value")) * T.dec(col("value")))).as("ssb"))
+      val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+      val (sa, ssa) = (col("sa").cast("double"), col("ssa").cast("double"))
+      val (sb, ssb) = (col("sb").cast("double"), col("ssb").cast("double"))
+      val va = (ssa - sa * sa / na) / nullif(na - lit(1.0), lit(0.0))
+      val vb = (ssb - sb * sb / nb) / nullif(nb - lit(1.0), lit(0.0))
+      val (wa, wb) = (va / na, vb / nb)
+      g.select(col("event_type"), col("n_a"), col("n_b"),
+          round(sa / na, 6).as("mean_a"),
+          round(sb / nb, 6).as("mean_b"),
+          round((sa / na - sb / nb) /
+            nullif(sqrt(greatest(wa + wb, lit(0.0))), lit(0.0)), 6)
+            .as("t_stat"),
+          round((wa + wb) * (wa + wb) /
+            nullif(wa * wa / nullif(na - lit(1.0), lit(0.0)) +
+                   wb * wb / nullif(nb - lit(1.0), lit(0.0)), lit(0.0)), 6)
+            .as("df"))
+        .orderBy("event_type")
+    }),
+
+    // Pearson correlation matrix (r13): all pairwise correlations
+    // between the lineitem measures per returnflag — the one-pass
+    // "which measures move together" profile a feature-screening or
+    // drift job runs before modeling. ONE map-side-combining aggregate
+    // takes every moment the six pairs need (n + 4 sums + 4 square
+    // sums + 6 cross sums = 15 numbers per group, exact DECIMAL —
+    // partition-order independent); each closed-form correlation is
+    // then a fixed short double program on their double images
+    // (correctly-rounded +,−,×,÷,sqrt — the agg_wilson rationale),
+    // clamped with greatest(·, 0) so a zero variance rounding to −ε
+    // can't reach sqrt, and nullif'd so constant measures emit NULL.
+    // The stack() fan-out to (x_name, y_name) rows is a narrow
+    // generator over the 3-row aggregate — nothing re-scans the input.
+    "agg_corr" -> ((s, d) =>
+      corrMatrix(
+        T.lineitem(s, d).select(col("l_returnflag").as("g"),
+          col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        Seq("l_quantity" -> "quantity", "l_extendedprice" -> "price",
+          "l_discount" -> "discount", "l_tax" -> "tax"))
+        .select(col("g").as("l_returnflag"), col("x_name"), col("y_name"),
+          col("n"), col("corr"))
+        .orderBy("l_returnflag", "x_name", "y_name"))
   )
 
   /** Two-sided 95% normal quantile, and its square — shared by the
@@ -469,6 +532,48 @@ object AggOps {
     * can never drift apart. */
   private val wilsonZ = 1.959963984540054
   private lazy val wilsonZ2 = wilsonZ * wilsonZ
+
+  /** All pairwise Pearson correlations between the named numeric
+    * columns of `df`, per group `g`: one aggregate over exact-decimal
+    * raw moments (the [[linregFit]] recipe widened to a column SET),
+    * then a stack() fan-out to one row per unordered pair. `cols`
+    * maps column name → output label; returns
+    * (g, n, x_name, y_name, corr), corr NULL when either side has
+    * zero variance. Contracts spec'd in PropertySpec (≡ a local
+    * double-fold Pearson reference).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"need 2..8 columns, got ${cols.size}")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val sums =
+      cols.flatMap { case (c, _) => Seq(
+        sum(T.dec(col(c))).as(s"s_$c"),
+        sum(T.dec(col(c)) * T.dec(col(c))).as(s"ss_$c")) } ++
+      pairs.map { case ((a, _), (b, _)) =>
+        sum(T.dec(col(a)) * T.dec(col(b))).as(s"sp_${a}_$b") }
+    val m = df.groupBy("g").agg(count(lit(1)).as("n"), sums: _*)
+    def corr(a: String, b: String) = {
+      val n = col("n").cast("double")
+      val sx = col(s"s_$a").cast("double")
+      val sy = col(s"s_$b").cast("double")
+      val sxx = col(s"ss_$a").cast("double")
+      val syy = col(s"ss_$b").cast("double")
+      val sxy = col(s"sp_${a}_$b").cast("double")
+      round((n * sxy - sx * sy) /
+        nullif(sqrt(greatest(n * sxx - sx * sx, lit(0.0))) *
+          sqrt(greatest(n * syy - sy * sy, lit(0.0))), lit(0.0)), 6)
+    }
+    val wide = m.select(col("g") +: col("n") +:
+      pairs.zipWithIndex.map { case (((a, _), (b, _)), i) =>
+        corr(a, b).as(s"r$i") }: _*)
+    val stacked = pairs.zipWithIndex.map { case (((_, la), (_, lb)), i) =>
+      s"'$la', '$lb', r$i" }.mkString(", ")
+    wide.selectExpr("g", "n",
+      s"stack(${pairs.size}, $stacked) AS (x_name, y_name, corr)")
+  }
 
   /** Exact mergeable distinct counts over `df("g", "id")` (id must be
     * a non-negative integral within `words`·63): one row per group
@@ -769,6 +874,97 @@ object AggOps {
         |  round((p + $wilsonZ2/(2.0*nd))/(1.0 + $wilsonZ2/nd)
         |        + ($wilsonZ*sqrt(p*(1.0-p)/nd + $wilsonZ2/(4.0*nd*nd)))
         |          /(1.0 + $wilsonZ2/nd), 6) AS ci_hi
-        |FROM c ORDER BY event_type""".stripMargin
+        |FROM c ORDER BY event_type""".stripMargin,
+
+    "agg_corr" -> corrSql,
+
+    // Same conditional exact-decimal moments (width 19 forces DuckDB's
+    // int128 multiply path — the agg_corr note), same double program
+    // with the same association and the same nullif/greatest guards,
+    // so every emitted double is bit-identical before the rounding
+    // fence. n_a/n_b cast to BIGINT (the HUGEINT sum trap).
+    "agg_ttest" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_a,
+        |    sum(CASE WHEN user_id % 2 = 0
+        |        THEN CAST(value AS DECIMAL(19,4)) END) AS sa,
+        |    sum(CASE WHEN user_id % 2 = 0
+        |        THEN CAST(value AS DECIMAL(19,4))
+        |             * CAST(value AS DECIMAL(19,4)) END) AS ssa,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_b,
+        |    sum(CASE WHEN user_id % 2 <> 0
+        |        THEN CAST(value AS DECIMAL(19,4)) END) AS sb,
+        |    sum(CASE WHEN user_id % 2 <> 0
+        |        THEN CAST(value AS DECIMAL(19,4))
+        |             * CAST(value AS DECIMAL(19,4)) END) AS ssb
+        |  FROM events GROUP BY event_type),
+        |c AS (
+        |  SELECT event_type, n_a, n_b,
+        |         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |         CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+        |         CAST(ssa AS DOUBLE) AS ssad, CAST(ssb AS DOUBLE) AS ssbd
+        |  FROM g),
+        |v AS (
+        |  SELECT *,
+        |    ((ssad - sad * sad / nad) / nullif(nad - 1.0, 0.0)) / nad AS wa,
+        |    ((ssbd - sbd * sbd / nbd) / nullif(nbd - 1.0, 0.0)) / nbd AS wb
+        |  FROM c)
+        |SELECT event_type, n_a, n_b,
+        |       round(sad / nad, 6) AS mean_a,
+        |       round(sbd / nbd, 6) AS mean_b,
+        |       round((sad / nad - sbd / nbd) /
+        |             nullif(sqrt(greatest(wa + wb, 0.0)), 0.0), 6) AS t_stat,
+        |       round((wa + wb) * (wa + wb) /
+        |             nullif(wa * wa / nullif(nad - 1.0, 0.0) +
+        |                    wb * wb / nullif(nbd - 1.0, 0.0), 0.0), 6) AS df
+        |FROM v ORDER BY event_type""".stripMargin
   )
+
+  /** Generated agg_corr oracle — same exact-decimal moments, same
+    * clamped/guarded double program per pair as [[corrMatrix]], so
+    * the two sides cannot drift apart. The UNION ALL branches replay
+    * the stack() fan-out (DuckDB has no stack). */
+  private lazy val corrSql: String = {
+    val cols = Seq("l_quantity" -> "quantity", "l_extendedprice" -> "price",
+      "l_discount" -> "discount", "l_tax" -> "tax")
+    // Width 19, not the usual 18: DuckDB multiplies two width-≤18
+    // decimals on the int64 fast path and OVERFLOWS on price² (the
+    // declared-width pre-check, not the value — 101211.99² fits width
+    // 36 easily); one extra digit forces the int128 path. The VALUES
+    // are identical rationals either way, which is all cross-engine
+    // parity needs.
+    def d(c: String) = s"CAST($c AS DECIMAL(19,4))"
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val sums =
+      cols.flatMap { case (c, _) => Seq(
+        s"sum(${d(c)}) AS s_$c",
+        s"sum(${d(c)} * ${d(c)}) AS ss_$c") } ++
+      pairs.map { case ((a, _), (b, _)) =>
+        s"sum(${d(a)} * ${d(b)}) AS sp_${a}_$b" }
+    val branches = pairs.map { case ((a, la), (b, lb)) =>
+      val n = "CAST(n AS DOUBLE)"
+      val sx = s"CAST(s_$a AS DOUBLE)"
+      val sy = s"CAST(s_$b AS DOUBLE)"
+      val sxx = s"CAST(ss_$a AS DOUBLE)"
+      val syy = s"CAST(ss_$b AS DOUBLE)"
+      val sxy = s"CAST(sp_${a}_$b AS DOUBLE)"
+      s"""SELECT l_returnflag, '$la' AS x_name, '$lb' AS y_name, n,
+         |       round(($n * $sxy - $sx * $sy) /
+         |         nullif(sqrt(greatest($n * $sxx - $sx * $sx, 0.0)) *
+         |                sqrt(greatest($n * $syy - $sy * $sy, 0.0)), 0.0),
+         |         6) AS corr
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |         ${sums.mkString(",\n         ")}
+       |  FROM lineitem GROUP BY l_returnflag)
+       |$branches
+       |ORDER BY l_returnflag, x_name, y_name""".stripMargin
+  }
 }

@@ -228,6 +228,71 @@ object TimeSeries {
         .orderBy("user_id")
     }),
 
+    // Rolling robust band (r13): exact 7-row trailing median + min/max
+    // per user series — the robust rolling smoother next to ts_ewma's
+    // mean-based one (a single spike drags a mean for 8 rows but
+    // leaves the median untouched), and the band a monitoring overlay
+    // draws. The warm-up rows (rn < 7) are DROPPED, which is both the
+    // standard rolling-stat convention and what makes the median
+    // cross-engine exact: every emitted frame holds exactly 7 values,
+    // so the 0.5 quantile position is p·(n−1) = 3.0 — an ELEMENT
+    // SELECTION (the 4th smallest), never an interpolation whose
+    // arithmetic shape could differ between engines (percentile ≡
+    // quantile_cont element picks proven by agg_percentile/agg_outlier).
+    // Shape: row_number + three frame aggregates share ONE user_id
+    // window sort = one shuffle; the 7-row frame is O(1) state per row
+    // at any scale.
+    "ts_rolling_median" -> ((s, d) =>
+      rollingBand(
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .select(col("user_id"), col("rn"), T.tstr(col("ts")).as("t"),
+          col("value"), col("med").as("med7"), col("lo").as("lo7"),
+          col("hi").as("hi7"))
+        .orderBy("user_id", "rn")),
+
+    // Autocorrelation function (r13): Pearson correlation between each
+    // series and its own k-lagged image, k = 1..3 — the "is yesterday
+    // predictive of today" readout behind seasonality checks, AR-order
+    // picks, and feature screening. Determinism is the [[AggOps]]
+    // moment recipe: all sums are EXACT decimal over the aligned
+    // (x_t, x_{t−k}) pairs, each moment casts to double ONCE, and the
+    // closed-form correlation is a fixed short double program (+,−,×,÷,
+    // sqrt are all correctly rounded — the agg_wilson rationale), with
+    // a greatest(·, 0) clamp so a constant series' variance rounding
+    // to −ε can't reach sqrt, and nullif so zero variance emits NULL
+    // ("undefined"), not NaN, on both engines. Shape: one user_id
+    // window (3 lag columns in one frame) + one groupBy on the SAME
+    // key the window just partitioned by — AQE reuses the exchange, so
+    // one shuffle end-to-end; the stack() fan-out to (lag_k, acf) rows
+    // is a narrow generator.
+    "ts_autocorr" -> ((s, d) =>
+      autocorr(
+        T.events(s, d).select(col("user_id"), col("event_id"),
+          col("ts"), col("value")),
+        "user_id",
+        Window.partitionBy("user_id").orderBy("ts", "event_id"),
+        maxLag = 3)
+        .orderBy("user_id", "lag_k")),
+
+    // Holt forecasting state (r13): level + linear trend per series
+    // via the classic double-exponential recurrence — what ts_ewma
+    // (level only) can't express: a steadily rising series always
+    // lags behind a pure EWMA, while Holt's trend term tracks the
+    // slope; `forecast` is the 1-step-ahead extrapolation level +
+    // trend. See [[holtSmooth]] for the exactness argument (fixed
+    // fold order, exactly-rounded ops) and the per-entity-bounded
+    // collect's scale note.
+    "ts_holt" -> ((s, d) =>
+      holtSmooth(T.events(s, d).select(col("user_id"), col("event_id"),
+          col("ts"), col("value")))
+        .select(col("user_id"), col("n_events"),
+          round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("level") + col("trend"), 6).as("forecast"))
+        .orderBy("user_id")),
+
     // Time-series anomaly detection (r9): flag events whose value
     // breaks from the series' own recent behavior — residual against
     // the one-step-ahead EWMA forecast (lag(ewma, 1): the smoothed
@@ -293,6 +358,114 @@ object TimeSeries {
       .drop((0 to 7).map(j => s"l$j"): _*)
   }
 
+  /** Append `rn` and the trailing `width`-row exact median / min / max
+    * (`med`, `lo`, `hi`) of `value` to `df`, ordered by `w`; warm-up
+    * rows (rn < width) are dropped so every emitted frame holds
+    * exactly `width` values — with odd `width` the median is an
+    * element selection, never an interpolation (see the
+    * ts_rolling_median key comment). Contracts spec'd in PropertySpec
+    * (≡ a local sliding-sort reference).
+    */
+  def rollingBand(df: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      width: Int = 7): DataFrame = {
+    require(width >= 1 && width % 2 == 1,
+      s"width must be odd (median = element selection): $width")
+    val wf = w.rowsBetween(-(width - 1), Window.currentRow)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("med", expr("percentile(value, 0.5D)").over(wf))
+      .withColumn("lo", min(col("value")).over(wf))
+      .withColumn("hi", max(col("value")).over(wf))
+      .filter(col("rn") >= width)
+  }
+
+  /** Holt double exponential smoothing (level + linear trend,
+    * α = β = 1/2) folded over each entity's (ts, event_id)-ordered
+    * series: l' = ½x + ½(l + b), b' = ½(l' − l) + ½b, init
+    * (l, b) = (x₁, 0). Returns one row per entity:
+    * (user_id, n_events, level, trend) — the final smoothed state a
+    * forecaster extrapolates from. Doubles are bit-equal cross-engine
+    * because the fold order is FIXED (one sequential recurrence) and
+    * every step is +, −, or ×½ — all exactly rounded; no decimal
+    * fencing needed (the multimodal_decode ordered-fold precedent).
+    *
+    * Scale shape: the collect is bounded by the PER-ENTITY series
+    * length — the inherent bound of any sequential recurrence (state
+    * t needs state t−1); partition-parallel across entities, never
+    * driver-side. For unbounded per-entity series the frame-local
+    * capped closed form is the alternative ([[ewmaCapped]] — O(1)
+    * per row, no trend term).
+    */
+  def holtSmooth(df: DataFrame): DataFrame =
+    df.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("value").cast("double").as("v")))).as("xs"))
+      .select(col("user_id"),
+        size(col("xs")).cast("long").as("n_events"),
+        expr("transform(xs, e -> e.v)").as("vs"))
+      .withColumn("st", expr(
+        """aggregate(slice(vs, 2, size(vs) - 1),
+          |  array(vs[0], cast(0.0 as double)),
+          |  (acc, x) -> array(
+          |    0.5D * x + 0.5D * (acc[0] + acc[1]),
+          |    0.5D * ((0.5D * x + 0.5D * (acc[0] + acc[1])) - acc[0])
+          |      + 0.5D * acc[1]))""".stripMargin))
+      .select(col("user_id"), col("n_events"),
+        col("st")(0).as("level"), col("st")(1).as("trend"))
+
+  /** Lag-k autocorrelation (sample ACF as the Pearson correlation of
+    * the aligned (x_t, x_{t−k}) pairs), k = 1..`maxLag`, per `entity`
+    * group of `df`, ordered by `w` (which must partition by `entity`).
+    * `df` needs a numeric `value` column. Returns
+    * (entity, lag_k, n_pairs, acf); acf is NULL when either side of a
+    * lag's pair set has zero variance (constant series).
+    *
+    * All raw moments (n, Σx, Σy, Σxy, Σx², Σy² restricted to rows
+    * where the lag exists) are exact DECIMAL — partition-order
+    * independent — and combine map-side; the correlation is computed
+    * once per (entity, lag) on their double images. Contracts spec'd
+    * in PropertySpec (≡ a local double-fold Pearson reference).
+    */
+  def autocorr(df: DataFrame, entity: String,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 8, s"maxLag must be in [1, 8]: $maxLag")
+    val x = T.dec(col("value"))
+    val lagged = df
+      .withColumn("x", x)
+      .withColumns((1 to maxLag).map(k =>
+        s"y$k" -> lag(x, k).over(w)).toMap)
+    val aggs = (1 to maxLag).flatMap { k =>
+      val y = col(s"y$k")
+      Seq(
+        count(y).as(s"n$k"),
+        sum(when(y.isNotNull, col("x"))).as(s"sx$k"),
+        sum(y).as(s"sy$k"),
+        sum(when(y.isNotNull, col("x") * col("x"))).as(s"sxx$k"),
+        sum(y * y).as(s"syy$k"),
+        sum(col("x") * y).as(s"sxy$k"))
+    }
+    val m = lagged.groupBy(entity).agg(aggs.head, aggs.tail: _*)
+    def acf(k: Int) = {
+      val n = col(s"n$k").cast("double")
+      val sx = col(s"sx$k").cast("double")
+      val sy = col(s"sy$k").cast("double")
+      val sxx = col(s"sxx$k").cast("double")
+      val syy = col(s"syy$k").cast("double")
+      val sxy = col(s"sxy$k").cast("double")
+      round((n * sxy - sx * sy) /
+        nullif(sqrt(greatest(n * sxx - sx * sx, lit(0.0))) *
+          sqrt(greatest(n * syy - sy * sy, lit(0.0))), lit(0.0)), 6)
+    }
+    val wide = m.select(
+      col(entity) +: (1 to maxLag).flatMap(k =>
+        Seq(col(s"n$k"), acf(k).as(s"r$k"))): _*)
+    val stacked = (1 to maxLag)
+      .map(k => s"CAST($k AS BIGINT), n$k, r$k").mkString(", ")
+    wide.selectExpr(entity,
+      s"stack($maxLag, $stacked) AS (lag_k, n_pairs, acf)")
+  }
+
   /** Shared CTE core of the EWMA oracles, generated: 8 lag columns +
     * the same telescoped coefficient CASE per term as [[ewmaCapped]].
     * Everything is exact DECIMAL on both sides, so round(·, 4) of the
@@ -325,7 +498,96 @@ object TimeSeries {
        |  FROM b)""".stripMargin
   }
 
+  /** Generated ACF oracle — same lag battery, same conditional exact
+    * decimal moments, same clamped/guarded double program as
+    * [[autocorr]], per k, so the two sides cannot drift apart. */
+  private val acfSql: String = {
+    val lags = (1 to 3).map(k =>
+      s"lag(CAST(value AS DECIMAL(18,4)), $k) OVER w AS y$k")
+      .mkString(",\n         ")
+    val moments = (1 to 3).map(k =>
+      s"""count(y$k) AS n$k,
+         |         sum(CASE WHEN y$k IS NOT NULL THEN x END) AS sx$k,
+         |         sum(y$k) AS sy$k,
+         |         sum(CASE WHEN y$k IS NOT NULL THEN x * x END) AS sxx$k,
+         |         sum(y$k * y$k) AS syy$k,
+         |         sum(x * y$k) AS sxy$k""".stripMargin)
+      .mkString(",\n         ")
+    val branches = (1 to 3).map { k =>
+      val (n, sx, sy) =
+        (s"CAST(n$k AS DOUBLE)", s"CAST(sx$k AS DOUBLE)", s"CAST(sy$k AS DOUBLE)")
+      val (sxx, syy, sxy) =
+        (s"CAST(sxx$k AS DOUBLE)", s"CAST(syy$k AS DOUBLE)", s"CAST(sxy$k AS DOUBLE)")
+      s"""SELECT user_id, CAST($k AS BIGINT) AS lag_k, n$k AS n_pairs,
+         |       round(($n * $sxy - $sx * $sy) /
+         |         nullif(sqrt(greatest($n * $sxx - $sx * $sx, 0.0)) *
+         |                sqrt(greatest($n * $syy - $sy * $sy, 0.0)), 0.0),
+         |         6) AS acf
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |  SELECT user_id, CAST(value AS DECIMAL(18,4)) AS x,
+       |         $lags
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |m AS (
+       |  SELECT user_id,
+       |         $moments
+       |  FROM b GROUP BY user_id)
+       |$branches
+       |ORDER BY user_id, lag_k""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // Every emitted frame holds exactly 7 values (rn >= 7), so the
+    // median is the 4th-smallest element on both engines — selection,
+    // not interpolation (see the key comment). min/max are exact.
+    "ts_rolling_median" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         row_number() OVER w AS rn,
+        |         quantile_cont(value, 0.5) OVER wf AS med7,
+        |         min(value) OVER wf AS lo7,
+        |         max(value) OVER wf AS hi7
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |         wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, rn,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+        |       value, med7, lo7, hi7
+        |FROM b WHERE rn >= 7 ORDER BY user_id, rn""".stripMargin,
+
+    "ts_autocorr" -> acfSql,
+
+    // The same fold replayed with list_reduce, which has no separate
+    // init parameter: the [l, b] init state is PREPENDED to the
+    // [x, 0] element pairs so the first lambda application sees
+    // (acc = init, e = x₂) exactly like Spark's aggregate(); l' is
+    // inlined twice in the trend branch (no let-binding in either
+    // lambda dialect) — the doubled subexpression evaluates to the
+    // SAME double, so the fold stays bit-equal.
+    "ts_holt" ->
+      """WITH s AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+        |  FROM events GROUP BY user_id),
+        |f AS (
+        |  SELECT user_id, n_events,
+        |         list_reduce(
+        |           list_prepend([vs[1], 0.0],
+        |             list_transform(vs[2:], x -> [x, 0.0])),
+        |           (acc, e) -> [
+        |             0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+        |             0.5 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+        |               + 0.5 * acc[2]]) AS st
+        |  FROM s)
+        |SELECT user_id, n_events,
+        |       round(st[1], 6) AS level,
+        |       round(st[2], 6) AS trend,
+        |       round(st[1] + st[2], 6) AS forecast
+        |FROM f ORDER BY user_id""".stripMargin,
+
     "ts_ewma" ->
       s"""WITH $ewmaCoreSql
          |SELECT user_id, rn,

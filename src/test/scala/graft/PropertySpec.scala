@@ -1347,4 +1347,297 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"got $got, want $want")
     }
   }
+
+  test("labelPropagation/seedDistance fast path ≡ generic for ANY simple graph") {
+    // The assumeSimple round-1 shortcuts (min-neighbor label / one-agg
+    // relaxation) must be bit-equal to the generic rounds on every
+    // DISTINCT mirrored edge set — the precondition the graph keys
+    // guarantee via supportEdges' dedup.
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 14L); d <- Gen.choose(1L, 14L)
+    } yield { val b = (a + d) % 15; (math.min(a, b), math.max(a, b)) })
+      .map(_.distinct)
+    forAllSeeded(edgeGen) { und =>
+      val dirs = (und ++ und.map { case (a, b) => (b, a) }).distinct
+      val df = dirs.toDF("src", "dst")
+      (1 to 3).foreach { r =>
+        val fast = graft.llm.LlmGraph.labelPropagation(df, r,
+            assumeSimple = true)
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        val slow = graft.llm.LlmGraph.labelPropagation(df, r)
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        assert(fast == slow, s"LPA rounds=$r: $fast vs $slow")
+      }
+      val fastD = graft.llm.LlmGraph.seedDistance(df, col("node") % 4 === 0,
+          depth = 3, assumeSimple = true)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val slowD = graft.llm.LlmGraph.seedDistance(df, col("node") % 4 === 0,
+          depth = 3)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(fastD == slowD, s"seedDistance: $fastD vs $slowD")
+    }
+  }
+
+  test("jaccardPairs ≡ local neighborhood sets for ANY simple graph") {
+    // Independent reference: materialize each node's neighbor SET with
+    // Scala collections and score every pair directly — the operator
+    // counts common neighbors through per-center wedges instead, so a
+    // wedge-enumeration bug (double count, missed orientation) cannot
+    // agree with this by accident.
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 11L); d <- Gen.choose(1L, 11L)
+    } yield { val b = (a + d) % 12; (math.min(a, b), math.max(a, b)) })
+      .map(_.distinct)
+    forAllSeeded(edgeGen) { und =>
+      val got = graft.llm.LlmGraph.jaccardPairs(
+          und.toDF("u", "v"), minCommon = 1)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+        .toMap
+      val nb = (und ++ und.map { case (a, b) => (b, a) })
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+      val nodes = nb.keys.toSeq.sorted
+      val want = (for {
+        a <- nodes; b <- nodes if a < b
+        common = (nb(a) & nb(b)).size if common >= 1
+      } yield {
+        val j = BigDecimal(common.toDouble / (nb(a) ++ nb(b)).size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (a, b) -> ((common.toLong, j))
+      }).toMap
+      assert(got == want, s"got ${got.toSeq.sorted.take(6)}, " +
+        s"want ${want.toSeq.sorted.take(6)}")
+    }
+  }
+
+  test("corrMatrix ≡ local centered-form Pearson for ANY grouped columns") {
+    // Independent reference: the textbook two-pass centered formula
+    // Σ(x−x̄)(y−ȳ)/√(Σ(x−x̄)²·Σ(y−ȳ)²) in plain doubles — a different
+    // computation of the same statistic than the operator's raw-moment
+    // program, so they agree only within conditioning (1e-6 here), and
+    // a moment-bookkeeping bug (swapped pair, wrong square) lands far
+    // outside that. Constant columns must yield NULL on both.
+    val rowGen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b")
+      x <- Gen.choose(0, 2000).map(_ / 16.0)
+      y <- Gen.choose(0, 2000).map(_ / 16.0)
+    } yield (g, x, y, 5.0)) // z constant → corr with z must be NULL
+    forAllSeeded(rowGen) { rows =>
+      val got = graft.operators.AggOps.corrMatrix(
+          rows.toDF("g", "x", "y", "z"),
+          Seq("x" -> "x", "y" -> "y", "z" -> "z"))
+        .collect()
+        .map(r => ((r.getString(0), r.getString(2), r.getString(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        .toMap
+      def pearson(ps: Seq[(Double, Double)]): Option[Double] = {
+        val n = ps.size
+        val mx = ps.map(_._1).sum / n; val my = ps.map(_._2).sum / n
+        val vx = ps.map(p => (p._1 - mx) * (p._1 - mx)).sum
+        val vy = ps.map(p => (p._2 - my) * (p._2 - my)).sum
+        if (vx == 0.0 || vy == 0.0) None
+        else Some(ps.map(p => (p._1 - mx) * (p._2 - my)).sum /
+          (math.sqrt(vx) * math.sqrt(vy)))
+      }
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        Seq(("x", "y", rs.map(r => (r._2, r._3))),
+            ("x", "z", rs.map(r => (r._2, r._4))),
+            ("y", "z", rs.map(r => (r._3, r._4)))).foreach {
+          case (a, b, ps) =>
+            (got((g, a, b)), pearson(ps)) match {
+              case (None, None) =>
+              case (Some(gc), Some(wc)) =>
+                assert(math.abs(gc - wc) <= 1e-6,
+                  s"corr($g,$a,$b): $gc vs $wc")
+              case (gc, wc) => fail(s"corr($g,$a,$b): $gc vs $wc")
+            }
+        }
+      }
+    }
+  }
+
+  test("autocorr ≡ local lagged-pair Pearson for ANY series") {
+    // Same centered-form independence argument as corrMatrix, applied
+    // per (entity, lag) over the aligned (x_t, x_{t−k}) pairs of each
+    // series in its (ts, event_id) order.
+    val seriesGen = Gen.nonEmptyListOf(for {
+      u <- Gen.oneOf(1L, 2L)
+      v <- Gen.choose(0, 1600).map(_ / 16.0)
+    } yield (u, v)).map(_.zipWithIndex.map { case ((u, v), i) =>
+      (u, i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L), v) })
+    forAllSeeded(seriesGen) { rows =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val got = graft.operators.TimeSeries.autocorr(
+          rows.toDF("user_id", "event_id", "ts", "value"),
+          "user_id", w, maxLag = 2)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+        .toMap
+      def pearson(ps: Seq[(Double, Double)]): Option[Double] = {
+        val n = ps.size
+        if (n == 0) return None
+        val mx = ps.map(_._1).sum / n; val my = ps.map(_._2).sum / n
+        val vx = ps.map(p => (p._1 - mx) * (p._1 - mx)).sum
+        val vy = ps.map(p => (p._2 - my) * (p._2 - my)).sum
+        if (vx == 0.0 || vy == 0.0) None
+        else Some(ps.map(p => (p._1 - mx) * (p._2 - my)).sum /
+          (math.sqrt(vx) * math.sqrt(vy)))
+      }
+      rows.groupBy(_._1).foreach { case (u, rs0) =>
+        val vs = rs0.sortBy(_._2).map(_._4)
+        (1 to 2).foreach { k =>
+          val ps = vs.drop(k).zip(vs.dropRight(k))
+          val (n, gc) = got((u, k.toLong))
+          assert(n == ps.size, s"n_pairs($u,$k): $n vs ${ps.size}")
+          (gc, pearson(ps)) match {
+            case (None, None) =>
+            case (Some(g), Some(wc)) =>
+              assert(math.abs(g - wc) <= 1e-6, s"acf($u,$k): $g vs $wc")
+            case (g, wc) => fail(s"acf($u,$k): $g vs $wc")
+          }
+        }
+      }
+    }
+  }
+
+  test("holtSmooth ≡ local recurrence fold for ANY series") {
+    // Independent reference: the textbook Holt recurrence replayed as
+    // a plain Scala fold — the operator evaluates the identical fixed
+    // double program (α = β = ½, one sequential order), so the final
+    // states must be BIT-equal, asserted exactly.
+    val seriesGen = Gen.nonEmptyListOf(for {
+      u <- Gen.oneOf(1L, 2L)
+      v <- Gen.choose(0, 1600).map(_ / 16.0)
+    } yield (u, v)).map(_.zipWithIndex.map { case ((u, v), i) =>
+      (u, i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L), v) })
+    forAllSeeded(seriesGen) { rows =>
+      val got = graft.operators.TimeSeries.holtSmooth(
+          rows.toDF("user_id", "event_id", "ts", "value"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      rows.groupBy(_._1).foreach { case (u, rs0) =>
+        val vs = rs0.sortBy(_._2).map(_._4)
+        var l = vs.head; var b = 0.0
+        vs.tail.foreach { x =>
+          val nl = 0.5 * x + 0.5 * (l + b)
+          b = 0.5 * (nl - l) + 0.5 * b
+          l = nl
+        }
+        assert(got(u) == ((vs.size.toLong, l, b)),
+          s"holt($u): ${got(u)} vs (${vs.size}, $l, $b)")
+      }
+    }
+  }
+
+  test("kcorePeel ≡ local iterative peel for ANY graph") {
+    // Independent reference: the same fixed-round peel with Scala
+    // collections — per round, recompute degrees over survivors and
+    // drop nodes below k; a join/mirror bookkeeping bug (stale degree,
+    // one-sided drop) cannot agree with it.
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 11L); d <- Gen.choose(1L, 11L)
+    } yield { val b = (a + d) % 12; (math.min(a, b), math.max(a, b)) })
+      .map(_.distinct)
+    forAllSeeded(edgeGen) { und =>
+      (1 to 3).foreach { k =>
+        val got = graft.llm.LlmGraph.kcorePeel(
+            und.toDF("u", "v"), k = k, rounds = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        var es = und
+        (1 to 2).foreach { _ =>
+          val deg = (es ++ es.map(p => (p._2, p._1)))
+            .groupBy(_._1).map { case (n, xs) => n -> xs.size }
+          val keep = deg.filter(_._2 >= k).keySet
+          es = es.filter(p => keep(p._1) && keep(p._2))
+        }
+        val want = (es ++ es.map(p => (p._2, p._1)))
+          .groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+        assert(got == want, s"k=$k: $got vs $want")
+      }
+    }
+  }
+
+  test("agg_ttest-style Welch ≡ local centered-form fold for ANY cohorts") {
+    // Independent reference: per-cohort mean/variance via the two-pass
+    // centered formulas, then the Welch t and df — a different
+    // computation of the same statistics than the raw-moment program
+    // (1e-6 agreement; the corrMatrix argument). Exercised through the
+    // registered query over a written parquet fixture so the WHOLE key
+    // (conditional moments + guards) is under test.
+    val rowGen = Gen.nonEmptyListOf(for {
+      et <- Gen.oneOf("x", "y")
+      uid <- Gen.choose(0L, 9L)
+      v <- Gen.choose(0, 1600).map(_ / 16.0)
+    } yield (et, uid, v))
+      // both cohorts need n ≥ 2 for a defined variance — pad
+      .map(_ ++ Seq(("x", 0L, 1.0), ("x", 2L, 2.0), ("x", 1L, 3.0),
+        ("x", 3L, 4.0), ("y", 0L, 1.0), ("y", 2L, 2.0), ("y", 1L, 3.0),
+        ("y", 3L, 4.0)))
+    forAllSeeded(rowGen) { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("ttest").toString
+      rows.zipWithIndex
+        .map { case ((et, uid, v), i) =>
+          (uid, i.toLong, new java.sql.Timestamp(1700000000000L + i), et, v) }
+        .toDF("user_id", "event_id", "ts", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("agg_ttest")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+          r.getDouble(5), r.getDouble(6))))
+        .toMap
+      rows.groupBy(_._1).foreach { case (et, rs) =>
+        val as = rs.filter(_._2 % 2 == 0).map(_._3)
+        val bs = rs.filter(_._2 % 2 != 0).map(_._3)
+        def mv(xs: Seq[Double]) = {
+          val m = xs.sum / xs.size
+          (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+        }
+        val ((ma, va), (mb, vb)) = (mv(as), mv(bs))
+        val (wa, wb) = (va / as.size, vb / bs.size)
+        val t = (ma - mb) / math.sqrt(wa + wb)
+        val df = (wa + wb) * (wa + wb) /
+          (wa * wa / (as.size - 1) + wb * wb / (bs.size - 1))
+        val (gn, gm, gt, gdf) = got(et)
+        assert(gn == as.size && gm == bs.size, s"$et counts: ${got(et)}")
+        assert(math.abs(gt - t) <= 1e-6, s"$et t: $gt vs $t")
+        assert(math.abs(gdf - df) <= 1e-6, s"$et df: $gdf vs $df")
+      }
+    }
+  }
+
+  test("rollingBand ≡ local sliding sort for ANY series") {
+    // Independent reference: sort each trailing width-window with
+    // Scala collections; median is the middle ELEMENT (odd width),
+    // lo/hi the ends. Pins both the frame bounds (exactly width rows,
+    // warm-up dropped) and the no-interpolation median contract.
+    val seriesGen = Gen.nonEmptyListOf(for {
+      u <- Gen.oneOf(1L, 2L)
+      v <- Gen.choose(0, 1600).map(_ / 16.0)
+    } yield (u, v)).map(_.zipWithIndex.map { case ((u, v), i) =>
+      (u, i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L), v) })
+    forAllSeeded(seriesGen) { rows =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val width = 3
+      val got = graft.operators.TimeSeries.rollingBand(
+          rows.toDF("user_id", "event_id", "ts", "value"), w, width)
+        .select("user_id", "rn", "med", "lo", "hi")
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)),
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      val want = rows.groupBy(_._1).flatMap { case (u, rs0) =>
+        val vs = rs0.sortBy(_._2).map(_._4)
+        vs.indices.drop(width - 1).map { i =>
+          val fr = vs.slice(i - width + 1, i + 1).sorted
+          (u, i + 1) -> ((fr(width / 2), fr.head, fr.last))
+        }
+      }
+      assert(got == want.toMap, s"got ${got.toSeq.sorted.take(5)}, " +
+        s"want ${want.toSeq.sorted.take(5)}")
+    }
+  }
 }
