@@ -377,6 +377,150 @@ object StreamOps {
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
   }
 
+  /** One flagged streaming anomaly: `rn` is the row's 1-based position
+    * in its user's event-time order, `z` the score against the moments
+    * of everything BEFORE it. */
+  final case class AnomOut(user_id: Long, rn: Long, t: String,
+      value: Double, z: Double)
+
+  /** Streaming z-score anomaly detector — the continuous form of
+    * `ts_anomaly`: flag each arriving value against its user's OWN
+    * history, using only state available AT ARRIVAL (a stream can't
+    * see the future residual distribution the batch Tukey fences
+    * rank). State per user is three numbers — count + EXACT-DECIMAL
+    * Σx and Σx² (java BigDecimal at the encoder's (38,18): scale-4
+    * inputs and scale-8 squares add exactly) — O(1) per key at any
+    * scale, and exactly the moments the SQL replay takes from
+    * `1 PRECEDING` prefix windows. The z program mirrors the oracle
+    * double-for-double (sd/nd mean, (ssd − sd·sd/nd)/(nd − 1) prior
+    * sample variance, sqrt/greatest clamp, |x−μ| > 3σ gate, σ > 0
+    * guard), so the flag set and scores are bit-identical.
+    *
+    * Replay order within a call is (event time, event_id) — batch
+    * mode hands a user's whole history in one call and the sort makes
+    * the fold the ordered-log replay the oracle mirrors; across
+    * micro-batches the moments carry, so a batch-2 spike is judged
+    * against batch-1's fitted history (the StreamingSpec scenario).
+    * Warm-up: the first 8 rows per user only fit, never flag.
+    */
+  final class ZScoreProcessor extends StatefulProcessor[
+      Long, (Long, Long, java.sql.Timestamp, Double), AnomOut] {
+    @transient private var st: ValueState[
+      (Long, java.math.BigDecimal, java.math.BigDecimal)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[
+        (Long, java.math.BigDecimal, java.math.BigDecimal)]("zmoments",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.DECIMAL,
+          org.apache.spark.sql.Encoders.DECIMAL), TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+        timerValues: TimerValues): Iterator[AnomOut] = {
+      val zero = java.math.BigDecimal.ZERO
+      var (n, s, ss) = if (st.exists()) st.get() else (0L, zero, zero)
+      val out = scala.collection.mutable.ArrayBuffer.empty[AnomOut]
+      // Sort on full micro precision (epoch-second, nanos), not
+      // getTime's millis — two same-millisecond events must replay in
+      // the oracle's ORDER BY ts, event_id order, not tie-break early.
+      rows.toArray.sortBy(r =>
+        (r._3.toInstant.getEpochSecond, r._3.getNanos.toLong, r._2))
+        .foreach { r =>
+        val x = r._4
+        if (n >= 8) {
+          val nd = n.toDouble
+          val sd = s.doubleValue; val ssd = ss.doubleValue
+          val mu = sd / nd
+          val sigma = math.sqrt(
+            math.max((ssd - sd * sd / nd) / (nd - 1.0), 0.0))
+          if (sigma > 0 && math.abs(x - mu) > 3.0 * sigma)
+            out += AnomOut(key, n + 1,
+              java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss")
+                .withZone(java.time.ZoneOffset.UTC)
+                .format(java.time.Instant.ofEpochMilli(r._3.getTime)),
+              x,
+              java.math.BigDecimal.valueOf((x - mu) / sigma)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+        }
+        val x4 = java.math.BigDecimal.valueOf(x)
+          .setScale(4, java.math.RoundingMode.HALF_UP)
+        n += 1
+        s = s.add(x4)
+        ss = ss.add(x4.multiply(x4))
+      }
+      st.update((n, s, ss))
+      out.iterator
+    }
+  }
+
+  /** Run [[ZScoreProcessor]] over an events frame — batch or
+    * streaming. */
+  def zscoreStream(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    ensureStateStoreCoordinator(s)
+    events.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new ZScoreProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** The current exact-k stratum sample after a batch: the k docs
+    * with the smallest `sample_key` hashes seen so far. */
+  final case class SampleOut(lang: String, doc_id: Long,
+      sample_key: String, rk: Long)
+
+  /** Bounded min-k state: the retained (hash, doc_id) pairs. */
+  final case class SampleState(items: List[(String, Long)])
+
+  /** Streaming exact-k stratified sampler — `sample_stratified_k` as
+    * continuous state: per stratum, keep the k docs with the SMALLEST
+    * md5 sample keys seen so far. min-k over a hash is a semilattice
+    * (merge order never matters), so unlike every first-seen stream
+    * operator the sample CONVERGES to exactly the batch draw no
+    * matter how arrivals interleave — after any prefix of the log,
+    * state ≡ `sample_stratified_k` over that prefix (asserted in
+    * StreamingSpec across batches, and the batch key's oracle IS the
+    * batch ranking). State per stratum is k pairs — O(k), never
+    * corpus-sized; each batch emits the stratum's refreshed sample
+    * snapshot.
+    */
+  final class MinKSampleProcessor(k: Int) extends StatefulProcessor[
+      String, (String, Long, String), SampleOut] {
+    @transient private var st: ValueState[SampleState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SampleState]("mink",
+        org.apache.spark.sql.Encoders.product[SampleState], TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, String)],
+        timerValues: TimerValues): Iterator[SampleOut] = {
+      val prev = if (st.exists()) st.get().items else Nil
+      val merged = (prev ++ rows.map(r => (r._3, r._2)))
+        .sorted.take(k)
+      st.update(SampleState(merged))
+      merged.iterator.zipWithIndex.map { case ((h, id), i) =>
+        SampleOut(key, id, h, i + 1L)
+      }
+    }
+  }
+
+  /** Run [[MinKSampleProcessor]] over a (lang, doc_id, sample_key)
+    * frame — batch or streaming. */
+  def minKSample(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    ensureStateStoreCoordinator(s)
+    docs.select(col("lang"), col("doc_id"), col("sample_key"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new MinKSampleProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Running per-user count via `flatMapGroupsWithState` — the
     * pre-Spark-4 stateful API, kept as the fallback path.
     */
@@ -531,6 +675,25 @@ object StreamOps {
         .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"))
         .orderBy("doc_id")),
 
+    // Streaming z-score anomaly ([[ZScoreProcessor]]): each value
+    // judged against its user's history AT ARRIVAL — three exact
+    // numbers of state per user. Batch run = one micro-batch over the
+    // event-time-ordered log; cross-batch moment carry is the
+    // StreamingSpec scenario.
+    "stream_anomaly" -> ((s, d) =>
+      zscoreStream(T.events(s, d)).orderBy("user_id", "rn")),
+
+    // Streaming exact-k stratified sample ([[MinKSampleProcessor]]):
+    // min-k-by-hash per lang — order-independent, so the stream
+    // CONVERGES to the batch sample_stratified_k draw (same md5
+    // contract, k = 50). Batch run = one micro-batch over the doc
+    // log; cross-batch convergence is the StreamingSpec scenario.
+    "stream_sample" -> ((s, d) =>
+      minKSample(
+        graft.T.documents(s, d).withColumn("sample_key",
+          md5(concat_ws(":", col("doc_id"), lit(42)))), k = 50)
+        .orderBy("lang", "rk")),
+
     // Streaming CDC upsert ([[CdcProcessor]]): 'error' deletes the
     // key, anything else upserts value; last (event-time, event_id)
     // wins. Batch run = one micro-batch over the whole changelog;
@@ -607,6 +770,58 @@ object StreamOps {
         |       rk, event_type, n
         |FROM r WHERE rk <= 3
         |ORDER BY win_start, rk""".stripMargin,
+
+    // The prefix-moment replay of [[ZScoreProcessor]]: the 1-PRECEDING
+    // frame gives each row exactly the Σ/Σ²/count its arrival saw
+    // (exact DECIMAL — the processor's BigDecimal state holds the
+    // same rationals, so the double images match bit-for-bit); the
+    // same mean/variance/σ program, the same σ > 0 and 3σ gates, the
+    // same warm-up (np >= 8). Width 19 forces DuckDB's int128
+    // multiply path (the agg_corr note).
+    "stream_anomaly" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         row_number() OVER w AS rn,
+        |         count(*) OVER wp AS np,
+        |         sum(CAST(value AS DECIMAL(19,4))) OVER wp AS s,
+        |         sum(CAST(value AS DECIMAL(19,4))
+        |             * CAST(value AS DECIMAL(19,4))) OVER wp AS ss
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |         wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |c AS (
+        |  SELECT user_id, rn, ts, value,
+        |         CAST(np AS DOUBLE) AS nd,
+        |         CAST(s AS DOUBLE) AS sd, CAST(ss AS DOUBLE) AS ssd
+        |  FROM b WHERE np >= 8),
+        |v AS (
+        |  SELECT user_id, rn, ts, value, sd / nd AS mu,
+        |         sqrt(greatest((ssd - sd * sd / nd) / (nd - 1.0), 0.0))
+        |           AS sigma
+        |  FROM c)
+        |SELECT user_id, rn,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, value,
+        |       round((value - mu) / sigma, 6) AS z
+        |FROM v WHERE sigma > 0 AND abs(value - mu) > 3.0 * sigma
+        |ORDER BY user_id, rn""".stripMargin,
+
+    // min-k over a hash is order-independent, so the streamed state
+    // after the whole log IS the batch draw: the oracle is the
+    // sample_stratified_k ranking at k = 50 (same md5(doc_id:42)
+    // contract, doc_id tiebreak).
+    "stream_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |         md5(concat_ws(':', doc_id, 42)) AS sample_key
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, sample_key,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY sample_key, doc_id) AS rk
+        |  FROM h)
+        |SELECT lang, doc_id, sample_key, rk
+        |FROM r WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
 
     // Bit-for-bit replay of the portable minhash banding: same token
     // 3-gram shingles (the duckNgramCtes construction), same 48-bit

@@ -621,4 +621,89 @@ class StreamingSpec extends SparkSpec {
     // user 2: exactly-30-min gap merges into one session of 2.
     assert(sess == Seq((1L, 1L), (1L, 3L), (2L, 2L)), sess.toString)
   }
+
+  test("stream_anomaly: a batch-2 spike is judged against batch-1's fitted moments") {
+    // The ZScoreProcessor contract: moments carry across micro-batches,
+    // so a spike arriving in batch 2 is scored against the history
+    // batch 1 fitted — and the first 8 rows only fit, never flag.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Long, Timestamp, Double)]
+      val out = StreamOps.zscoreStream(
+        in.toDF().toDF("user_id", "event_id", "ts", "value"))
+      val q = out.writeStream.format("memory").queryName("anom_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // batch 1: 8 alternating calm values — warm-up only, no flags
+        val calm = Seq(1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0)
+        in.addData(calm.zipWithIndex.map { case (v, i) =>
+          (1L, i.toLong, ts(f"2024-01-01 00:0${i}%01d:00"), v) }: _*)
+        q.processAllAvailable()
+        assert(spark.table("anom_sink").count() == 0, "warm-up must not flag")
+        // batch 2: a spike and a calm row
+        in.addData((1L, 8L, ts("2024-01-01 00:08:00"), 50.0),
+                   (1L, 9L, ts("2024-01-01 00:09:00"), 1.5))
+        q.processAllAvailable()
+        val got = spark.table("anom_sink")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+            r.getDouble(4))).toSeq
+        // batch-1 moments: n=8, Σ=12, Σ²=20 → μ=1.5,
+        // σ = sqrt((20−18)/7) ≈ 0.5345; 50.0 breaks 3σ, 1.5 (scored
+        // against the 9-row moments including the spike) does not.
+        val mu = 12.0 / 8.0
+        val sigma = math.sqrt((20.0 - 12.0 * 12.0 / 8.0) / 7.0)
+        val z = BigDecimal((50.0 - mu) / sigma)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got == Seq((1L, 9L, 50.0, z)), got.toString)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("stream_sample: min-k state converges to the batch draw across batches") {
+    // The MinKSampleProcessor contract: min-k-by-hash is a semilattice,
+    // so after any prefix of the log the state equals the BATCH ranking
+    // over that prefix, regardless of arrival interleaving.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      def key(id: Long): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        d.digest(s"$id:42".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+      }
+      def top3(ids: Seq[Long]): Seq[(Long, Long)] =
+        ids.map(i => (key(i), i)).sorted.take(3)
+          .zipWithIndex.map { case ((_, id), i) => (id, i + 1L) }
+      val in = MemoryStream[(String, Long)]
+      val out = StreamOps.minKSample(
+        in.toDF().toDF("lang", "doc_id")
+          .withColumn("sample_key",
+            md5(concat_ws(":", col("doc_id"), lit(42)))), k = 3)
+      val q = out.writeStream.format("memory").queryName("mink_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData((1L to 5L).map(i => ("a", i)): _*)
+        q.processAllAvailable()
+        in.addData((6L to 10L).map(i => ("a", i)): _*)
+        q.processAllAvailable()
+        val rows = spark.table("mink_sink")
+          .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+        // snapshot 1 = batch draw over 1..5; snapshot 2 = over 1..10
+        assert(rows.size == 6, s"want two 3-row snapshots, got $rows")
+        assert(rows.toSet == (top3(1L to 5L) ++ top3(1L to 10L)).toSet,
+          s"got $rows, want ${top3(1L to 5L)} then ${top3(1L to 10L)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
