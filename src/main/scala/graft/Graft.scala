@@ -34,7 +34,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graft.knnIvf(embeddings, 10, 16)
   * }}}
   *
-  * The driver-facing query catalog (the 191 `SparkEntry.queries` keys)
+  * The driver-facing query catalog (the 196 `SparkEntry.queries` keys)
   * sits one level up and is built FROM these pieces — this object is
   * the programmatic surface.
   */
@@ -91,6 +91,9 @@ object Graft {
   val retentionTriangle = operators.WindowOps.retentionTriangle _
   /** Gaps-and-islands consecutive runs ([[operators.WindowOps.islands]]). */
   val islands = operators.WindowOps.islands _
+  /** Markov transition counts + mean gaps between consecutive events
+    * ([[operators.WindowOps.transitionMatrix]]). */
+  val transitionMatrix = operators.WindowOps.transitionMatrix _
   /** SCD Type-2 change-history compression
     * ([[operators.DomainOps.scd2Compress]]). */
   val scd2Compress = operators.DomainOps.scd2Compress _
@@ -106,6 +109,12 @@ object Graft {
   /** One-pass pairwise Pearson correlation matrix
     * ([[operators.AggOps.corrMatrix]]). */
   val corrMatrix = operators.AggOps.corrMatrix _
+  /** One-way ANOVA F from one-pass conditional moments
+    * ([[operators.AggOps.oneWayF]]). */
+  val oneWayF = operators.AggOps.oneWayF _
+  /** Exact rank-formula Gini concentration per group
+    * ([[operators.AggOps.giniIndex]]). */
+  val giniIndex = operators.AggOps.giniIndex _
   /** Per-entity lag-k autocorrelation battery
     * ([[operators.TimeSeries.autocorr]]). */
   val autocorr = operators.TimeSeries.autocorr _
@@ -118,6 +127,9 @@ object Graft {
   /** Holt level+trend smoothing state per series
     * ([[operators.TimeSeries.holtSmooth]]). */
   val holtSmooth = operators.TimeSeries.holtSmooth _
+  /** Hour-bucketed lagged cross-correlation between two streams
+    * ([[operators.TimeSeries.crossCorr]]). */
+  val crossCorr = operators.TimeSeries.crossCorr _
 
   // ---- data quality ------------------------------------------------
   /** Per-column completeness/cardinality/range profile
@@ -154,6 +166,9 @@ object Graft {
   val jaccardPairs = llm.LlmGraph.jaccardPairs _
   /** Fixed-round k-core peel ([[llm.LlmGraph.kcorePeel]]). */
   val kcorePeel = llm.LlmGraph.kcorePeel _
+  /** Degree assortativity over mirrored endpoint degrees
+    * ([[llm.LlmGraph.degreeAssortativity]]). */
+  val degreeAssortativity = llm.LlmGraph.degreeAssortativity _
 
   // ---- dedup family ------------------------------------------------
   /** Shingle-Jaccard near-dup pairs ([[llm.LlmDedup.ngramPairs]]). */

@@ -512,7 +512,21 @@ object LlmGraph {
       kcorePeel(e, k = 2, rounds = 2)
         .withColumnRenamed("node", "part_id")
         .orderBy("part_id")
-    })
+    }),
+
+    // Degree assortativity (r13): does the support graph wire
+    // hubs-to-hubs (r > 0, the social-network signature) or
+    // hubs-to-leaves (r < 0, the web/infrastructure signature)? One
+    // number per graph, and the standard first question a structure
+    // audit asks before trusting degree-based curation thresholds —
+    // a strongly disassortative corpus graph means hub caps cut
+    // leaf-reachable mass, an assortative one means they isolate a
+    // core. Pearson over the mirrored edge list's endpoint degrees;
+    // by symmetry both marginals coincide, so the denominator is the
+    // variance itself — no sqrt anywhere in the program.
+    "graph_assortativity" -> ((s, d) =>
+      degreeAssortativity(supportEdges(s, d))
+        .orderBy("n_edges"))
   )
 
   /** Support-≥2 part co-occurrence edges over `lineitem` — parts are
@@ -768,6 +782,55 @@ object LlmGraph {
         round(col("common").cast("double") /
           (col("da") + col("db") - col("common")).cast("double"), 6)
           .as("jaccard"))
+  }
+
+  /** Degree assortativity over UNDIRECTED edges `(u, v)` with
+    * `u < v`, deduplicated: the Pearson correlation of the endpoint
+    * degrees (deg(src), deg(dst)) over the MIRRORED edge list — the
+    * "do hubs attach to hubs" coefficient. Returns ONE row
+    * (n_edges, mean_deg, assortativity): n_edges counts undirected
+    * edges, mean_deg is the edge-endpoint mean E[deg(src)] (the
+    * size-biased mean, NOT the per-node mean — each node weighted by
+    * its degree), assortativity NULL when every endpoint degree is
+    * equal (zero variance — e.g. a perfect matching or a single
+    * cycle).
+    *
+    * Mirroring makes the two marginals identical (every edge
+    * contributes (x,y) and (y,x)), so Sx = Sy and Sxx = Syy and the
+    * Pearson denominator √(M·Sxx−Sx²)·√(M·Syy−Sy²) collapses to the
+    * variance M·Sxx−Sx² itself — an all-integer program up to the
+    * single division (exactly rounded both engines), no sqrt. The
+    * degree frame is node-sized and joins back on the endpoint
+    * columns; moments ride exact DECIMAL (deg ≤ |V| and
+    * Σ deg·deg ≤ M·maxdeg² needs more than 64 bits on a hub-heavy
+    * web graph). One mirrored shuffle + two node-sized joins + one
+    * scalar aggregate — shuffle-bounded at any scale. Contracts
+    * spec'd in PropertySpec (≡ a local exact-rational fold).
+    */
+  def degreeAssortativity(e: DataFrame): DataFrame = {
+    require(e.columns.toSeq == Seq("u", "v"),
+      s"edges must be exactly (u, v), got: ${e.columns.mkString(",")}")
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = adj.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("dg"))
+    def d19(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val m = adj
+      .join(deg.select(col("node").as("src"), col("dg").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("dg").as("dy")), Seq("dst"))
+      .agg(
+        count(lit(1)).as("m2"),
+        sum(d19(col("dx"))).as("sx"),
+        sum(d19(col("dx")) * d19(col("dx"))).as("sxx"),
+        sum(d19(col("dx")) * d19(col("dy"))).as("sxy"))
+    val (m2, sx) = (col("m2").cast("double"), col("sx").cast("double"))
+    val (sxx, sxy) = (col("sxx").cast("double"), col("sxy").cast("double"))
+    m.select(
+      (col("m2") / 2).cast("long").as("n_edges"),
+      round(sx / m2, 6).as("mean_deg"),
+      round((m2 * sxy - sx * sx) /
+        nullif(m2 * sxx - sx * sx, lit(0.0)), 6).as("assortativity"))
   }
 
   /** Per-node triangle participation counts over UNDIRECTED edges
@@ -1036,6 +1099,41 @@ object LlmGraph {
         |ed2 AS (SELECT u AS src, v AS dst FROM e2
         |        UNION ALL SELECT v, u FROM e2)
         |SELECT src AS part_id, count(*) AS deg
-        |FROM ed2 GROUP BY src ORDER BY part_id""".stripMargin
+        |FROM ed2 GROUP BY src ORDER BY part_id""".stripMargin,
+
+    // Same support-≥2 edges, same mirrored endpoint-degree joins,
+    // same exact-DECIMAL moments (width 19 — the int128-path note)
+    // and the same sqrt-free double program: the mirrored marginals
+    // coincide, so the denominator is the variance itself. m2/2 as
+    // BIGINT (the HUGEINT trap); the division double images are cast
+    // in the same order as the operator's.
+    "graph_assortativity" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ed AS (SELECT u AS src, v AS dst FROM e
+        |       UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT src AS node, count(*) AS dg FROM ed GROUP BY 1),
+        |m AS (
+        |  SELECT count(*) AS m2,
+        |         sum(CAST(da.dg AS DECIMAL(19,0))) AS sx,
+        |         sum(CAST(da.dg AS DECIMAL(19,0))
+        |             * CAST(da.dg AS DECIMAL(19,0))) AS sxx,
+        |         sum(CAST(da.dg AS DECIMAL(19,0))
+        |             * CAST(db.dg AS DECIMAL(19,0))) AS sxy
+        |  FROM ed JOIN deg da ON ed.src = da.node
+        |          JOIN deg db ON ed.dst = db.node)
+        |SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+        |       round(CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE), 6)
+        |         AS mean_deg,
+        |       round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        |             nullif(CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+        |                    0.0), 6) AS assortativity
+        |FROM m ORDER BY n_edges""".stripMargin
   )
 }

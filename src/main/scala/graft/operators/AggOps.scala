@@ -524,7 +524,45 @@ object AggOps {
           "l_discount" -> "discount", "l_tax" -> "tax"))
         .select(col("g").as("l_returnflag"), col("x_name"), col("y_name"),
           col("n"), col("corr"))
-        .orderBy("l_returnflag", "x_name", "y_name"))
+        .orderBy("l_returnflag", "x_name", "y_name")),
+
+    // One-way ANOVA (r13): per user-id-residue segment (mod 4), the F
+    // statistic for "does mean value differ across the five event
+    // types?" — the k-cohort generalization of agg_ttest's two-cohort
+    // readout, and the screening test run before any per-type
+    // breakdown is trusted. ONE aggregate takes all fifteen
+    // conditional exact-decimal moments (the agg_ttest recipe at
+    // k = 5); the between/within sums of squares are then a FIXED
+    // five-term double chain (written out explicitly, so the
+    // association is identical cross-engine) and F is two guarded
+    // divisions. No second scan, no join, no data-dependent
+    // iteration order anywhere.
+    "agg_anova" -> ((s, d) =>
+      oneWayF(
+        T.events(s, d).select((col("user_id") % 4).as("g"),
+          col("event_type").as("cat"), col("value")),
+        Seq("click", "error", "purchase", "signup", "view"))
+        .withColumnRenamed("g", "segment")
+        .orderBy("segment")),
+
+    // Gini concentration (r13): per event type, the Gini coefficient
+    // of the value distribution — the inequality readout ("is spend
+    // concentrated in a few whales?") a monetization or corpus-mass
+    // dashboard puts next to the mean. Exact rank formula
+    // G = (2·Σ rn·x − (n+1)·Σx) / (n·Σx) over the (value, event_id)
+    // total order: one window shuffle for the ranks, one aggregate
+    // for the two exact-DECIMAL sums (rank·value products stay
+    // decimal — no floats until the final fixed program), then one
+    // guarded division. Values are non-negative by contract (the
+    // fixture's are strictly positive); the event_id tiebreak makes
+    // the rank — and therefore the statistic — a pure function of
+    // the data.
+    "agg_gini" -> ((s, d) =>
+      giniIndex(
+        T.events(s, d).select(col("event_type").as("g"),
+          col("event_id").as("tie"), col("value")))
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type"))
   )
 
   /** Two-sided 95% normal quantile, and its square — shared by the
@@ -573,6 +611,99 @@ object AggOps {
       s"'$la', '$lb', r$i" }.mkString(", ")
     wide.selectExpr("g", "n",
       s"stack(${pairs.size}, $stacked) AS (x_name, y_name, corr)")
+  }
+
+  /** One-way ANOVA F per group over `df("g", "cat", "value")`,
+    * restricted to the EXPLICIT category list `cats` (2..8 entries —
+    * the conditional-moment fan-out is one aggregate column triple
+    * per category, the [[corrMatrix]] shape). Returns
+    * (g, n, k, f_stat, ss_between, ss_within): n counts rows in
+    * listed categories, k counts categories present in the group,
+    * f_stat NULL when k ≤ 1 or the within-spread is zero.
+    *
+    * All moments (per-category n/Σx/Σx²) are exact DECIMAL from ONE
+    * map-side-combining aggregate; the between term
+    * Σ_c s_c²/n_c − S²/N and the within term Σ_c ss_c − Σ_c s_c²/n_c
+    * are then fixed double chains whose term ORDER is the `cats`
+    * order — written out explicitly so both engines fold identically
+    * (+,−,×,÷ all correctly rounded). greatest(·, 0) clamps the two
+    * sums of squares against −ε rounding; absent categories
+    * contribute literal 0.0 terms. Contracts spec'd in PropertySpec
+    * (≡ a local double-fold reference).
+    */
+  def oneWayF(df: DataFrame, cats: Seq[String]): DataFrame = {
+    require(cats.size >= 2 && cats.size <= 8,
+      s"need 2..8 categories, got ${cats.size}")
+    val moments = cats.zipWithIndex.flatMap { case (c, i) =>
+      val in = col("cat") === lit(c)
+      Seq(
+        sum(when(in, 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(in, T.dec(col("value")))).as(s"s$i"),
+        sum(when(in, T.dec(col("value")) * T.dec(col("value"))))
+          .as(s"ss$i"))
+    }
+    val m = df.filter(col("cat").isin(cats.map(lit): _*))
+      .groupBy("g").agg(moments.head, moments.tail: _*)
+    def chain(parts: Seq[org.apache.spark.sql.Column]) =
+      parts.reduceLeft(_ + _) // explicit left fold = SQL's + chain
+    val nTot = chain(cats.indices.map(i => col(s"n$i")))
+    val kEff = chain(cats.indices.map(i =>
+      when(col(s"n$i") > 0, 1L).otherwise(0L)))
+    // Σ_c s_c²/n_c on double images, absent categories as literal 0.0
+    val between = chain(cats.indices.map { i =>
+      val sd = col(s"s$i").cast("double")
+      val nd = col(s"n$i").cast("double")
+      when(col(s"n$i") > 0, sd * sd / nd).otherwise(lit(0.0))
+    })
+    // coalesce(decimal, int-0) resolves to the decimal type; decimal
+    // addition is exact, so the chain order is immaterial here
+    val ssTot = chain(cats.indices.map(i =>
+      coalesce(col(s"ss$i"), lit(0))))
+    val sTot = chain(cats.indices.map(i =>
+      coalesce(col(s"s$i"), lit(0))))
+    val nd = nTot.cast("double")
+    val kd = kEff.cast("double")
+    val ssb = greatest(between - sTot.cast("double") *
+      sTot.cast("double") / nd, lit(0.0))
+    val ssw = greatest(ssTot.cast("double") - between, lit(0.0))
+    m.select(col("g"), nTot.as("n"), kEff.as("k"),
+      round((ssb / nullif(kd - lit(1.0), lit(0.0))) /
+        nullif(ssw / nullif(nd - kd, lit(0.0)), lit(0.0)), 6)
+        .as("f_stat"),
+      round(ssb, 6).as("ss_between"),
+      round(ssw, 6).as("ss_within"))
+  }
+
+  /** Exact Gini coefficient per group over `df("g", "tie", "value")`
+    * (values must be non-negative; `tie` breaks equal values into a
+    * total order so the rank sum is deterministic). Returns
+    * (g, n, total, gini): total = Σx rounded to the money scale,
+    * gini NULL when Σx = 0.
+    *
+    * The rank form G = (2·Σ rn·x − (n+1)·Σx) / (n·Σx): one window
+    * shuffle assigns ranks in (value, tie) order, one aggregate takes
+    * Σ rn·x and Σx in exact DECIMAL (a BIGINT rank times a
+    * DECIMAL(18,4) value widens losslessly), then the closed form is
+    * four correctly-rounded double ops — bit-equal cross-engine by
+    * construction. O(n log n) in the sort, no driver state.
+    */
+  def giniIndex(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("value"), col("tie"))
+    val ranked = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("x", T.dec(col("value")))
+    val m = ranked.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s"),
+      sum(col("rn") * col("x")).as("a"))
+    val (nd, sd, ad) =
+      (col("n").cast("double"), col("s").cast("double"),
+        col("a").cast("double"))
+    m.select(col("g"), col("n"),
+      round(sd, 4).as("total"),
+      round((lit(2.0) * ad - (nd + lit(1.0)) * sd) /
+        nullif(nd * sd, lit(0.0)), 6).as("gini"))
   }
 
   /** Exact mergeable distinct counts over `df("g", "id")` (id must be
@@ -920,8 +1051,86 @@ object AggOps {
         |       round((wa + wb) * (wa + wb) /
         |             nullif(wa * wa / nullif(nad - 1.0, 0.0) +
         |                    wb * wb / nullif(nbd - 1.0, 0.0), 0.0), 6) AS df
-        |FROM v ORDER BY event_type""".stripMargin
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    "agg_anova" -> anovaSql,
+
+    // Same rank construction over the same (value, event_id) total
+    // order, same exact-DECIMAL sums (width 19 — the int128 note),
+    // same four-op double program. count(*) is already BIGINT.
+    "agg_gini" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, event_id,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         CAST(value AS DECIMAL(19,4)) AS x
+        |  FROM events),
+        |m AS (
+        |  SELECT g, count(*) AS n, sum(x) AS s, sum(rn * x) AS a
+        |  FROM b GROUP BY g)
+        |SELECT g AS event_type, n,
+        |       round(CAST(s AS DOUBLE), 4) AS total,
+        |       round((2.0 * CAST(a AS DOUBLE)
+        |              - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE)) /
+        |             nullif(CAST(n AS DOUBLE) * CAST(s AS DOUBLE), 0.0),
+        |             6) AS gini
+        |FROM m ORDER BY event_type""".stripMargin
   )
+
+  /** Generated agg_anova oracle — same conditional exact-decimal
+    * moments per category (width 19 forces DuckDB's int128 multiply
+    * path), same EXPLICIT left-associated five-term double chains for
+    * the between/within sums of squares, same greatest/nullif guards
+    * as [[oneWayF]], so the two sides cannot drift apart. `btw`, not
+    * `between` — reserved word. */
+  private lazy val anovaSql: String = {
+    val cats = Seq("click", "error", "purchase", "signup", "view")
+    def d(c: String) = s"CAST($c AS DECIMAL(19,4))"
+    val moments = cats.zipWithIndex.map { case (c, i) =>
+      s"""sum(CASE WHEN event_type = '$c' THEN 1 ELSE 0 END) AS n$i,
+         |    sum(CASE WHEN event_type = '$c'
+         |        THEN ${d("value")} END) AS s$i,
+         |    sum(CASE WHEN event_type = '$c'
+         |        THEN ${d("value")} * ${d("value")} END) AS ss$i""".stripMargin
+    }.mkString(",\n    ")
+    val nChain = cats.indices.map(i => s"n$i").mkString(" + ")
+    val kChain = cats.indices
+      .map(i => s"(CASE WHEN n$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val btwChain = cats.indices.map(i =>
+      s"""(CASE WHEN n$i > 0
+         |     THEN CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE)
+         |          / CAST(n$i AS DOUBLE)
+         |     ELSE 0.0 END)""".stripMargin).mkString("\n    + ")
+    val sstChain = cats.indices.map(i => s"coalesce(ss$i, 0)").mkString(" + ")
+    val stChain = cats.indices.map(i => s"coalesce(s$i, 0)").mkString(" + ")
+    val in = cats.map(c => s"'$c'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT user_id % 4 AS g,
+       |    $moments
+       |  FROM events WHERE event_type IN ($in) GROUP BY 1),
+       |c AS (
+       |  SELECT g,
+       |    $nChain AS n,
+       |    $kChain AS k,
+       |    $btwChain AS btw,
+       |    $sstChain AS sst,
+       |    $stChain AS st
+       |  FROM m),
+       |v AS (
+       |  SELECT g, n, k,
+       |    greatest(btw - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+       |                   / CAST(n AS DOUBLE), 0.0) AS ssb,
+       |    greatest(CAST(sst AS DOUBLE) - btw, 0.0) AS ssw
+       |  FROM c)
+       |SELECT g AS segment, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       |       round((ssb / nullif(CAST(k AS DOUBLE) - 1.0, 0.0)) /
+       |             nullif(ssw / nullif(CAST(n AS DOUBLE)
+       |                                 - CAST(k AS DOUBLE), 0.0), 0.0),
+       |             6) AS f_stat,
+       |       round(ssb, 6) AS ss_between,
+       |       round(ssw, 6) AS ss_within
+       |FROM v ORDER BY segment""".stripMargin
+  }
 
   /** Generated agg_corr oracle — same exact-decimal moments, same
     * clamped/guarded double program per pair as [[corrMatrix]], so

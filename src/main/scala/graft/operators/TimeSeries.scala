@@ -293,6 +293,25 @@ object TimeSeries {
           round(col("level") + col("trend"), 6).as("forecast"))
         .orderBy("user_id")),
 
+    // Lagged cross-correlation (r13): does one event stream LEAD
+    // another — Pearson correlation between the hourly 'view' count
+    // and the hourly 'purchase' count k hours LATER, for k = 0..2.
+    // The causal-screening readout behind "does traffic predict
+    // conversion, and at what delay" — the two-stream sibling of
+    // ts_autocorr's self-lag battery. Hour buckets are integer
+    // hours-since-epoch (pure integer division — no calendar
+    // arithmetic to drift cross-engine); both series come out of ONE
+    // conditional-count aggregate over the bucket; each lag aligns
+    // a(h) with b(h+k) by an integer equi-join over the bucket frame
+    // (hour-count-sized — broadcastable at any scale; pairs exist
+    // where both buckets saw traffic, the documented co-active
+    // semantics); moments are all-integer and the correlation is the
+    // corrMatrix double program.
+    "ts_crosscorr" -> ((s, d) =>
+      crossCorr(T.events(s, d).select(col("ts"), col("event_type")),
+        "view", "purchase", maxLag = 2)
+        .orderBy("lag_hours")),
+
     // Time-series anomaly detection (r9): flag events whose value
     // breaks from the series' own recent behavior — residual against
     // the one-step-ahead EWMA forecast (lag(ewma, 1): the smoothed
@@ -426,6 +445,61 @@ object TimeSeries {
     * once per (entity, lag) on their double images. Contracts spec'd
     * in PropertySpec (≡ a local double-fold Pearson reference).
     */
+  /** Lagged cross-correlation between two event-type streams over
+    * `df("ts", "event_type")`: hourly counts of `typeA` against
+    * hourly counts of `typeB` shifted k hours later, Pearson per
+    * k = 0..maxLag. Returns (lag_hours, n_pairs, xcorr) — xcorr NULL
+    * when either aligned series is constant, n_pairs counts hours
+    * where BOTH buckets exist (the co-active-hours semantics: an
+    * hour with zero events of every type contributes no row, not a
+    * zero).
+    *
+    * Buckets are integer hours since epoch off the second-truncated
+    * timestamp (the house tsec idiom — integer division, no calendar
+    * arithmetic to drift cross-engine). ONE conditional-count
+    * aggregate produces both series; each lag is an integer
+    * equi-join of the hour frame against itself shifted — the frame
+    * is hour-count-sized (years of data ≈ 10⁴–10⁵ rows), broadcast
+    * territory at any corpus scale; moments are all-integer
+    * (DECIMAL-widened — hourly counts at 100 TB square past int64)
+    * and each correlation is the [[autocorr]] double program.
+    * Contracts spec'd in PropertySpec (≡ a local fold over
+    * materialized aligned pairs).
+    */
+  def crossCorr(df: DataFrame, typeA: String, typeB: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 8, s"maxLag must be in [0, 8]: $maxLag")
+    def d19(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val f = df
+      .select(expr("unix_timestamp(date_trunc('second', ts)) div 3600")
+        .as("h"), col("event_type"))
+      .groupBy("h").agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("b"))
+    val lagged = f
+      .withColumn("k", explode(array((0 to maxLag).map(k =>
+        lit(k.toLong)): _*)))
+      .select(col("k"), (col("h") + col("k")).as("hj"), col("a"))
+      .join(f.select(col("h").as("hj"), col("b")), Seq("hj"))
+    val m = lagged.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      sum(d19(col("a"))).as("sa"),
+      sum(d19(col("b"))).as("sb"),
+      sum(d19(col("a")) * d19(col("a"))).as("saa"),
+      sum(d19(col("b")) * d19(col("b"))).as("sbb"),
+      sum(d19(col("a")) * d19(col("b"))).as("sab"))
+    val n = col("n").cast("double")
+    val (sa, sb) = (col("sa").cast("double"), col("sb").cast("double"))
+    val (saa, sbb, sab) = (col("saa").cast("double"),
+      col("sbb").cast("double"), col("sab").cast("double"))
+    m.select(col("k").as("lag_hours"), col("n").as("n_pairs"),
+      round((n * sab - sa * sb) /
+        nullif(sqrt(greatest(n * saa - sa * sa, lit(0.0))) *
+          sqrt(greatest(n * sbb - sb * sb, lit(0.0))), lit(0.0)), 6)
+        .as("xcorr"))
+  }
+
   def autocorr(df: DataFrame, entity: String,
       w: org.apache.spark.sql.expressions.WindowSpec,
       maxLag: Int): DataFrame = {
@@ -559,6 +633,46 @@ object TimeSeries {
         |FROM b WHERE rn >= 7 ORDER BY user_id, rn""".stripMargin,
 
     "ts_autocorr" -> acfSql,
+
+    // Same second-truncated integer hour buckets, same
+    // conditional-count series, same shifted integer equi-join per
+    // unnested lag, same clamped/guarded double program. Integer
+    // division: DuckDB's // floors, Spark's div truncates — equal on
+    // the positive epochs here.
+    "ts_crosscorr" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(date_trunc('second', ts)))
+        |              AS BIGINT) // 3600 AS h,
+        |         event_type
+        |  FROM events),
+        |f AS (
+        |  SELECT h,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        |  FROM e GROUP BY h),
+        |l AS (
+        |  SELECT CAST(t.k AS BIGINT) AS k, f.h + t.k AS hj, f.a
+        |  FROM f, UNNEST([0, 1, 2]) AS t(k)),
+        |j AS (
+        |  SELECT l.k, l.a, r.b
+        |  FROM l JOIN f r ON l.hj = r.h),
+        |m AS (
+        |  SELECT k, count(*) AS n,
+        |    sum(CAST(a AS DECIMAL(19,0))) AS sa,
+        |    sum(CAST(b AS DECIMAL(19,0))) AS sb,
+        |    sum(CAST(a AS DECIMAL(19,0)) * CAST(a AS DECIMAL(19,0))) AS saa,
+        |    sum(CAST(b AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0))) AS sbb,
+        |    sum(CAST(a AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0))) AS sab
+        |  FROM j GROUP BY k)
+        |SELECT k AS lag_hours, n AS n_pairs,
+        |       round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+        |             nullif(sqrt(greatest(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |                                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE), 0.0)) *
+        |                    sqrt(greatest(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |                                  - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE), 0.0)),
+        |                    0.0), 6) AS xcorr
+        |FROM m ORDER BY lag_hours""".stripMargin,
 
     // The same fold replayed with list_reduce, which has no separate
     // init parameter: the [l, b] init state is PREPENDED to the

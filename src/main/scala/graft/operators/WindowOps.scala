@@ -235,8 +235,58 @@ object WindowOps {
             .cast("long").as("n_error_bursts"),
           substring(col("seq"), 1, 5).as("head5"))
         .orderBy("user_id")
-    })
+    }),
+
+    // Markov transition matrix (r13): which event follows which, and
+    // how fast — counts and mean gap per (from, to) pair of
+    // CONSECUTIVE events within a user's (ts, event_id)-ordered
+    // stream. The empirical transition matrix behind session-flow
+    // dashboards and the sanity check before any sequence model; the
+    // mean gap separates "click→purchase in seconds" from
+    // "signup→purchase in days". One user-window lag pass + one
+    // (from, to) aggregate; the gap sum rides exact DECIMAL
+    // microseconds (BIGINT sums would be HUGEINT in the oracle, and
+    // at 100 TB a µs sum genuinely outgrows int64), and the mean is
+    // one division of their double images.
+    "win_transitions" -> ((s, d) =>
+      transitionMatrix(T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type")))
+        .orderBy("from_type", "to_type"))
   )
+
+  /** Empirical transition matrix over per-entity event streams
+    * `(user_id, event_id, ts, event_type)`: for every ordered pair of
+    * consecutive events within a user (consecutive in the
+    * (ts, event_id) total order), one output row
+    * (from_type, to_type, n, avg_gap_s) — the transition count and
+    * the mean inter-event gap in seconds, rounded to 6. One window
+    * shuffle on the entity (lag of type and of the second-truncated
+    * epoch — the house (tsec, event_id) total order that sidesteps
+    * the fixture's sub-second dtype drift), one aggregate on the
+    * pair; gap sums are exact DECIMAL(19,0) seconds (a BIGINT sum
+    * would be HUGEINT in the oracle, and at 100 TB a gap sum
+    * genuinely outgrows int64), and the mean is one division of the
+    * double images — correctly rounded, cross-engine bit-equal.
+    * First events per user have no predecessor and contribute
+    * nothing.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(tsec.asc, col("event_id").asc)
+    val es = unix_timestamp(tsec)
+    events
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_s", es - lag(es, 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("gap_s").cast(
+          org.apache.spark.sql.types.DecimalType(19, 0))).as("g"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("g").cast("double") / col("n").cast("double"), 6)
+          .as("avg_gap_s"))
+  }
 
   /** Gaps-and-islands over DISTINCT `(user_id, idx)` activity rows:
     * maximal runs of CONSECUTIVE integer indices per entity, via the
@@ -451,6 +501,28 @@ object WindowOps {
         |       len(regexp_extract_all(seq, 'v[^e]*?p')) AS n_conversions,
         |       len(regexp_extract_all(seq, 'e+')) AS n_error_bursts,
         |       substr(seq, 1, 5) AS head5
-        |FROM seqs ORDER BY user_id""".stripMargin
+        |FROM seqs ORDER BY user_id""".stripMargin,
+
+    // Same (tsec, event_id) lag order, same exact-DECIMAL second
+    // sums, same single division on the double images.
+    "win_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    date_trunc('second', ts) AS tsec,
+        |    CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS es
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER w AS from_type,
+        |    es - lag(es) OVER w AS gap_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |m AS (
+        |  SELECT from_type, event_type AS to_type,
+        |    count(*) AS n,
+        |    sum(CAST(gap_s AS DECIMAL(19,0))) AS g
+        |  FROM f WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(g AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_gap_s
+        |FROM m ORDER BY from_type, to_type""".stripMargin
   )
 }

@@ -1640,4 +1640,206 @@ class PropertySpec extends SparkSpec {
         s"want ${want.toSeq.sorted.take(5)}")
     }
   }
+
+  test("oneWayF ≡ local centered-form ANOVA for ANY grouped categories") {
+    // Independent reference: the textbook centered decomposition —
+    // SSB = Σ_c n_c(x̄_c − x̄)², SSW = Σ_c Σ(x − x̄_c)² in plain
+    // doubles — a different computation than the operator's raw-moment
+    // program, agreeing only within conditioning (1e-6); a
+    // conditional-moment bug (wrong category mask, swapped square)
+    // lands far outside. Also pins the k≤1 → NULL guard: seeds where
+    // a group has one category must emit NULL f_stat.
+    val cats = Seq("p", "q", "r")
+    val rowGen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf(0L, 1L)
+      c <- Gen.oneOf(cats :+ "zz") // 'zz' must be ignored entirely
+      v <- Gen.choose(0, 1600).map(_ / 16.0)
+    } yield (g, c, v))
+    forAllSeeded(rowGen) { rows =>
+      val got = graft.operators.AggOps.oneWayF(
+          rows.toDF("g", "cat", "value"), cats)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+        .toMap
+      rows.filter(r => cats.contains(r._2)).groupBy(_._1).foreach {
+        case (g, rs) =>
+          val byCat = rs.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+          val n = rs.size; val k = byCat.size
+          val grand = rs.map(_._3).sum / n
+          val ssb = byCat.values.map { vs =>
+            val m = vs.sum / vs.size
+            vs.size * (m - grand) * (m - grand)
+          }.sum
+          val ssw = byCat.values.map { vs =>
+            val m = vs.sum / vs.size
+            vs.map(v => (v - m) * (v - m)).sum
+          }.sum
+          val want =
+            if (k <= 1 || ssw <= 1e-12 || n == k) None
+            else Some((ssb / (k - 1)) / (ssw / (n - k)))
+          val (gn, gk, gf) = got(g)
+          assert(gn == n && gk == k, s"g=$g: n/k $gn/$gk vs $n/$k")
+          (gf, want) match {
+            case (None, None) =>
+            case (Some(a), Some(b)) =>
+              assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)),
+                s"g=$g: F $a vs $b")
+            case (a, b) => fail(s"g=$g: F $a vs $b")
+          }
+      }
+    }
+  }
+
+  test("giniIndex ≡ local sorted rank fold for ANY grouped values") {
+    // Independent reference: sort, rank, apply the closed form with
+    // exact BigDecimal sums and the operator's own double program —
+    // bit-equal after the same round(·, 6) fence (every op in the
+    // program is correctly rounded, the agg_wilson rationale).
+    val rowGen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.choose(0, 1600).map(_ / 16.0)
+    } yield (g, v)).map(_.zipWithIndex.map { case ((g, v), i) =>
+      (g, i.toLong, v) })
+    forAllSeeded(rowGen) { rows =>
+      val got = graft.operators.AggOps.giniIndex(
+          rows.toDF("g", "tie", "value"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+        .toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val sorted = rs.sortBy(r => (r._3, r._2))
+        val n = sorted.size
+        val s = sorted.map(r => BigDecimal(r._3).setScale(4)).sum
+        val a = sorted.zipWithIndex
+          .map { case (r, i) =>
+            BigDecimal(i + 1) * BigDecimal(r._3).setScale(4) }.sum
+        val want =
+          if (s == 0) None
+          else Some(BigDecimal(
+            (2.0 * a.toDouble - (n.toDouble + 1.0) * s.toDouble) /
+              (n.toDouble * s.toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        assert(got(g) == ((n.toLong, want)),
+          s"g=$g: ${got(g)} vs ${(n, want)}")
+      }
+    }
+  }
+
+  test("transitionMatrix ≡ local consecutive-pair fold for ANY streams") {
+    // Independent reference: sort each user's events with Scala
+    // collections, zip consecutive pairs, count and average gaps —
+    // exact integer gap sums, then the operator's own division +
+    // round(·, 6) fence for bit-equality.
+    val rowGen = Gen.nonEmptyListOf(for {
+      u <- Gen.oneOf(1L, 2L, 3L)
+      t <- Gen.choose(0L, 500L)
+      c <- Gen.oneOf("x", "y", "z")
+    } yield (u, t, c)).map(_.zipWithIndex.map { case ((u, t, c), i) =>
+      (u, i.toLong, new java.sql.Timestamp(1700000000000L + t * 1000L), c) })
+    forAllSeeded(rowGen) { rows =>
+      val got = graft.operators.WindowOps.transitionMatrix(
+          rows.toDF("user_id", "event_id", "ts", "event_type"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3))))
+        .toMap
+      val pairs = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (r._3.getTime, r._2))
+        sorted.zip(sorted.drop(1)).map { case (p, q) =>
+          ((p._4, q._4), (q._3.getTime - p._3.getTime) / 1000L)
+        }
+      }
+      val want = pairs.groupBy(_._1).map { case (ft, gs) =>
+        val n = gs.size; val sum = gs.map(_._2).sum
+        ft -> ((n.toLong,
+          BigDecimal(sum.toDouble / n.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      assert(got == want, s"got ${got.toSeq.sorted.take(5)}, " +
+        s"want ${want.toSeq.sorted.take(5)}")
+    }
+  }
+
+  test("crossCorr ≡ local aligned-pair Pearson for ANY event streams") {
+    // Independent reference: bucket counts with Scala collections,
+    // align a(h) with b(h+k) over co-present hours, centered-form
+    // Pearson (vs the operator's raw-moment program) within 1e-6.
+    val rowGen = Gen.nonEmptyListOf(for {
+      h <- Gen.choose(0L, 20L)
+      o <- Gen.choose(0L, 3599L)
+      c <- Gen.oneOf("view", "purchase", "click")
+    } yield (h, o, c)).map(_.map { case (h, o, c) =>
+      (new java.sql.Timestamp((h * 3600L + o) * 1000L), c) })
+    forAllSeeded(rowGen) { rows =>
+      val got = graft.operators.TimeSeries.crossCorr(
+          rows.toDF("ts", "event_type"), "view", "purchase", maxLag = 2)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap
+      val byHour = rows.groupBy(r => r._1.getTime / 3600000L)
+      val f = byHour.map { case (h, rs) =>
+        h -> ((rs.count(_._2 == "view").toDouble,
+          rs.count(_._2 == "purchase").toDouble))
+      }
+      (0L to 2L).foreach { k =>
+        val ps = f.keys.toSeq.sorted.flatMap(h =>
+          f.get(h + k).map(r => (f(h)._1, r._2)))
+        val n = ps.size
+        val want: Option[Double] = if (n == 0) None else {
+          val mx = ps.map(_._1).sum / n; val my = ps.map(_._2).sum / n
+          val vx = ps.map(p => (p._1 - mx) * (p._1 - mx)).sum
+          val vy = ps.map(p => (p._2 - my) * (p._2 - my)).sum
+          if (vx == 0.0 || vy == 0.0) None
+          else Some(ps.map(p => (p._1 - mx) * (p._2 - my)).sum /
+            (math.sqrt(vx) * math.sqrt(vy)))
+        }
+        if (n == 0) assert(!got.contains(k), s"k=$k: unexpected row")
+        else {
+          val (gn, gc) = got(k)
+          assert(gn == n, s"k=$k: n $gn vs $n")
+          (gc, want) match {
+            case (None, None) =>
+            case (Some(a), Some(b)) =>
+              assert(math.abs(a - b) <= 1e-6, s"k=$k: $a vs $b")
+            case (a, b) => fail(s"k=$k: $a vs $b")
+          }
+        }
+      }
+    }
+  }
+
+  test("degreeAssortativity ≡ local exact fold for ANY simple graph") {
+    // Independent reference: mirrored endpoint-degree moments in exact
+    // BigInt, then the operator's own sqrt-free double program —
+    // bit-equal after the same round(·, 6) fence. Pins the
+    // zero-variance → NULL guard (a single edge: both degrees 1).
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 9L); d <- Gen.choose(1L, 9L)
+    } yield { val b = (a + d) % 10; (math.min(a, b), math.max(a, b)) })
+      .map(_.distinct)
+    forAllSeeded(edgeGen) { und =>
+      val row = graft.llm.LlmGraph.degreeAssortativity(und.toDF("u", "v"))
+        .collect().head
+      val adj = und ++ und.map { case (a, b) => (b, a) }
+      val deg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+      val m2 = adj.size
+      val sx = BigInt(adj.map(e => deg(e._1)).sum)
+      val sxx = adj.map(e => BigInt(deg(e._1)) * deg(e._1)).sum
+      val sxy = adj.map(e => BigInt(deg(e._1)) * deg(e._2)).sum
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val den = m2.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      val want =
+        if (den == 0.0) None
+        else Some(r6((m2.toDouble * sxy.toDouble -
+          sx.toDouble * sx.toDouble) / den))
+      assert(row.getLong(0) == und.size.toLong, "n_edges")
+      assert(row.getDouble(1) == r6(sx.toDouble / m2), "mean_deg")
+      val gotR = if (row.isNullAt(2)) None else Some(row.getDouble(2))
+      assert(gotR == want, s"assortativity $gotR vs $want")
+    }
+  }
 }
