@@ -34,7 +34,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graft.knnIvf(embeddings, 10, 16)
   * }}}
   *
-  * The driver-facing query catalog (the 196 `SparkEntry.queries` keys)
+  * The driver-facing query catalog (the 201 `SparkEntry.queries` keys)
   * sits one level up and is built FROM these pieces — this object is
   * the programmatic surface.
   */
@@ -115,6 +115,12 @@ object Graft {
   /** Exact rank-formula Gini concentration per group
     * ([[operators.AggOps.giniIndex]]). */
   val giniIndex = operators.AggOps.giniIndex _
+  /** Chi-squared independence test over a contingency table
+    * ([[operators.AggOps.chiSquare]]). */
+  val chiSquare = operators.AggOps.chiSquare _
+  /** Per-group skewness/kurtosis from staged exact moments
+    * ([[operators.AggOps.momentStats]]). */
+  val momentStats = operators.AggOps.momentStats _
   /** Per-entity lag-k autocorrelation battery
     * ([[operators.TimeSeries.autocorr]]). */
   val autocorr = operators.TimeSeries.autocorr _
@@ -130,6 +136,9 @@ object Graft {
   /** Hour-bucketed lagged cross-correlation between two streams
     * ([[operators.TimeSeries.crossCorr]]). */
   val crossCorr = operators.TimeSeries.crossCorr _
+  /** Wald–Wolfowitz runs test per entity
+    * ([[operators.TimeSeries.runsTest]]). */
+  val runsTest = operators.TimeSeries.runsTest _
 
   // ---- data quality ------------------------------------------------
   /** Per-column completeness/cardinality/range profile
@@ -169,6 +178,9 @@ object Graft {
   /** Degree assortativity over mirrored endpoint degrees
     * ([[llm.LlmGraph.degreeAssortativity]]). */
   val degreeAssortativity = llm.LlmGraph.degreeAssortativity _
+  /** Per-node local clustering coefficient
+    * ([[llm.LlmGraph.clusteringCoeff]]). */
+  val clusteringCoeff = llm.LlmGraph.clusteringCoeff _
 
   // ---- dedup family ------------------------------------------------
   /** Shingle-Jaccard near-dup pairs ([[llm.LlmDedup.ngramPairs]]). */
@@ -248,6 +260,9 @@ object Graft {
   val runningCounts = streaming.StreamOps.runningCountsTWS _
   /** Cross-batch CDC upsert state ([[streaming.StreamOps.cdcState]]). */
   val cdcState = streaming.StreamOps.cdcState _
+  /** Cross-batch consecutive-event transition stream
+    * ([[streaming.StreamOps.transitionStream]]). */
+  val transitionStream = streaming.StreamOps.transitionStream _
 
   // ---- write-side layout -------------------------------------------
   /** Partitioned parquet with skew file-splitting

@@ -526,7 +526,21 @@ object LlmGraph {
     // variance itself — no sqrt anywhere in the program.
     "graph_assortativity" -> ((s, d) =>
       degreeAssortativity(supportEdges(s, d))
-        .orderBy("n_edges"))
+        .orderBy("n_edges")),
+
+    // Local clustering coefficient (r14): per node, how close its
+    // neighborhood is to a clique — triangles(v) / C(deg(v), 2), the
+    // per-node readout the graph family was missing (triangles gave
+    // the count, kcore the density threshold; this is the normalized
+    // density itself). High-coefficient regions are template families
+    // and boilerplate rings; ~zero coefficients at high degree are
+    // hub/aggregator pages — the two populations a curation pass
+    // treats differently. Composes the degree-oriented triangle core
+    // (O(m^1.5) wedges, hub-proof) with the node-sized degree frame;
+    // the one division happens on integer double images.
+    "graph_clustering" -> ((s, d) =>
+      clusteringCoeff(supportEdges(s, d).localCheckpoint(false))
+        .orderBy("part_id"))
   )
 
   /** Support-≥2 part co-occurrence edges over `lineitem` — parts are
@@ -833,6 +847,36 @@ object LlmGraph {
         nullif(m2 * sxx - sx * sx, lit(0.0)), 6).as("assortativity"))
   }
 
+  /** Local clustering coefficient over UNDIRECTED edges `(u, v)` with
+    * `u < v`, deduplicated: per node,
+    * `coeff = triangles / C(deg, 2) = 2·t / (deg·(deg−1))` — NULL for
+    * degree-1 nodes (no possible wedge). Returns
+    * (part_id, deg, n_triangles, coeff) for EVERY edge endpoint
+    * (triangle-less nodes at 0 / their computed coefficient).
+    *
+    * Composes [[triangleCounts]] (degree-oriented wedges, O(m^1.5)
+    * volume on any graph) with the node-sized mirrored-degree frame —
+    * one left join on the node id; counts are integers and the one
+    * division runs on their double images (correctly rounded both
+    * engines), then round(·, 6).
+    */
+  def clusteringCoeff(e: DataFrame): DataFrame = {
+    require(e.columns.toSeq == Seq("u", "v"),
+      s"edges must be exactly (u, v), got: ${e.columns.mkString(",")}")
+    val deg = e.select(col("u").as("node")).unionByName(
+        e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(e)
+      .select(col("node"), col("n_triangles"))
+    val dd = col("deg").cast("double")
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node").as("part_id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) *
+          coalesce(col("n_triangles"), lit(0L)).cast("double") /
+          nullif(dd * (dd - lit(1.0)), lit(0.0)), 6).as("coeff"))
+  }
+
   /** Per-node triangle participation counts over UNDIRECTED edges
     * `(u, v)` with `u < v`, no duplicates. Returns (node,
     * n_triangles), nodes in no triangle absent. Degree-ordered
@@ -1134,6 +1178,49 @@ object LlmGraph {
         |             nullif(CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
         |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
         |                    0.0), 6) AS assortativity
-        |FROM m ORDER BY n_edges""".stripMargin
+        |FROM m ORDER BY n_edges""".stripMargin,
+
+    // The graph_triangles CTE chain verbatim (same support edges,
+    // same (deg, node) orientation and wedge closure), then the
+    // node-sized degree left join and the same 2t/(d(d−1)) division
+    // on integer double images.
+    "graph_clustering" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT n, count(*) AS dg FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY n),
+        |o AS (
+        |  SELECT CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
+        |              THEN e.u ELSE e.v END AS s,
+        |         CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
+        |              THEN e.v ELSE e.u END AS t,
+        |         CASE WHEN (du.dg, e.u) < (dv.dg, e.v)
+        |              THEN dv.dg ELSE du.dg END AS dt
+        |  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+        |tri AS (
+        |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM o e1 JOIN o e2 ON e1.s = e2.s
+        |       AND (e1.dt, e1.t) < (e2.dt, e2.t)
+        |       JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t),
+        |tc AS (
+        |  SELECT part_id, count(*) AS nt FROM (
+        |    SELECT a AS part_id FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY part_id)
+        |SELECT d.n AS part_id, d.dg AS deg,
+        |       coalesce(tc.nt, 0) AS n_triangles,
+        |       round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) /
+        |             nullif(CAST(d.dg AS DOUBLE)
+        |                    * (CAST(d.dg AS DOUBLE) - 1.0), 0.0), 6)
+        |         AS coeff
+        |FROM deg d LEFT JOIN tc ON d.n = tc.part_id
+        |ORDER BY part_id""".stripMargin
   )
 }

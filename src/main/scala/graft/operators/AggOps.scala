@@ -562,6 +562,37 @@ object AggOps {
         T.events(s, d).select(col("event_type").as("g"),
           col("event_id").as("tie"), col("value")))
         .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")),
+
+    // Chi-squared independence (r14): is event type independent of
+    // the user-id-parity cohort? The categorical×categorical sibling
+    // of agg_ttest (means) and agg_anova (k means) — the test behind
+    // "does the A/B split see the same event mix". ONE aggregate
+    // takes the full 5×2 contingency table as conditional counts;
+    // expecteds and the χ² sum are a fixed ten-term double chain
+    // (explicit association both engines), plus Cramér's V for the
+    // effect size. All-integer inputs — the only rounding anywhere
+    // is the final fence.
+    "agg_chisq" -> ((s, d) =>
+      chiSquare(
+        T.events(s, d).select(col("event_type").as("cat"),
+          (col("user_id") % 2).as("cohort")),
+        Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("n")),
+
+    // Higher central moments (r14): per-group skewness and excess
+    // kurtosis next to agg_stats' mean/variance — the shape profile
+    // ("is the tail one-sided? heavier than normal?") a drift or
+    // quality monitor reads before trusting z-scores. ONE aggregate
+    // takes Σx..Σx⁴ with STAGED exact-decimal widths (each power
+    // recast to the provably-sufficient width so no product crosses
+    // Spark's 38-digit cap: x²→(18,8), x³=(28,12), x⁴=(37,16) — all
+    // exact for |x| < 10⁵); the centered m₂/m₃/m₄ and the two ratios
+    // are a fixed double program off the double images.
+    "agg_moments" -> ((s, d) =>
+      momentStats(
+        T.events(s, d).select(col("event_type").as("g"), col("value")))
+        .withColumnRenamed("g", "event_type")
         .orderBy("event_type"))
   )
 
@@ -704,6 +735,92 @@ object AggOps {
       round(sd, 4).as("total"),
       round((lit(2.0) * ad - (nd + lit(1.0)) * sd) /
         nullif(nd * sd, lit(0.0)), 6).as("gini"))
+  }
+
+  /** Chi-squared test of independence over `df("cat", "cohort")`
+    * (cohort ∈ {0, 1}), restricted to the explicit category list
+    * `cats` (2..8). Returns ONE row
+    * (n, dof, chi2, cramers_v): dof = (r_eff−1)·(c_eff−1) over
+    * categories/cohorts actually present, chi2 NULL when dof = 0.
+    *
+    * ONE aggregate takes the full contingency table as conditional
+    * counts (the [[oneWayF]] recipe squared); expecteds
+    * e_ij = row_i·col_j/N and the χ² sum are a fixed
+    * 2·|cats|-term double chain in `cats`-then-cohort order —
+    * explicit association, zero-margin cells contributing literal
+    * 0.0. Cramér's V = √(χ²/(N·min(r_eff−1, c_eff−1))) gives the
+    * [0,1] effect size. All inputs integers; one sqrt at the end.
+    */
+  def chiSquare(df: DataFrame, cats: Seq[String]): DataFrame = {
+    require(cats.size >= 2 && cats.size <= 8,
+      s"need 2..8 categories, got ${cats.size}")
+    val cells = for { i <- cats.indices; j <- 0 to 1 } yield (i, j)
+    val counts = cells.map { case (i, j) =>
+      sum(when(col("cat") === lit(cats(i)) && col("cohort") === lit(j),
+        1L).otherwise(0L)).as(s"c${i}_$j")
+    }
+    val m = df.filter(col("cat").isin(cats.map(lit): _*))
+      .agg(counts.head, counts.tail: _*)
+    def chain(parts: Seq[org.apache.spark.sql.Column]) =
+      parts.reduceLeft(_ + _)
+    def row(i: Int) = col(s"c${i}_0") + col(s"c${i}_1")
+    def colj(j: Int) = chain(cats.indices.map(i => col(s"c${i}_$j")))
+    val n = chain(cells.map { case (i, j) => col(s"c${i}_$j") })
+    val rEff = chain(cats.indices.map(i =>
+      when(row(i) > 0, 1L).otherwise(0L)))
+    val cEff = chain((0 to 1).map(j =>
+      when(colj(j) > 0, 1L).otherwise(0L)))
+    val nd = n.cast("double")
+    val chi2 = chain(cells.map { case (i, j) =>
+      val e = row(i).cast("double") * colj(j).cast("double") / nd
+      val o = col(s"c${i}_$j").cast("double")
+      when(row(i) > 0 && colj(j) > 0, (o - e) * (o - e) / e)
+        .otherwise(lit(0.0))
+    })
+    val dof = (rEff - lit(1L)) * (cEff - lit(1L))
+    m.select(n.as("n"), dof.as("dof"),
+      round(when(dof > 0, chi2), 6).as("chi2"),
+      round(when(dof > 0,
+        sqrt(chi2 / (nd * least(rEff - lit(1L), cEff - lit(1L))
+          .cast("double")))), 6).as("cramers_v"))
+  }
+
+  /** Per-group skewness and excess kurtosis over `df("g", "value")`
+    * (|value| < 10⁵ — the staged-width contract below). Returns
+    * (g, n, mean, variance, skewness, kurtosis): population moments;
+    * skewness/kurtosis NULL for constant groups, all rounded to 6.
+    *
+    * ONE aggregate takes Σx..Σx⁴ with STAGED exact decimal widths —
+    * each power recast to a width that provably fits so no product
+    * crosses the 38-digit cap and nothing silently rounds:
+    * x (18,4) → x² cast (18,8) → x³ (37,12), x⁴ (37,16), all exact
+    * for |x| < 10⁵. The centered m₂/m₃/m₄ and the two ratios are a
+    * fixed double program off the double images (explicit
+    * association, greatest(·,0)-clamped variance before the sqrt).
+    */
+  def momentStats(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = T.dec(col("value"))
+    val x2 = (x * x).cast(DecimalType(18, 8))
+    val m = df.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum(x).as("s1"),
+      sum(x2).as("s2"),
+      sum(x2 * x).as("s3"),
+      sum(x2 * x2).as("s4"))
+    val nd = col("n").cast("double")
+    val (s1, s2) = (col("s1").cast("double"), col("s2").cast("double"))
+    val (s3, s4) = (col("s3").cast("double"), col("s4").cast("double"))
+    val mu = s1 / nd
+    val m2 = greatest(s2 / nd - mu * mu, lit(0.0))
+    val m3 = s3 / nd - lit(3.0) * mu * (s2 / nd) + lit(2.0) * mu * mu * mu
+    val m4 = s4 / nd - lit(4.0) * mu * (s3 / nd) +
+      lit(6.0) * mu * mu * (s2 / nd) - lit(3.0) * mu * mu * mu * mu
+    m.select(col("g"), col("n"),
+      round(mu, 6).as("mean"),
+      round(m2, 6).as("variance"),
+      round(m3 / nullif(sqrt(m2) * m2, lit(0.0)), 6).as("skewness"),
+      round(m4 / nullif(m2 * m2, lit(0.0)) - lit(3.0), 6).as("kurtosis"))
   }
 
   /** Exact mergeable distinct counts over `df("g", "id")` (id must be
@@ -1055,6 +1172,48 @@ object AggOps {
 
     "agg_anova" -> anovaSql,
 
+    "agg_chisq" -> chisqSql,
+
+    // Same staged exact widths (19,4 → 19,8 keeps every product on
+    // DuckDB's int128 path and under the 38 cap), same layered double
+    // program: mu/m2 materialize as CTE columns holding the identical
+    // doubles the operator's expression tree computes.
+    "agg_moments" ->
+      """WITH b AS (
+        |  SELECT event_type AS g, CAST(value AS DECIMAL(19,4)) AS x,
+        |         CAST(CAST(value AS DECIMAL(19,4))
+        |              * CAST(value AS DECIMAL(19,4))
+        |              AS DECIMAL(19,8)) AS x2
+        |  FROM events),
+        |m AS (
+        |  SELECT g, count(*) AS n, sum(x) AS s1, sum(x2) AS s2,
+        |         sum(x2 * x) AS s3, sum(x2 * x2) AS s4
+        |  FROM b GROUP BY g),
+        |c AS (
+        |  SELECT g, n, CAST(n AS DOUBLE) AS nd,
+        |         CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |         CAST(s3 AS DOUBLE) AS s3d, CAST(s4 AS DOUBLE) AS s4d
+        |  FROM m),
+        |v AS (
+        |  SELECT g, n, nd, s2d, s3d, s4d,
+        |         s1d / nd AS mu,
+        |         greatest(s2d / nd - (s1d / nd) * (s1d / nd), 0.0) AS m2
+        |  FROM c),
+        |w AS (
+        |  SELECT g, n, mu, m2,
+        |         s3d / nd - 3.0 * mu * (s2d / nd)
+        |           + 2.0 * mu * mu * mu AS m3,
+        |         s4d / nd - 4.0 * mu * (s3d / nd)
+        |           + 6.0 * mu * mu * (s2d / nd)
+        |           - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM v)
+        |SELECT g AS event_type, n,
+        |       round(mu, 6) AS mean,
+        |       round(m2, 6) AS variance,
+        |       round(m3 / nullif(sqrt(m2) * m2, 0.0), 6) AS skewness,
+        |       round(m4 / nullif(m2 * m2, 0.0) - 3.0, 6) AS kurtosis
+        |FROM w ORDER BY event_type""".stripMargin,
+
     // Same rank construction over the same (value, event_id) total
     // order, same exact-DECIMAL sums (width 19 — the int128 note),
     // same four-op double program. count(*) is already BIGINT.
@@ -1076,6 +1235,62 @@ object AggOps {
         |             6) AS gini
         |FROM m ORDER BY event_type""".stripMargin
   )
+
+  /** Generated agg_chisq oracle — same contingency counts in the
+    * same cell order, margins and n materialized as integer CTE
+    * columns (exact, so layering cannot drift), same ten-term double
+    * chain with the same zero-margin guards as [[chiSquare]]. */
+  private lazy val chisqSql: String = {
+    val cats = Seq("click", "error", "purchase", "signup", "view")
+    val cells = for { i <- cats.indices; j <- 0 to 1 } yield (i, j)
+    val counts = cells.map { case (i, j) =>
+      s"""sum(CASE WHEN event_type = '${cats(i)}' AND user_id % 2 = $j
+         |        THEN 1 ELSE 0 END) AS c${i}_$j""".stripMargin
+    }.mkString(",\n    ")
+    val margins =
+      (cats.indices.map(i => s"c${i}_0 + c${i}_1 AS r$i") ++
+        (0 to 1).map(j =>
+          cats.indices.map(i => s"c${i}_$j").mkString(" + ") + s" AS k$j"))
+        .mkString(",\n    ")
+    val n = cells.map { case (i, j) => s"c${i}_$j" }.mkString(" + ")
+    val rEff = cats.indices
+      .map(i => s"(CASE WHEN r$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val cEff = (0 to 1)
+      .map(j => s"(CASE WHEN k$j > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val chi2 = cells.map { case (i, j) =>
+      // Parenthesized at every use: an unwrapped `/ $e` would expand
+      // to `/ r * k / n` under left-to-right precedence (bitten once).
+      val e = s"(CAST(r$i AS DOUBLE) * CAST(k$j AS DOUBLE) / CAST(n AS DOUBLE))"
+      val o = s"CAST(c${i}_$j AS DOUBLE)"
+      s"""(CASE WHEN r$i > 0 AND k$j > 0
+         |      THEN ($o - $e) * ($o - $e) / $e ELSE 0.0 END)""".stripMargin
+    }.mkString("\n    + ")
+    val in = cats.map(c => s"'$c'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT
+       |    $counts
+       |  FROM events WHERE event_type IN ($in)),
+       |g AS (
+       |  SELECT m.*,
+       |    $margins,
+       |    $n AS n
+       |  FROM m),
+       |t AS (
+       |  SELECT n,
+       |    $rEff AS reff,
+       |    $cEff AS ceff,
+       |    $chi2 AS chi2
+       |  FROM g)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |       CAST((reff - 1) * (ceff - 1) AS BIGINT) AS dof,
+       |       round(CASE WHEN (reff - 1) * (ceff - 1) > 0
+       |                  THEN chi2 END, 6) AS chi2,
+       |       round(CASE WHEN (reff - 1) * (ceff - 1) > 0
+       |                  THEN sqrt(chi2 / (CAST(n AS DOUBLE) *
+       |                    CAST(least(reff - 1, ceff - 1) AS DOUBLE)))
+       |                  END, 6) AS cramers_v
+       |FROM t ORDER BY n""".stripMargin
+  }
 
   /** Generated agg_anova oracle — same conditional exact-decimal
     * moments per category (width 19 forces DuckDB's int128 multiply

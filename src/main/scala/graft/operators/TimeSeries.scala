@@ -312,6 +312,22 @@ object TimeSeries {
         "view", "purchase", maxLag = 2)
         .orderBy("lag_hours")),
 
+    // Wald–Wolfowitz runs test (r14): is each user's value sequence
+    // RANDOM around its own mean, or does it trend/oscillate? Too few
+    // runs = positive drift or regime-stickiness, too many =
+    // alternation — either way the i.i.d. assumption behind z-scores
+    // and control charts is broken, which is exactly what a monitor
+    // wants to know before trusting them. One windowed pass computes
+    // the deterministic mean (exact-decimal sum over the partition —
+    // never a float avg, whose order-dependence would break replay),
+    // signs each value, lags the sign; one aggregate counts
+    // above/below/runs; the z program is fixed double arithmetic with
+    // every division nullif-guarded.
+    "ts_runs" -> ((s, d) =>
+      runsTest(T.events(s, d).select(col("user_id"), col("event_id"),
+        col("ts"), col("value")))
+        .orderBy("user_id")),
+
     // Time-series anomaly detection (r9): flag events whose value
     // breaks from the series' own recent behavior — residual against
     // the one-step-ahead EWMA forecast (lag(ewma, 1): the smoothed
@@ -500,6 +516,53 @@ object TimeSeries {
         .as("xcorr"))
   }
 
+  /** Wald–Wolfowitz runs test per entity over
+    * `df("user_id", "event_id", "ts", "value")`: values are signed
+    * against the entity's own mean (rows equal to it drop — the
+    * standard treatment), runs of equal sign are counted in
+    * (ts, event_id) order, and the normal-approximation z compares
+    * the observed run count to the expected 2·n₁·n₂/n + 1. Returns
+    * (user_id, n_above, n_below, runs, z) — z NULL when either sign
+    * class is empty or n ≤ 1 (degenerate variance).
+    *
+    * The mean is the double image of the exact-decimal partition sum
+    * over the count — NEVER a float avg, whose accumulation order
+    * varies run to run; every input to the z program is an integer
+    * count, so the whole statistic is a fixed correctly-rounded
+    * double program. One entity window (mean + sign lag share the
+    * shuffle) + one aggregate; O(1) state per row at any scale.
+    */
+  def runsTest(df: DataFrame): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val mean = sum(T.dec(col("value"))).over(wAll).cast("double") /
+      count(lit(1)).over(wAll).cast("double")
+    val signed = df
+      .withColumn("mean", mean)
+      .filter(col("value") =!= col("mean"))
+      .withColumn("ab", col("value") > col("mean"))
+      .withColumn("chg",
+        when(lag(col("ab"), 1).over(wOrd).isNotNull &&
+          col("ab") =!= lag(col("ab"), 1).over(wOrd), 1L).otherwise(0L))
+    val m = signed.groupBy("user_id").agg(
+      sum(when(col("ab"), 1L).otherwise(0L)).as("n_above"),
+      sum(when(col("ab"), 0L).otherwise(1L)).as("n_below"),
+      (lit(1L) + sum(col("chg"))).as("runs"))
+    val (n1, n2) = (col("n_above").cast("double"),
+      col("n_below").cast("double"))
+    val nd = (col("n_above") + col("n_below")).cast("double")
+    val rd = col("runs").cast("double")
+    val p = lit(2.0) * n1 * n2
+    val muR = p / nd + lit(1.0)
+    val varR = p * (p - nd) /
+      nullif(nd * nd * (nd - lit(1.0)), lit(0.0))
+    m.select(col("user_id"), col("n_above"), col("n_below"), col("runs"),
+      round((rd - muR) /
+        nullif(sqrt(greatest(varR, lit(0.0))), lit(0.0)), 6).as("z"))
+  }
+
   def autocorr(df: DataFrame, entity: String,
       w: org.apache.spark.sql.expressions.WindowSpec,
       maxLag: Int): DataFrame = {
@@ -633,6 +696,51 @@ object TimeSeries {
         |FROM b WHERE rn >= 7 ORDER BY user_id, rn""".stripMargin,
 
     "ts_autocorr" -> acfSql,
+
+    // Same deterministic mean (exact-decimal partition sum over the
+    // count — width 19, the int128 note), same sign/lag/run layering,
+    // same guarded double program. greatest(NULL, 0) differs between
+    // engines only on the n=1 path, where BOTH still end in NULL
+    // through the nullif fence.
+    "ts_runs" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(sum(CAST(value AS DECIMAL(19,4)))
+        |           OVER (PARTITION BY user_id) AS DOUBLE)
+        |      / CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE)
+        |      AS mean
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts, value > mean AS ab
+        |  FROM s WHERE value <> mean),
+        |g AS (
+        |  SELECT user_id, ab,
+        |    CASE WHEN lag(ab) OVER w IS NOT NULL
+        |              AND ab <> lag(ab) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |m AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ab THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |    CAST(sum(CASE WHEN ab THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+        |    CAST(1 + sum(chg) AS BIGINT) AS runs
+        |  FROM g GROUP BY user_id),
+        |v AS (
+        |  SELECT user_id, n_above, n_below, runs,
+        |    CAST(n_above AS DOUBLE) AS n1, CAST(n_below AS DOUBLE) AS n2,
+        |    CAST(n_above + n_below AS DOUBLE) AS nd,
+        |    CAST(runs AS DOUBLE) AS rd
+        |  FROM m),
+        |w2 AS (
+        |  SELECT user_id, n_above, n_below, runs, nd, rd,
+        |    2.0 * n1 * n2 AS p
+        |  FROM v)
+        |SELECT user_id, n_above, n_below, runs,
+        |       round((rd - (p / nd + 1.0)) /
+        |             nullif(sqrt(greatest(
+        |               p * (p - nd) / nullif(nd * nd * (nd - 1.0), 0.0),
+        |               0.0)), 0.0), 6) AS z
+        |FROM w2 ORDER BY user_id""".stripMargin,
 
     // Same second-truncated integer hour buckets, same
     // conditional-count series, same shifted integer equi-join per

@@ -1811,6 +1811,155 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chiSquare ≡ local contingency recomputation for ANY rows") {
+    // Independent reference: build the contingency table with Scala
+    // collections and compute χ² from the textbook per-cell loop —
+    // the operator's fixed ten-term chain must agree within
+    // conditioning; margins/dof are integers and must match exactly.
+    val cats = Seq("p", "q", "r")
+    val rowGen = Gen.nonEmptyListOf(for {
+      c <- Gen.oneOf(cats :+ "zz") // 'zz' ignored
+      j <- Gen.oneOf(0L, 1L)
+    } yield (c, j))
+    forAllSeeded(rowGen) { rows =>
+      val r = graft.operators.AggOps.chiSquare(
+          rows.toDF("cat", "cohort"), cats).collect().head
+      val kept = rows.filter(p => cats.contains(p._1))
+      val n = kept.size
+      val cells = kept.groupBy(identity).view.mapValues(_.size).toMap
+      def cnt(c: String, j: Long) = cells.getOrElse((c, j), 0)
+      val rowM = cats.map(c => c -> (cnt(c, 0) + cnt(c, 1))).toMap
+      val colM = (0L to 1L).map(j => j -> cats.map(cnt(_, j)).sum).toMap
+      val rEff = rowM.values.count(_ > 0)
+      val cEff = colM.values.count(_ > 0)
+      val dof = (rEff - 1) * (cEff - 1)
+      assert(r.getLong(0) == n.toLong, "n")
+      assert(r.getLong(1) == dof.toLong, "dof")
+      if (dof == 0) assert(r.isNullAt(2) && r.isNullAt(3), "dof=0 → NULL")
+      else {
+        val chi2 = (for { c <- cats; j <- 0L to 1L
+          if rowM(c) > 0 && colM(j) > 0 } yield {
+          val e = rowM(c).toDouble * colM(j).toDouble / n
+          val o = cnt(c, j).toDouble
+          (o - e) * (o - e) / e
+        }).sum
+        assert(math.abs(r.getDouble(2) - chi2) <= 1e-6, s"chi2 $r vs $chi2")
+        val v = math.sqrt(chi2 / (n.toDouble * math.min(rEff - 1, cEff - 1)))
+        assert(math.abs(r.getDouble(3) - v) <= 1e-6, s"V $r vs $v")
+      }
+    }
+  }
+
+  test("momentStats ≡ local centered moments for ANY grouped values") {
+    // Independent reference: two-pass centered m₂/m₃/m₄ in plain
+    // doubles vs the operator's raw-moment program — agreement within
+    // conditioning; constant groups must yield NULL shape stats.
+    val rowGen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.choose(0, 1600).map(_ / 16.0)
+    } yield (g, v))
+    forAllSeeded(rowGen) { rows =>
+      val got = graft.operators.AggOps.momentStats(rows.toDF("g", "value"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))))
+        .toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val vs = rs.map(_._2); val n = vs.size
+        val mu = vs.sum / n
+        val m2 = vs.map(v => (v - mu) * (v - mu)).sum / n
+        val m3 = vs.map(v => math.pow(v - mu, 3)).sum / n
+        val m4 = vs.map(v => math.pow(v - mu, 4)).sum / n
+        val (gn, gmean, gvar, gskew, gkurt) = got(g)
+        assert(gn == n.toLong, s"g=$g n")
+        assert(math.abs(gmean - mu) <= 1e-6, s"g=$g mean")
+        assert(math.abs(gvar - m2) <= 1e-5, s"g=$g var $gvar vs $m2")
+        if (m2 <= 1e-12) assert(gskew.isEmpty && gkurt.isEmpty, s"g=$g NULL")
+        else {
+          val skew = m3 / math.pow(m2, 1.5)
+          val kurt = m4 / (m2 * m2) - 3.0
+          assert(math.abs(gskew.get - skew) <=
+            1e-5 * math.max(1.0, math.abs(skew)), s"g=$g skew")
+          assert(math.abs(gkurt.get - kurt) <=
+            1e-5 * math.max(1.0, math.abs(kurt)), s"g=$g kurt")
+        }
+      }
+    }
+  }
+
+  test("runsTest ≡ local sign-runs fold for ANY series") {
+    // Independent reference: compute the mean, signs, and run count
+    // with Scala collections; z replays the operator's own double
+    // program (all inputs integers) for bit-equality after the fence.
+    val rowGen = Gen.nonEmptyListOf(for {
+      u <- Gen.oneOf(1L, 2L)
+      v <- Gen.choose(0, 1600).map(_ / 16.0)
+    } yield (u, v)).map(_.zipWithIndex.map { case ((u, v), i) =>
+      (u, i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), v) })
+    forAllSeeded(rowGen) { rows =>
+      val got = graft.operators.TimeSeries.runsTest(
+          rows.toDF("user_id", "event_id", "ts", "value"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+        .toMap
+      rows.groupBy(_._1).foreach { case (u, rs) =>
+        val mean = rs.map(r => BigDecimal(r._4).setScale(4)).sum.toDouble /
+          rs.size.toDouble
+        val signed = rs.sortBy(r => (r._3.getTime, r._2))
+          .filter(_._4 != mean).map(_._4 > mean)
+        if (signed.isEmpty) assert(!got.contains(u), s"u=$u: empty")
+        else {
+          val n1 = signed.count(identity); val n2 = signed.size - n1
+          val runs = 1 + signed.zip(signed.drop(1)).count(p => p._1 != p._2)
+          val (nd, rd) = (signed.size.toDouble, runs.toDouble)
+          val p = 2.0 * n1.toDouble * n2.toDouble
+          val varR = p * (p - nd) / (nd * nd * (nd - 1.0))
+          val z =
+            if (nd <= 1.0 || math.max(varR, 0.0) == 0.0) None
+            else Some(BigDecimal((rd - (p / nd + 1.0)) /
+              math.sqrt(math.max(varR, 0.0)))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          assert(got(u) == ((n1.toLong, n2.toLong, runs.toLong, z)),
+            s"u=$u: ${got(u)} vs ${(n1, n2, runs, z)}")
+        }
+      }
+    }
+  }
+
+  test("clusteringCoeff ≡ local neighborhood closure for ANY graph") {
+    // Independent reference: materialize neighbor SETS and count
+    // closed wedges directly per node — a wedge/orientation bug in
+    // the triangle core cannot agree with set intersection.
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 9L); d <- Gen.choose(1L, 9L)
+    } yield { val b = (a + d) % 10; (math.min(a, b), math.max(a, b)) })
+      .map(_.distinct)
+    forAllSeeded(edgeGen) { und =>
+      val got = graft.llm.LlmGraph.clusteringCoeff(und.toDF("u", "v"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+        .toMap
+      val nb = (und ++ und.map { case (a, b) => (b, a) })
+        .groupBy(_._1).map { case (x, es) => x -> es.map(_._2).toSet }
+      nb.foreach { case (v, ns) =>
+        val t = ns.toSeq.combinations(2)
+          .count { case Seq(a, b) => nb(a).contains(b) }
+        val d = ns.size
+        val coeff =
+          if (d < 2) None
+          else Some(BigDecimal(2.0 * t.toDouble /
+            (d.toDouble * (d.toDouble - 1.0)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        assert(got(v) == ((d.toLong, t.toLong, coeff)),
+          s"v=$v: ${got(v)} vs ${(d, t, coeff)}")
+      }
+    }
+  }
+
   test("degreeAssortativity ≡ local exact fold for ANY simple graph") {
     // Independent reference: mirrored endpoint-degree moments in exact
     // BigInt, then the operator's own sqrt-free double program —
