@@ -521,6 +521,65 @@ object StreamOps {
       .toDF()
   }
 
+  /** One consecutive-pair transition within a user's stream. */
+  final case class TransOut(user_id: Long, from_type: String,
+      to_type: String, gap_s: Long)
+
+  /** Streaming Markov transitions — `win_transitions`' pair stream as
+    * continuous state: per user, remember the LAST
+    * (second-truncated epoch, type) seen; each arriving row emits the
+    * (from, to, gap) transition from it and becomes the new last.
+    * Within a call rows replay in (epoch-second, event_id) order —
+    * the batch operator's (tsec, event_id) total order — and across
+    * micro-batches the stored last carries, so under event-time-
+    * ordered arrival (the stream_cdc contract) the concatenated
+    * emissions equal the batch pair stream exactly (asserted across
+    * batches in StreamingSpec). State per user is two fields — O(1)
+    * at any scale.
+    */
+  final class TransitionProcessor extends StatefulProcessor[
+      Long, (Long, Long, java.sql.Timestamp, String), TransOut] {
+    @transient private var st: ValueState[(Long, String)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, String)]("lastevt",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING), TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp, String)],
+        timerValues: TimerValues): Iterator[TransOut] = {
+      var last = if (st.exists()) Option(st.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
+      rows.toArray
+        .sortBy(r => (r._3.toInstant.getEpochSecond, r._2))
+        .foreach { r =>
+          val es = r._3.toInstant.getEpochSecond
+          last.foreach { case (pes, pt) =>
+            out += TransOut(key, pt, r._4, es - pes)
+          }
+          last = Some((es, r._4))
+        }
+      last.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** Run [[TransitionProcessor]] over an events frame — batch or
+    * streaming. Returns the raw per-transition stream
+    * (user_id, from_type, to_type, gap_s). */
+  def transitionStream(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    ensureStateStoreCoordinator(s)
+    events.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TransitionProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Running per-user count via `flatMapGroupsWithState` — the
     * pre-Spark-4 stateful API, kept as the fallback path.
     */
@@ -693,6 +752,24 @@ object StreamOps {
         graft.T.documents(s, d).withColumn("sample_key",
           md5(concat_ws(":", col("doc_id"), lit(42)))), k = 50)
         .orderBy("lang", "rk")),
+
+    // Streaming Markov transitions ([[TransitionProcessor]]): per
+    // user the last (epoch-second, type) carries as O(1) state, each
+    // arrival emits its (from, to, gap) edge; the key aggregates the
+    // pair stream into the win_transitions matrix (same exact-DECIMAL
+    // gap sums, same division) — one micro-batch over the whole log
+    // IS the batch matrix, so the oracle replays the batch SQL;
+    // cross-batch continuation is the StreamingSpec scenario.
+    "stream_transitions" -> ((s, d) =>
+      transitionStream(T.events(s, d))
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("gap_s").cast(
+            org.apache.spark.sql.types.DecimalType(19, 0))).as("g"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("g").cast("double") / col("n").cast("double"), 6)
+            .as("avg_gap_s"))
+        .orderBy("from_type", "to_type")),
 
     // Streaming CDC upsert ([[CdcProcessor]]): 'error' deletes the
     // key, anything else upserts value; last (event-time, event_id)
@@ -904,6 +981,30 @@ object StreamOps {
         |FROM ex e LEFT JOIN per USING (doc_id)
         |WHERE coalesce(n_hit, 0) = 0
         |ORDER BY e.doc_id""".stripMargin,
+
+    // The batch image of the carried-last-event fold over one
+    // micro-batch IS the win_transitions matrix: same (tsec,
+    // event_id) lag order, same exact-DECIMAL gap sums, same
+    // division.
+    "stream_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    date_trunc('second', ts) AS tsec,
+        |    CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS es
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER w AS from_type,
+        |    es - lag(es) OVER w AS gap_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |m AS (
+        |  SELECT from_type, event_type AS to_type,
+        |    count(*) AS n,
+        |    sum(CAST(gap_s AS DECIMAL(19,0))) AS g
+        |  FROM f WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(g AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_gap_s
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
 
     // The batch image of the stateful fold: last change per key by
     // (ts, event_id), deletes suppressed.

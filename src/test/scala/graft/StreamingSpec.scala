@@ -706,4 +706,43 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("stream_transitions: the carried last event bridges micro-batches") {
+    // The TransitionProcessor contract: the stored (epoch, type)
+    // carries, so batch 2's first event emits its transition FROM
+    // batch 1's last — the concatenated pair stream equals the batch
+    // run over the whole log under event-time-ordered arrival.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Long, Timestamp, String)]
+      val out = StreamOps.transitionStream(
+        in.toDF().toDF("user_id", "event_id", "ts", "event_type"))
+      val q = out.writeStream.format("memory").queryName("trans_sink")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // batch 1 arrives out of row order WITHIN the batch (the
+        // processor must sort by (epoch, event_id) before folding)
+        in.addData((1L, 1L, ts("2024-01-01 00:05:00"), "b"),
+                   (1L, 0L, ts("2024-01-01 00:00:00"), "a"))
+        q.processAllAvailable()
+        // batch 2: continues user 1 from the stored 'b', new user 2
+        in.addData((1L, 2L, ts("2024-01-01 00:06:30"), "c"),
+                   (2L, 3L, ts("2024-01-01 01:00:00"), "a"))
+        q.processAllAvailable()
+        val got = spark.table("trans_sink")
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            r.getString(2), r.getLong(3))).toSet
+        // a→b within batch 1 (300 s), b→c ACROSS the batch boundary
+        // (90 s); user 2's lone event emits nothing.
+        assert(got == Set((1L, "a", "b", 300L), (1L, "b", "c", 90L)),
+          got.toString)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
