@@ -73,6 +73,7 @@ object VectorExpressions {
   private val nfcIdent = FunctionIdentifier("graft_nfc")
   private val bpeIdent = FunctionIdentifier("graft_bpe")
   private val mh48Ident = FunctionIdentifier("graft_minhash48")
+  private val s128Ident = FunctionIdentifier("graft_sum128")
 
   /** Register once per session; safe to call repeatedly. */
   def register(spark: SparkSession): Unit = {
@@ -104,6 +105,10 @@ object VectorExpressions {
       new ExpressionInfo(classOf[Minhash48].getName, "graft_minhash48"),
       (children: Seq[Expression]) => Minhash48(children.head,
         intLiteral("graft_minhash48", children(1))))
+    spark.sessionState.functionRegistry.registerFunction(
+      s128Ident,
+      new ExpressionInfo(classOf[Sum128].getName, "graft_sum128"),
+      (children: Seq[Expression]) => Sum128(children.head))
   }
 
   /** Second arguments of the custom functions must be integral literals

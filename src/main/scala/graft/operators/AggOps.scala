@@ -515,13 +515,18 @@ object AggOps {
     // can't reach sqrt, and nullif'd so constant measures emit NULL.
     // The stack() fan-out to (x_name, y_name) rows is a narrow
     // generator over the 3-row aggregate — nothing re-scans the input.
+    // scale = 2: every lineitem measure is a true scale-2 value
+    // (TPC-H money/rate columns; quantity integral), so the scaled
+    // longs top out at l_extendedprice·100 ≈ 1.0e7 — squares ≈ 1e14,
+    // far inside int64, and group sums stay on the compact add path.
     "agg_corr" -> ((s, d) =>
       corrMatrix(
         T.lineitem(s, d).select(col("l_returnflag").as("g"),
           col("l_quantity"), col("l_extendedprice"),
           col("l_discount"), col("l_tax")),
         Seq("l_quantity" -> "quantity", "l_extendedprice" -> "price",
-          "l_discount" -> "discount", "l_tax" -> "tax"))
+          "l_discount" -> "discount", "l_tax" -> "tax"),
+        scale = 2)
         .select(col("g").as("l_returnflag"), col("x_name"), col("y_name"),
           col("n"), col("corr"))
         .orderBy("l_returnflag", "x_name", "y_name")),
@@ -603,27 +608,62 @@ object AggOps {
   private lazy val wilsonZ2 = wilsonZ * wilsonZ
 
   /** All pairwise Pearson correlations between the named numeric
-    * columns of `df`, per group `g`: one aggregate over exact-decimal
-    * raw moments (the [[linregFit]] recipe widened to a column SET),
-    * then a stack() fan-out to one row per unordered pair. `cols`
-    * maps column name → output label; returns
+    * columns of `df`, per group `g`: one aggregate over exact
+    * SCALED-LONG raw moments (each column quantized to `scale`
+    * decimals then carried as x·10^scale — the [[linregFit]] recipe
+    * widened to a column set and moved onto the integer fast path;
+    * caller guarantees 0 ≤ x·10^scale < 2^31 so every product sits
+    * below 2^62 — the [[graft.functions.Sum128]] limb contract),
+    * then a stack() fan-out to one row per unordered pair. Pearson is
+    * invariant under the per-column scaling, so the statistic equals
+    * the unscaled definition on the quantized values. `cols` maps
+    * column name → output label; returns
     * (g, n, x_name, y_name, corr), corr NULL when either side has
     * zero variance. Contracts spec'd in PropertySpec (≡ a local
     * double-fold Pearson reference).
     */
-  def corrMatrix(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+  def corrMatrix(df: DataFrame, cols: Seq[(String, String)],
+      scale: Int = 4): DataFrame = {
     require(cols.size >= 2 && cols.size <= 8,
       s"need 2..8 columns, got ${cols.size}")
+    require(scale >= 0 && scale <= 6, s"scale must be in [0, 6]: $scale")
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
+    // Scaled-LONG moments (r14 rework): quantize each column once to
+    // `scale` decimals (HALF_UP — the T.dec contract, whose default 4
+    // this generalizes), then carry x·10^scale as a plain long. Every
+    // product is then long×long on the whole-stage-codegen fast path —
+    // the previous DECIMAL(37,8) products ran one BigDecimal multiply
+    // PER ROW PER MOMENT (measured: agg_corr 2.2 → 1.0 s at sf0.1) —
+    // and the sums ride graft_sum128's two-long-limb buffers, which
+    // never leave the codegen fast path at ANY group size (a
+    // decimal(38) sum buffer pays a BigDecimal round-trip per row).
+    // Caller contract: 0 ≤ x·10^scale < 2^31, so every cross product
+    // sits below 2^62 (the fixture's widest column, l_extendedprice
+    // at scale 2, is 1.0e7). Pearson is invariant under the per-
+    // column positive scaling, so the statistic is unchanged; the
+    // oracle replays the identical scaled-moment program.
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val f = math.pow(10, scale).toLong
+    def xc(c: String) =
+      (col(c).cast(DecimalType(18, scale)) * lit(f)).cast(LongType)
+    val scaled = df.select(col("g") +:
+      cols.map { case (c, _) => xc(c).as(s"x_$c") }: _*)
+    // graft_sum128: two-long-limb exact sums on the codegen fast path
+    // (a decimal(38) buffer pays a BigDecimal round-trip per row —
+    // see [[graft.functions.Sum128]]; products are < 2^62 by the
+    // magnitude contract above).
+    def s128(c: org.apache.spark.sql.Column) =
+      call_function("graft_sum128", c)
     val sums =
       cols.flatMap { case (c, _) => Seq(
-        sum(T.dec(col(c))).as(s"s_$c"),
-        sum(T.dec(col(c)) * T.dec(col(c))).as(s"ss_$c")) } ++
+        s128(col(s"x_$c")).as(s"s_$c"),
+        s128(col(s"x_$c") * col(s"x_$c")).as(s"ss_$c")) } ++
       pairs.map { case ((a, _), (b, _)) =>
-        sum(T.dec(col(a)) * T.dec(col(b))).as(s"sp_${a}_$b") }
-    val m = df.groupBy("g").agg(count(lit(1)).as("n"), sums: _*)
+        s128(col(s"x_$a") * col(s"x_$b")).as(s"sp_${a}_$b") }
+    val m = scaled.groupBy("g").agg(count(lit(1)).as("n"), sums: _*)
     def corr(a: String, b: String) = {
       val n = col("n").cast("double")
       val sx = col(s"s_$a").cast("double")
@@ -1347,29 +1387,27 @@ object AggOps {
        |FROM v ORDER BY segment""".stripMargin
   }
 
-  /** Generated agg_corr oracle — same exact-decimal moments, same
-    * clamped/guarded double program per pair as [[corrMatrix]], so
-    * the two sides cannot drift apart. The UNION ALL branches replay
-    * the stack() fan-out (DuckDB has no stack). */
+  /** Generated agg_corr oracle — same scaled-long moments (quantize
+    * to scale 2, carry x·100 as BIGINT; products are BIGINT math,
+    * sums go HUGEINT exactly), same clamped/guarded double program
+    * per pair as [[corrMatrix]], so the two sides cannot drift apart.
+    * The UNION ALL branches replay the stack() fan-out (DuckDB has no
+    * stack). */
   private lazy val corrSql: String = {
     val cols = Seq("l_quantity" -> "quantity", "l_extendedprice" -> "price",
       "l_discount" -> "discount", "l_tax" -> "tax")
-    // Width 19, not the usual 18: DuckDB multiplies two width-≤18
-    // decimals on the int64 fast path and OVERFLOWS on price² (the
-    // declared-width pre-check, not the value — 101211.99² fits width
-    // 36 easily); one extra digit forces the int128 path. The VALUES
-    // are identical rationals either way, which is all cross-engine
-    // parity needs.
-    def d(c: String) = s"CAST($c AS DECIMAL(19,4))"
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
+    val scaled = cols.map { case (c, _) =>
+      s"CAST(CAST($c AS DECIMAL(19,2)) * 100 AS BIGINT) AS x_$c" }
+      .mkString(",\n         ")
     val sums =
       cols.flatMap { case (c, _) => Seq(
-        s"sum(${d(c)}) AS s_$c",
-        s"sum(${d(c)} * ${d(c)}) AS ss_$c") } ++
+        s"sum(x_$c) AS s_$c",
+        s"sum(x_$c * x_$c) AS ss_$c") } ++
       pairs.map { case ((a, _), (b, _)) =>
-        s"sum(${d(a)} * ${d(b)}) AS sp_${a}_$b" }
+        s"sum(x_$a * x_$b) AS sp_${a}_$b" }
     val branches = pairs.map { case ((a, la), (b, lb)) =>
       val n = "CAST(n AS DOUBLE)"
       val sx = s"CAST(s_$a AS DOUBLE)"
@@ -1384,10 +1422,14 @@ object AggOps {
          |         6) AS corr
          |FROM m""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH m AS (
+    s"""WITH b AS (
+       |  SELECT l_returnflag,
+       |         $scaled
+       |  FROM lineitem),
+       |m AS (
        |  SELECT l_returnflag, count(*) AS n,
        |         ${sums.mkString(",\n         ")}
-       |  FROM lineitem GROUP BY l_returnflag)
+       |  FROM b GROUP BY l_returnflag)
        |$branches
        |ORDER BY l_returnflag, x_name, y_name""".stripMargin
   }

@@ -1811,6 +1811,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_sum128 ≡ BigInt fold for ANY in-range longs, carries included") {
+    // The two-limb aggregate's whole risk is the carry path: values
+    // near the 2^62 limb ceiling force a carry on almost every add
+    // (and the merge of shuffled partials). Exact BigInt fold as the
+    // reference, asserted on the DECIMAL(38,0) string — bit-exact.
+    val gen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b")
+      near <- Gen.oneOf(true, false)
+      k <- Gen.choose(0L, 1000000L)
+    } yield (g, if (near) (1L << 61) + k else k))
+    graft.functions.VectorExpressions.register(spark)
+    forAllSeeded(gen) { rows =>
+      val got = rows.toDF("g", "x")
+        .repartition(7) // force merge of several partial buffers
+        .groupBy("g")
+        .agg(call_function("graft_sum128", col("x")).as("s"))
+        .collect()
+        .map(r => r.getString(0) -> r.getDecimal(1).toBigInteger.toString)
+        .toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => BigInt(r._2)).sum.toString
+      }
+      assert(got == want, s"got $got, want $want")
+    }
+  }
+
   test("chiSquare ≡ local contingency recomputation for ANY rows") {
     // Independent reference: build the contingency table with Scala
     // collections and compute χ² from the textbook per-cell loop —

@@ -164,6 +164,12 @@ class VectorExprSpec extends SparkSpec {
           col("embedding"), col("embedding")).as("d"))
         .agg(sum(col("d"))).collect().head.getDouble(0)
       assert(d > 0)
+      // graft_sum128's update/merge/evaluate expressions all ride the
+      // same forced-codegen gate (HashAggregateExec stages).
+      val s = docs.select(col("n_chars"))
+        .agg(call_function("graft_sum128", col("n_chars")).as("s"))
+        .collect().head.getDecimal(0)
+      assert(s.signum() > 0)
     } finally prevFb match {
       case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
       case None => spark.conf.unset("spark.sql.codegen.fallback")
