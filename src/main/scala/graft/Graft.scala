@@ -34,7 +34,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graft.knnIvf(embeddings, 10, 16)
   * }}}
   *
-  * The driver-facing query catalog (the 201 `SparkEntry.queries` keys)
+  * The driver-facing query catalog (the 204 `SparkEntry.queries` keys)
   * sits one level up and is built FROM these pieces — this object is
   * the programmatic surface.
   */
@@ -139,6 +139,9 @@ object Graft {
   /** Wald–Wolfowitz runs test per entity
     * ([[operators.TimeSeries.runsTest]]). */
   val runsTest = operators.TimeSeries.runsTest _
+  /** CUSUM drift excursions via the windowed prefix-sum identity
+    * ([[operators.TimeSeries.cusumExcursions]]). */
+  val cusumExcursions = operators.TimeSeries.cusumExcursions _
 
   // ---- data quality ------------------------------------------------
   /** Per-column completeness/cardinality/range profile
@@ -248,6 +251,9 @@ object Graft {
   /** Weight-proportional (PPS) Bernoulli sampling
     * ([[llm.CorpusPipeline.ppsSample]]). */
   val ppsSample = llm.CorpusPipeline.ppsSample _
+  /** Class-balanced exact downsample by md5 rank
+    * ([[llm.CorpusPipeline.balancedSample]]). */
+  val balancedSample = llm.CorpusPipeline.balancedSample _
   /** Streaming-shaped curation: gate → first-seen exact → near-dup
     * drop ([[streaming.StreamOps.curateStream]]). */
   val curateStream = streaming.StreamOps.curateStream _

@@ -455,6 +455,20 @@ object CorpusPipeline {
         .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
         .orderBy("lang", "rk")),
 
+    // Class-balanced downsample (r14): every language keeps exactly
+    // min-stratum-count docs — the "balance the classes before
+    // training" primitive (a classifier fit on 80/5/5/5/5 lang mass
+    // learns the prior, not the task). Same md5(doc_id:42) selection
+    // contract as sample_stratified_k, so the draw is deterministic
+    // and partitioning-invariant; the binding count comes from a
+    // 5-row per-lang count frame (min over a window on that frame —
+    // single-partition is free at |langs| rows) broadcast-joined back
+    // on lang, so there is no crossJoin and no new scan. Scale shape:
+    // one lang-window shuffle + one node-sized broadcast join.
+    "sample_balanced" -> ((s, d) =>
+      balancedSample(graft.T.documents(s, d))
+        .orderBy("lang", "rk")),
+
     // Target-mix rebalance (r8): derive per-language keep rates that
     // hit a 50/20/15/10/5 en/de/fr/es/zh mix exactly (in expectation)
     // without upsampling — de is the binding stratum on the fixture
@@ -564,6 +578,32 @@ object CorpusPipeline {
     * aggregate, and the filter itself is a narrow scan with zero
     * data-sized shuffles. ≡-to-local-BigInt-fold spec'd in
     * PropertySpec. */
+  /** Class-balanced exact downsample over `docs("doc_id", "lang", …)`:
+    * every language keeps exactly min-stratum-count docs, selected by
+    * the deterministic md5(doc_id:42) ranking (doc_id tiebreak).
+    * Returns (doc_id, lang, rk, minc). The binding count is a min
+    * over the |langs|-row count frame (single-partition window is
+    * free at that size) broadcast-joined back on lang — an equi-join,
+    * no crossJoin; one lang-window shuffle total. Balance invariant
+    * (every stratum's kept count equals the global min) is
+    * property-pinned in PropertySpec.
+    */
+  def balancedSample(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val minc = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("minc", min(col("cnt")).over(w.partitionBy()))
+      .select(col("lang"), col("minc"))
+    docs
+      .withColumn("sample_key",
+        md5(concat_ws(":", col("doc_id"), lit(42))))
+      .withColumn("rk", row_number().over(
+        w.partitionBy("lang").orderBy("sample_key", "doc_id")))
+      .join(broadcast(minc), Seq("lang"))
+      .filter(col("rk") <= col("minc"))
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"),
+        col("minc"))
+  }
+
   def ppsSample(df: DataFrame, idCol: String, weightCol: String,
       num: Int, den: Int, seed: Int): DataFrame = {
     // den = 0 would make the filter vacuously true (u48·maxW·0 < w·…)
@@ -791,6 +831,23 @@ object CorpusPipeline {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')) AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    // Same md5 ranking with the doc_id tiebreak, same min-over-counts
+    // binding stratum. count(*) margins are integers throughout.
+    "sample_balanced" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |m AS (SELECT lang, min(cnt) OVER () AS minc FROM c),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'),
+        |                    doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.rk, CAST(m.minc AS BIGINT) AS minc
+        |FROM r JOIN m ON r.lang = m.lang
+        |WHERE r.rk <= m.minc
+        |ORDER BY r.lang, r.rk""".stripMargin,
     "corpus_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -555,6 +555,30 @@ object LlmVector {
       searchIvfProbe(e, cents, k = 3, nprobe = 2)
     }),
 
+    // ANN quality evaluation (r14): recall@3 of the nprobe=1 IVF
+    // search against the TRUE global top-3 — the one number an ANN
+    // deployment monitors before trading probes for latency, and the
+    // measurement loop the knn family was missing. Ground truth is
+    // searchIvfProbe at nprobe = nCells, which is PROVABLY brute
+    // force (every query probes every cell — the LlmSpec identity)
+    // while keeping the cell-equi-join shape: even the exhaustive
+    // pass is never a cartesian plan. One left join on the (v1, v2)
+    // pair then a single scalar aggregate.
+    "knn_recall" -> ((s, d) => {
+      val (e, cents) = ivfIndex(s, d, nCells = 16, iters = 2)
+      val truth = searchIvfProbe(e, cents, k = 3, nprobe = 16)
+      val approx = searchIvf(e, cents, k = 3)
+      truth
+        .join(approx.select(col("v1"), col("v2"), lit(1L).as("hit")),
+          Seq("v1", "v2"), "left")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("n_pairs"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            col("n_pairs").cast("double"), 6).as("recall_at_3"))
+        .orderBy("n_pairs")
+    }),
+
     // Embedding-cosine near-dup: vector pairs above a cosine threshold,
     // via the same sign-LSH candidate path (identical/near-identical
     // vectors share buckets; never all-pairs). Planted-dup recall is
@@ -844,6 +868,52 @@ object LlmVector {
         |    PARTITION BY v1 ORDER BY cos DESC, v2) AS "rank" FROM p)
         |SELECT v1, v2, cos, "rank" FROM rk WHERE "rank" <= 3
         |ORDER BY v1, "rank"""".stripMargin,
+
+    // Ground truth as literal all-pairs (DuckDB is the oracle — it
+    // may pay the n² the engine never does), approx as the knn_ivf
+    // chain; both rank the ROUNDED cosine with the v2 tiebreak, the
+    // searchIvf* contract.
+    "knn_recall" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+        |c0 AS (
+        |  SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm FROM e
+        |  ORDER BY vec_id LIMIT 16),
+        |${duckLloyd("c0", "c1")},
+        |${duckLloyd("c1", "c2")},
+        |af AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      (${duckDotCols("e.embedding", "c.ce")} / (e.nrm * c.cnrm))
+        |      DESC, c.cid) AS crn
+        |  FROM e CROSS JOIN c2 c),
+        |asg AS (SELECT cid AS cell, vec_id, embedding, nrm FROM af WHERE crn = 1),
+        |pa AS (
+        |  SELECT l.vec_id AS v1, r.vec_id AS v2,
+        |    round(${duckDot("l", "r")} / (l.nrm * r.nrm), 6) AS cos
+        |  FROM asg l JOIN asg r ON l.cell = r.cell AND l.vec_id <> r.vec_id),
+        |ra AS (
+        |  SELECT v1, v2 FROM (
+        |    SELECT v1, v2, row_number() OVER (
+        |      PARTITION BY v1 ORDER BY cos DESC, v2) AS rk FROM pa)
+        |  WHERE rk <= 3),
+        |pt AS (
+        |  SELECT l.vec_id AS v1, r.vec_id AS v2,
+        |    round(${duckDot("l", "r")} / (l.nrm * r.nrm), 6) AS cos
+        |  FROM e l JOIN e r ON l.vec_id <> r.vec_id),
+        |rt AS (
+        |  SELECT v1, v2 FROM (
+        |    SELECT v1, v2, row_number() OVER (
+        |      PARTITION BY v1 ORDER BY cos DESC, v2) AS rk FROM pt)
+        |  WHERE rk <= 3)
+        |SELECT count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN ra.v2 IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_hit,
+        |       round(CAST(sum(CASE WHEN ra.v2 IS NOT NULL
+        |                           THEN 1 ELSE 0 END) AS DOUBLE) /
+        |             CAST(count(*) AS DOUBLE), 6) AS recall_at_3
+        |FROM rt LEFT JOIN ra ON rt.v1 = ra.v1 AND rt.v2 = ra.v2
+        |ORDER BY n_pairs""".stripMargin,
     // Full IVF-PQ replay: knn_ivf's coarse chain (seeds → two decimal
     // Lloyd steps → home cells) + four [[duckPq]] subspace chains
     // (seed sub-centroids → one mean-Lloyd step → encode), then the

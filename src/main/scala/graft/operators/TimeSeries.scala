@@ -328,6 +328,22 @@ object TimeSeries {
         col("ts"), col("value")))
         .orderBy("user_id")),
 
+    // CUSUM drift excursions (r14): per user, how far the cumulative
+    // deviation from the series' own mean ever wanders up or down —
+    // the sequential change detector next to ts_changepoint's
+    // retrospective split (CUSUM accumulates small persistent shifts
+    // a per-point z-test never sees). Expressed WITHOUT a sequential
+    // fold: S_t = Σ_{≤t}(x−μ) = P_t − t·μ off the EXACT decimal
+    // prefix sum (decimal addition is association-free, so the
+    // running window can accumulate in any order), up-excursion =
+    // Q_t − min_{≤t}Q, down = max_{≤t}Q − Q_t — running min/max are
+    // order-free too, so the whole statistic is windowed column math
+    // sharing ONE entity shuffle, no collect, no recurrence.
+    "ts_cusum" -> ((s, d) =>
+      cusumExcursions(T.events(s, d).select(col("user_id"),
+        col("event_id"), col("ts"), col("value")))
+        .orderBy("user_id")),
+
     // Time-series anomaly detection (r9): flag events whose value
     // breaks from the series' own recent behavior — residual against
     // the one-step-ahead EWMA forecast (lag(ewma, 1): the smoothed
@@ -516,6 +532,46 @@ object TimeSeries {
         .as("xcorr"))
   }
 
+  /** CUSUM drift excursions per entity over
+    * `df("user_id", "event_id", "ts", "value")`: with
+    * Q_t = P_t − t·μ (P the exact-decimal prefix sum in
+    * (ts, event_id) order, μ the entity's deterministic mean), the
+    * maximum upward excursion max_t(Q_t − min_{s≤t} Q_s) and downward
+    * excursion max_t(max_{s≤t} Q_s − Q_t). Returns
+    * (user_id, n, up_excursion, down_excursion), both rounded to 6.
+    *
+    * Every ingredient is order-free: the prefix sum is exact DECIMAL
+    * (associative), μ is the decimal-sum double image, Q is a fixed
+    * per-row double program, and running min/max commute — so the
+    * windowed form replaces the textbook sequential
+    * max(0, S+x−μ) recurrence exactly (the two are equal by the
+    * prefix-sum identity) while staying plain column math: one entity
+    * window shuffle, O(1) state per row at any scale.
+    */
+  def cusumExcursions(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val wAll = w.partitionBy("user_id")
+    val wOrd = w.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Long.MinValue, 0)
+    val mean = sum(T.dec(col("value"))).over(wAll).cast("double") /
+      count(lit(1)).over(wAll).cast("double")
+    val q = sum(T.dec(col("value"))).over(wRun).cast("double") -
+      row_number().over(wOrd).cast("double") * mean
+    // least/greatest with 0 add the virtual Q₀ = 0 of the empty
+    // prefix — without it the identity with the max(0, S + x − μ)
+    // recurrence breaks on series whose Q never crosses zero.
+    val scored = df
+      .withColumn("q", q)
+      .withColumn("up",
+        col("q") - least(min(col("q")).over(wRun), lit(0.0)))
+      .withColumn("down",
+        greatest(max(col("q")).over(wRun), lit(0.0)) - col("q"))
+    scored.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      round(max(col("up")), 6).as("up_excursion"),
+      round(max(col("down")), 6).as("down_excursion"))
+  }
+
   /** Wald–Wolfowitz runs test per entity over
     * `df("user_id", "event_id", "ts", "value")`: values are signed
     * against the entity's own mean (rows equal to it drop — the
@@ -696,6 +752,40 @@ object TimeSeries {
         |FROM b WHERE rn >= 7 ORDER BY user_id, rn""".stripMargin,
 
     "ts_autocorr" -> acfSql,
+
+    // Same exact-decimal prefix sum and deterministic mean, same
+    // fixed Q program, same 0-baselined running min/max — every
+    // window shares the (ts, event_id) order.
+    "ts_cusum" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(sum(CAST(value AS DECIMAL(19,4))) OVER wp AS DOUBLE)
+        |      / CAST(count(*) OVER wp AS DOUBLE) AS mean,
+        |    CAST(sum(CAST(value AS DECIMAL(19,4))) OVER wr AS DOUBLE)
+        |      AS pd,
+        |    row_number() OVER wo AS rn
+        |  FROM events
+        |  WINDOW wp AS (PARTITION BY user_id),
+        |         wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |         wr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND CURRENT ROW)),
+        |q AS (
+        |  SELECT user_id, event_id, ts,
+        |         pd - CAST(rn AS DOUBLE) * mean AS qv
+        |  FROM b),
+        |s AS (
+        |  SELECT user_id,
+        |    qv - least(min(qv) OVER wr, 0.0) AS up,
+        |    greatest(max(qv) OVER wr, 0.0) - qv AS down
+        |  FROM q
+        |  WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND CURRENT ROW))
+        |SELECT user_id, count(*) AS n,
+        |       round(max(up), 6) AS up_excursion,
+        |       round(max(down), 6) AS down_excursion
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Same deterministic mean (exact-decimal partition sum over the
     // count — width 19, the int128 note), same sign/lag/run layering,

@@ -1986,6 +1986,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("balancedSample: every stratum keeps exactly the min count, by md5 rank") {
+    // Independent reference: recompute the md5 ranking with
+    // MessageDigest and the binding min with Scala collections — pins
+    // both the balance invariant and WHICH docs survive.
+    def key(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s"$id:42".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    val gen = Gen.nonEmptyListOf(Gen.oneOf("en", "de", "fr"))
+      .map(_.zipWithIndex.map { case (l, i) => (i.toLong, l) })
+    forAllSeeded(gen) { docs =>
+      val got = graft.llm.CorpusPipeline.balancedSample(
+          docs.toDF("doc_id", "lang"))
+        .collect()
+        .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+      val byLang = docs.groupBy(_._2)
+      val minc = byLang.values.map(_.size).min
+      val want = byLang.toSeq.flatMap { case (l, ds) =>
+        ds.map(_._1).sortBy(id => (key(id), id)).take(minc)
+          .zipWithIndex.map { case (id, i) =>
+            (l, id, i + 1L, minc.toLong) }
+      }.toSet
+      assert(got.toSet == want, s"got ${got.take(5).toSeq}…")
+      assert(got.groupBy(_._1).values.forall(_.length == minc), "balance")
+    }
+  }
+
+  test("cusumExcursions ≡ sequential max(0, S + x − μ) recurrence") {
+    // Independent reference: the textbook one-sided CUSUM folds — a
+    // genuinely different computation than the operator's windowed
+    // prefix-sum identity, so they agree only within float
+    // conditioning (1e-6); a baseline or min/max-direction bug lands
+    // far outside.
+    val gen = Gen.nonEmptyListOf(for {
+      u <- Gen.oneOf(1L, 2L)
+      v <- Gen.choose(0, 1600).map(_ / 16.0)
+    } yield (u, v)).map(_.zipWithIndex.map { case ((u, v), i) =>
+      (u, i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), v) })
+    forAllSeeded(gen) { rows =>
+      val got = graft.operators.TimeSeries.cusumExcursions(
+          rows.toDF("user_id", "event_id", "ts", "value"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getDouble(3))))
+        .toMap
+      rows.groupBy(_._1).foreach { case (u, rs) =>
+        val vs = rs.sortBy(r => (r._3.getTime, r._2)).map(_._4)
+        val mu = vs.sum / vs.size
+        var (sUp, sDn, mUp, mDn) = (0.0, 0.0, 0.0, 0.0)
+        vs.foreach { x =>
+          sUp = math.max(0.0, sUp + (x - mu)); mUp = math.max(mUp, sUp)
+          sDn = math.max(0.0, sDn - (x - mu)); mDn = math.max(mDn, sDn)
+        }
+        val (gn, gUp, gDn) = got(u)
+        assert(gn == vs.size.toLong, s"u=$u n")
+        assert(math.abs(gUp - mUp) <= 1e-6 * math.max(1.0, mUp),
+          s"u=$u up $gUp vs $mUp")
+        assert(math.abs(gDn - mDn) <= 1e-6 * math.max(1.0, mDn),
+          s"u=$u down $gDn vs $mDn")
+      }
+    }
+  }
+
   test("degreeAssortativity ≡ local exact fold for ANY simple graph") {
     // Independent reference: mirrored endpoint-degree moments in exact
     // BigInt, then the operator's own sqrt-free double program —
