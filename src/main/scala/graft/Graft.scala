@@ -34,7 +34,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graft.knnIvf(embeddings, 10, 16)
   * }}}
   *
-  * The driver-facing query catalog (the 204 `SparkEntry.queries` keys)
+  * The driver-facing query catalog (the 207 `SparkEntry.queries` keys)
   * sits one level up and is built FROM these pieces — this object is
   * the programmatic surface.
   */
@@ -142,6 +142,9 @@ object Graft {
   /** CUSUM drift excursions via the windowed prefix-sum identity
     * ([[operators.TimeSeries.cusumExcursions]]). */
   val cusumExcursions = operators.TimeSeries.cusumExcursions _
+  /** One-step-ahead EWMA forecast backtest (MAE/bias/RMSE)
+    * ([[operators.TimeSeries.forecastEval]]). */
+  val forecastEval = operators.TimeSeries.forecastEval _
 
   // ---- data quality ------------------------------------------------
   /** Per-column completeness/cardinality/range profile
@@ -184,6 +187,9 @@ object Graft {
   /** Per-node local clustering coefficient
     * ([[llm.LlmGraph.clusteringCoeff]]). */
   val clusteringCoeff = llm.LlmGraph.clusteringCoeff _
+  /** Log2-bucketed degree histogram
+    * ([[llm.LlmGraph.degreeHistogram]]). */
+  val degreeHistogram = llm.LlmGraph.degreeHistogram _
 
   // ---- dedup family ------------------------------------------------
   /** Shingle-Jaccard near-dup pairs ([[llm.LlmDedup.ngramPairs]]). */
@@ -254,6 +260,9 @@ object Graft {
   /** Class-balanced exact downsample by md5 rank
     * ([[llm.CorpusPipeline.balancedSample]]). */
   val balancedSample = llm.CorpusPipeline.balancedSample _
+  /** Benchmark-side contamination audit
+    * ([[llm.CorpusPipeline.contaminationReport]]). */
+  val contaminationReport = llm.CorpusPipeline.contaminationReport _
   /** Streaming-shaped curation: gate → first-seen exact → near-dup
     * drop ([[streaming.StreamOps.curateStream]]). */
   val curateStream = streaming.StreamOps.curateStream _

@@ -119,6 +119,41 @@ object CorpusPipeline {
           .as("contaminated"))
   }
 
+  /** Benchmark-side contamination audit: for each benchmark doc, the
+    * number of training docs sharing at least `minSharedShingles`
+    * distinct 3-shingles with it, and the worst overlap. Returns
+    * (bench_id, n_hits, max_shared, compromised) for EVERY benchmark
+    * doc (clean ones at 0/0/false). The dual of [[decontaminate]]:
+    * same distinct-shingle inverted-index join, aggregated per
+    * (bench, train) pair first (pair volume bounded by shared
+    * shingle mass — cap high-df shingles at web scale), then per
+    * benchmark doc.
+    */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame,
+      minSharedShingles: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    def postings(df: DataFrame) = graft.T.spread(
+        df.filter(size(split(col("text"), " ")) >= 3))
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles", col("text"), lit(3)))
+          .as("sh"))
+    val pairs = postings(benchmark)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+      .join(postings(docs).select(col("doc_id").as("train_id"), col("sh")),
+        Seq("sh"))
+      .groupBy("bench_id", "train_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSharedShingles)
+    val perBench = pairs.groupBy("bench_id").agg(
+      count(lit(1)).as("n_hits"),
+      max(col("n_shared")).as("max_shared"))
+    benchmark.select(col("doc_id").as("bench_id"))
+      .join(perBench, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("compromised"))
+  }
+
   /** Deterministic stratified sample — training-mix weights per
     * stratum (e.g. per language). Content-hash Bernoulli: a row is
     * kept iff its 60-bit md5 prefix falls under its stratum's
@@ -511,6 +546,22 @@ object CorpusPipeline {
         .orderBy("doc_id")
     }),
 
+    // Benchmark-side contamination audit (r14): the dual view of
+    // corpus_decontaminate — for every BENCHMARK item, how many
+    // training docs overlap it (≥ k shared 3-shingles) and how hard
+    // the worst one does. Decontaminate answers "what do I drop from
+    // training"; this answers the eval owner's question, "which of my
+    // benchmark items are already compromised and by how much".
+    // Same distinct-shingle posting join (inverted index, never
+    // doc×doc); the (bench, train) pair aggregate is bounded by
+    // genuinely-shared shingle mass, the df-cap lever at web scale.
+    "corpus_contamination" -> ((s, d) => {
+      val docs = graft.T.documents(s, d)
+      contaminationReport(docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0), minSharedShingles = 5)
+        .orderBy("bench_id")
+    }),
+
     // Per-source corpus dashboard (r9): the report a data curator
     // reads before touching mix weights — volume (docs/tokens), size
     // distribution (exact median — order statistics, engine-portable),
@@ -866,7 +917,35 @@ object CorpusPipeline {
         |       coalesce(ov.n_shared, 0) >= 5 AS contaminated
         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
         |WHERE d.doc_id % 17 <> 0
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // The decontaminate shingle replay, aggregated the other way:
+    // per (bench, train) pair first, then per benchmark doc.
+    "corpus_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |     for i in range(1, len(toks) - 1)])) AS sh
+        |  FROM t),
+        |pairs AS (
+        |  SELECT b.doc_id AS bench_id, c.doc_id AS train_id,
+        |         count(*) AS n_shared
+        |  FROM sh b JOIN sh c ON b.sh = c.sh
+        |  WHERE b.doc_id % 17 = 0 AND c.doc_id % 17 <> 0
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |pb AS (
+        |  SELECT bench_id, count(*) AS n_hits, max(n_shared) AS max_shared
+        |  FROM pairs GROUP BY 1)
+        |SELECT d.doc_id AS bench_id,
+        |       CAST(coalesce(pb.n_hits, 0) AS BIGINT) AS n_hits,
+        |       CAST(coalesce(pb.max_shared, 0) AS BIGINT) AS max_shared,
+        |       coalesce(pb.n_hits, 0) > 0 AS compromised
+        |FROM documents d LEFT JOIN pb ON d.doc_id = pb.bench_id
+        |WHERE d.doc_id % 17 = 0
+        |ORDER BY bench_id""".stripMargin
   )
 
   /** Per-stage retention report for a curation run (one row). */

@@ -540,7 +540,19 @@ object LlmGraph {
     // the one division happens on integer double images.
     "graph_clustering" -> ((s, d) =>
       clusteringCoeff(supportEdges(s, d).localCheckpoint(false))
-        .orderBy("part_id"))
+        .orderBy("part_id")),
+
+    // Degree distribution (r14): the log₂-bucketed degree histogram —
+    // the first plot every graph audit draws (a power-law tail means
+    // hub caps matter; a tight unimodal bump means they don't), and
+    // the cheap pre-check for every wedge-bounded operator above.
+    // Buckets are floor(log₂ deg) via length(bin(deg)) − 1 — pure
+    // integer/string ops, no transcendental log to drift
+    // cross-engine. One mirrored-degree count + one |buckets|-row
+    // aggregate.
+    "graph_degree_dist" -> ((s, d) =>
+      degreeHistogram(supportEdges(s, d))
+        .orderBy("bucket"))
   )
 
   /** Support-≥2 part co-occurrence edges over `lineitem` — parts are
@@ -845,6 +857,25 @@ object LlmGraph {
       round(sx / m2, 6).as("mean_deg"),
       round((m2 * sxy - sx * sx) /
         nullif(m2 * sxx - sx * sx, lit(0.0)), 6).as("assortativity"))
+  }
+
+  /** Log₂-bucketed degree histogram over UNDIRECTED edges `(u, v)`
+    * with `u < v`, deduplicated: per bucket = floor(log₂ deg)
+    * (computed as length(bin(deg)) − 1 — integer-exact, no float
+    * log), the node count and the exact degree range. Returns
+    * (bucket, n_nodes, min_deg, max_deg). One mirrored-degree count
+    * then a |buckets|-row aggregate — trivially shuffle-bounded.
+    */
+  def degreeHistogram(e: DataFrame): DataFrame = {
+    require(e.columns.toSeq == Seq("u", "v"),
+      s"edges must be exactly (u, v), got: ${e.columns.mkString(",")}")
+    e.select(col("u").as("node")).unionByName(
+        e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
   }
 
   /** Local clustering coefficient over UNDIRECTED edges `(u, v)` with
@@ -1221,6 +1252,23 @@ object LlmGraph {
         |                    * (CAST(d.dg AS DOUBLE) - 1.0), 0.0), 6)
         |         AS coeff
         |FROM deg d LEFT JOIN tc ON d.n = tc.part_id
-        |ORDER BY part_id""".stripMargin
+        |ORDER BY part_id""".stripMargin,
+
+    // Same support edges, same integer-exact length(bin())−1 bucket.
+    "graph_degree_dist" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT n, count(*) AS dg FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY n)
+        |SELECT CAST(length(bin(dg)) - 1 AS BIGINT) AS bucket,
+        |       count(*) AS n_nodes,
+        |       min(dg) AS min_deg, max(dg) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

@@ -344,6 +344,21 @@ object TimeSeries {
         col("event_id"), col("ts"), col("value")))
         .orderBy("user_id")),
 
+    // Forecast backtest (r14): per user, the one-step-ahead error
+    // profile of the EWMA smoother — MAE (typical miss), bias (does
+    // it systematically lag?), RMSE (tail-weighted) — the evaluation
+    // loop that tells a monitoring stack whether its smoother is
+    // worth alerting on BEFORE it pages anyone. lag(ewma) is the
+    // honest forecast: the state fitted strictly before the
+    // observation. Errors re-enter exact DECIMAL (the round-4 ewma
+    // double recovers its scale-4 rational exactly on the cast), so
+    // the error sums are association-free and the three metrics are
+    // fixed double programs.
+    "ts_forecast_eval" -> ((s, d) =>
+      forecastEval(T.events(s, d).select(col("user_id"),
+        col("event_id"), col("ts"), col("value")))
+        .orderBy("user_id")),
+
     // Time-series anomaly detection (r9): flag events whose value
     // breaks from the series' own recent behavior — residual against
     // the one-step-ahead EWMA forecast (lag(ewma, 1): the smoothed
@@ -572,6 +587,40 @@ object TimeSeries {
       round(max(col("down")), 6).as("down_excursion"))
   }
 
+  /** One-step-ahead EWMA backtest per entity over
+    * `df("user_id", "event_id", "ts", "value")`: forecast_t =
+    * lag(ewma) (the [[ewmaCapped]] state fitted strictly before row
+    * t), err = value − forecast over rows with a predecessor. Returns
+    * (user_id, n_eval, mae, bias, rmse), rounded to 6.
+    *
+    * Errors are exact DECIMAL: the ewma double is round(·, 4), so
+    * casting it back to scale 4 recovers its rational exactly (both
+    * engines cast the identical double identically) — the error
+    * sums are then association-free and each metric is a fixed
+    * correctly-rounded double program. Shares ONE entity window
+    * shuffle with the smoother itself.
+    */
+  def forecastEval(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val errs = ewmaCapped(df, w)
+      .withColumn("fc", lag(col("ewma"), 1).over(w))
+      .filter(col("fc").isNotNull)
+      .withColumn("err", T.dec(col("value")) -
+        col("fc").cast(DecimalType(18, 4)))
+    val m = errs.groupBy("user_id").agg(
+      count(lit(1)).as("n_eval"),
+      sum(abs(col("err"))).as("sa"),
+      sum(col("err")).as("se"),
+      sum(col("err") * col("err")).as("ss"))
+    val nd = col("n_eval").cast("double")
+    m.select(col("user_id"), col("n_eval"),
+      round(col("sa").cast("double") / nd, 6).as("mae"),
+      round(col("se").cast("double") / nd, 6).as("bias"),
+      round(sqrt(col("ss").cast("double") / nd), 6).as("rmse"))
+  }
+
   /** Wald–Wolfowitz runs test per entity over
     * `df("user_id", "event_id", "ts", "value")`: values are signed
     * against the entity's own mean (rows equal to it drop — the
@@ -752,6 +801,32 @@ object TimeSeries {
         |FROM b WHERE rn >= 7 ORDER BY user_id, rn""".stripMargin,
 
     "ts_autocorr" -> acfSql,
+
+    // The shared EWMA core CTEs, then the same lag-forecast, the
+    // same exact-decimal error re-entry (round-4 double → scale-4
+    // decimal recovers the rational), the same three fixed programs.
+    "ts_forecast_eval" ->
+      s"""WITH $ewmaCoreSql,
+        |f AS (
+        |  SELECT user_id, value,
+        |         lag(ewma) OVER (PARTITION BY user_id
+        |                         ORDER BY ts, event_id) AS fc
+        |  FROM ew),
+        |e2 AS (
+        |  SELECT user_id,
+        |         CAST(value AS DECIMAL(19,4))
+        |           - CAST(fc AS DECIMAL(19,4)) AS err
+        |  FROM f WHERE fc IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, count(*) AS n, sum(abs(err)) AS sa,
+        |         sum(err) AS se, sum(err * err) AS ss
+        |  FROM e2 GROUP BY user_id)
+        |SELECT user_id, n AS n_eval,
+        |       round(CAST(sa AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mae,
+        |       round(CAST(se AS DOUBLE) / CAST(n AS DOUBLE), 6) AS bias,
+        |       round(sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |         AS rmse
+        |FROM m ORDER BY user_id""".stripMargin,
 
     // Same exact-decimal prefix sum and deterministic mean, same
     // fixed Q program, same 0-baselined running min/max — every

@@ -2049,6 +2049,112 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("forecastEval ≡ closed-form EWMA backtest for ANY series") {
+    // Independent reference: the capped EWMA closed form on
+    // BigDecimal (the ewmaCapped property's recipe), shifted one step
+    // for the forecast, exact decimal errors, then the operator's own
+    // double programs — bit-equal after the round-6 fence.
+    val series = Gen.nonEmptyListOf(for {
+      user <- Gen.choose(1L, 2L)
+      v <- Gen.choose(-99999, 99999).map(_ / 100.0)
+    } yield (user, v))
+    forAllSeeded(series) { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((u, v), i) =>
+        (u, i.toLong,
+          new java.sql.Timestamp(1700000000000L + i * 1000L), v)
+      }
+      val got = graft.operators.TimeSeries.forecastEval(
+          rows.toDF("user_id", "event_id", "ts", "value"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))))
+        .toMap
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      for ((u, srs) <- rows.groupBy(_._1)) {
+        val xs = srs.sortBy(r => (r._3.getTime, r._2))
+          .map(r => BigDecimal(r._4).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP))
+        val ewma = xs.indices.map { i =>
+          val m = math.min(i + 1, 8)
+          (0 until m).map { j =>
+            val coef =
+              if (j == m - 1) BigDecimal(1) / BigDecimal(BigInt(1) << (m - 1))
+              else BigDecimal(1) / BigDecimal(BigInt(1) << (j + 1))
+            xs(i - j) * coef
+          }.sum.setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        }
+        if (xs.size >= 2) {
+          val errs = (1 until xs.size).map(i => xs(i) - ewma(i - 1))
+          val n = errs.size.toDouble
+          val want = (errs.size.toLong,
+            r6(errs.map(_.abs).sum.toDouble / n),
+            r6(errs.sum.toDouble / n),
+            r6(math.sqrt(errs.map(e => e * e).sum.toDouble / n)))
+          assert(got(u) == want, s"u=$u: ${got(u)} vs $want")
+        } else assert(!got.contains(u), s"u=$u: single row must drop")
+      }
+    }
+  }
+
+  test("contaminationReport ≡ local shingle-set overlap for ANY docs") {
+    // Independent reference: materialize each doc's DISTINCT 3-shingle
+    // SET with Scala collections and intersect pairs directly — the
+    // operator goes through an inverted posting join instead.
+    val gen = Gen.nonEmptyListOf(for {
+      n <- Gen.choose(1, 10)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield ws.mkString(" ")).map(_.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t) })
+    forAllSeeded(gen) { docs =>
+      val (bench, train) = docs.partition(_._1 % 3 == 0)
+      if (bench.nonEmpty && train.nonEmpty) {
+        val got = graft.llm.CorpusPipeline.contaminationReport(
+            train.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+            minSharedShingles = 2)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+            r.getBoolean(3))))
+          .toMap
+        def sh(t: String): Set[String] = {
+          val w = t.split(" ")
+          if (w.length < 3) Set.empty
+          else w.sliding(3).map(_.mkString(" ")).toSet
+        }
+        bench.foreach { case (bid, bt) =>
+          val overlaps = train
+            .map { case (_, tt) => (sh(bt) & sh(tt)).size }
+            .filter(_ >= 2)
+          val want = (overlaps.size.toLong,
+            (if (overlaps.isEmpty) 0 else overlaps.max).toLong,
+            overlaps.nonEmpty)
+          assert(got(bid) == want, s"bench=$bid: ${got(bid)} vs $want")
+        }
+      }
+    }
+  }
+
+  test("degreeHistogram ≡ local log2 bucket fold for ANY graph") {
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 9L); d <- Gen.choose(1L, 9L)
+    } yield { val b = (a + d) % 10; (math.min(a, b), math.max(a, b)) })
+      .map(_.distinct)
+    forAllSeeded(edgeGen) { und =>
+      val got = graft.llm.LlmGraph.degreeHistogram(und.toDF("u", "v"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3))))
+        .toMap
+      val deg = (und ++ und.map { case (a, b) => (b, a) })
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val want = deg.values.groupBy(d =>
+          (63 - java.lang.Long.numberOfLeadingZeros(d)).toLong)
+        .map { case (b, ds) =>
+          b -> ((ds.size.toLong, ds.min, ds.max)) }
+      assert(got == want, s"got $got, want $want")
+    }
+  }
+
   test("degreeAssortativity ≡ local exact fold for ANY simple graph") {
     // Independent reference: mirrored endpoint-degree moments in exact
     // BigInt, then the operator's own sqrt-free double program —
