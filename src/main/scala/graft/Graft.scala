@@ -34,7 +34,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graft.knnIvf(embeddings, 10, 16)
   * }}}
   *
-  * The driver-facing query catalog (the 207 `SparkEntry.queries` keys)
+  * The driver-facing query catalog (the 209 `SparkEntry.queries` keys)
   * sits one level up and is built FROM these pieces — this object is
   * the programmatic surface.
   */
@@ -263,6 +263,9 @@ object Graft {
   /** Benchmark-side contamination audit
     * ([[llm.CorpusPipeline.contaminationReport]]). */
   val contaminationReport = llm.CorpusPipeline.contaminationReport _
+  /** Banded perceptual-hash 1-NN near-dup for media assets
+    * ([[llm.Multimodal.phashNearDup]]). */
+  val phashNearDup = llm.Multimodal.phashNearDup _
   /** Streaming-shaped curation: gate → first-seen exact → near-dup
     * drop ([[streaming.StreamOps.curateStream]]). */
   val curateStream = streaming.StreamOps.curateStream _

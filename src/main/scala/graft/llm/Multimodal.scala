@@ -159,16 +159,76 @@ object Multimodal {
     // signature-bounded state, the LSH-bucket shape at scale.
     "multimodal_phash" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("signature")
-      decoded(s, d)
-        .select(col("doc_id"),
-          array_join(transform(col("features"), f =>
-            least(floor(f.cast("double") * 8), lit(7.0)).cast("int")
-              .cast("string")), "").as("signature"))
+      signatures(s, d)
         .withColumn("cluster", min("doc_id").over(w))
         .withColumn("n_same", count(lit(1)).over(w))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Perceptual NEAR-dup (r14): multimodal_phash's exact-signature
+    // clusters miss a one-bucket re-encode; this is the banded-LSH
+    // tier over the SAME 16-level signature — assets sharing any of
+    // four 4-char bands are candidates (a near-identical asset agrees
+    // on ≥ one band with high probability), verified by the exact
+    // per-position level distance, and each asset reports its SINGLE
+    // nearest in-threshold neighbor (1-NN, not the pair list — output
+    // stays n rows even where signatures collapse; this synthetic
+    // corpus holds only ~14 distinct signatures, so a pair emission
+    // would be the degenerate n² mass a real phash space never has).
+    // The dedup_simhash recipe applied to media: candidates from an
+    // equi-join on band keys, never asset×asset.
+    "multimodal_neardup" -> ((s, d) =>
+      phashNearDup(signatures(s, d), bandLen = 4, maxDist = 6)
+        .orderBy("doc_id"))
   )
+
+  /** The 16-char quantized-histogram signature per asset — the
+    * perceptual-hash string [[queries]]' phash/neardup keys share.
+    * One decode pass, 8 levels per histogram bucket. */
+  def signatures(s: SparkSession, d: String): DataFrame =
+    decoded(s, d)
+      .select(col("doc_id"),
+        array_join(transform(col("features"), f =>
+          least(floor(f.cast("double") * 8), lit(7.0)).cast("int")
+            .cast("string")), "").as("signature"))
+
+  /** Banded 1-NN near-dup over 16-char level signatures
+    * `sigs("doc_id", "signature")`: docs sharing ANY length-`bandLen`
+    * band are candidates (equi-join on the band key — never n²);
+    * among candidates within the exact per-position level distance
+    * Σ|lᵢ−l'ᵢ| ≤ `maxDist`, each doc reports its nearest neighbor
+    * (ties to the smaller id). Returns (doc_id, best_match, dist) —
+    * docs with no in-threshold candidate are absent; output is at
+    * most n rows regardless of how the signature space clusters.
+    * All-integer arithmetic. ≡-to-reference spec'd in PropertySpec
+    * (materialized pair scan, no banding).
+    */
+  def phashNearDup(sigs: DataFrame, bandLen: Int, maxDist: Int): DataFrame = {
+    require(16 % bandLen == 0, s"bandLen must divide 16: $bandLen")
+    val nBands = 16 / bandLen
+    val banded = sigs.select(col("doc_id"), col("signature"),
+      explode(expr(s"transform(sequence(0, ${nBands - 1}), b -> " +
+        s"struct(b AS b, substring(signature, b * $bandLen + 1, $bandLen)" +
+        " AS key))")).as("bk"))
+      .select(col("doc_id"), col("signature"),
+        col("bk.b").as("b"), col("bk.key").as("key"))
+    val cand = banded.as("l").join(banded.as("r"), Seq("b", "key"))
+      .filter(col("l.doc_id") =!= col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_id"), col("l.signature").as("sa"),
+        col("r.doc_id").as("cand_id"), col("r.signature").as("sb"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("dist").asc, col("cand_id").asc)
+    cand
+      .withColumn("dist", expr(
+        "aggregate(transform(sequence(1, 16), i -> " +
+          "abs(ascii(substring(sa, i, 1)) - ascii(substring(sb, i, 1))))," +
+          " 0, (acc, x) -> acc + x)").cast("long"))
+      .filter(col("dist") <= maxDist)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("cand_id").as("best_match"), col("dist"))
+  }
 
   // Zero-count histogram buckets contribute exactly 0.0 to the
   // sum-of-squares, so summing only occupied buckets in index order
@@ -202,6 +262,51 @@ object Multimodal {
         |       min(doc_id) OVER (PARTITION BY signature) AS cluster,
         |       count(*) OVER (PARTITION BY signature) AS n_same
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // The phash sig chain, then the same banded candidates and exact
+    // per-position level distance.
+    "multimodal_neardup" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ascii(c) % 16 AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |        FROM documents)),
+        |bc AS (SELECT doc_id, b, count(*) AS cnt FROM chars GROUP BY 1, 2),
+        |n AS (SELECT doc_id, strlen(text) AS n FROM documents),
+        |grid AS (SELECT n.doc_id, gs.b
+        |         FROM n, (SELECT unnest(range(16)) AS b) gs),
+        |lv AS (
+        |  SELECT g.doc_id, g.b,
+        |         CAST(least(floor(CAST(CAST(COALESCE(bc.cnt, 0) AS FLOAT)
+        |                / CAST(n.n AS FLOAT) AS DOUBLE) * 8), 7) AS INT)
+        |           AS l
+        |  FROM grid g
+        |  LEFT JOIN bc ON g.doc_id = bc.doc_id AND g.b = bc.b
+        |  JOIN n ON g.doc_id = n.doc_id),
+        |sig AS (
+        |  SELECT doc_id, string_agg(CAST(l AS VARCHAR), '' ORDER BY b)
+        |    AS signature
+        |  FROM lv GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, signature, g.b,
+        |         substr(signature, g.b * 4 + 1, 4) AS key
+        |  FROM sig, (SELECT unnest(range(4)) AS b) g),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS doc_id, l.signature AS sa,
+        |         r.doc_id AS cand_id, r.signature AS sb
+        |  FROM bands l JOIN bands r
+        |    ON l.b = r.b AND l.key = r.key AND l.doc_id <> r.doc_id),
+        |d AS (
+        |  SELECT doc_id, cand_id,
+        |         CAST(list_sum([abs(ascii(sa[i]) - ascii(sb[i]))
+        |                        for i in range(1, 17)]) AS BIGINT) AS dist
+        |  FROM cand),
+        |rk AS (
+        |  SELECT doc_id, cand_id, dist,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY dist ASC, cand_id ASC) AS rn
+        |  FROM d WHERE dist <= 6)
+        |SELECT doc_id, cand_id AS best_match, dist
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "multimodal_decode" ->
       """WITH chars AS (

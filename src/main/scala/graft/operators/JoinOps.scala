@@ -171,6 +171,28 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // Tolerance as-of (r14): the latest at-or-before match counts
+    // ONLY if it is fresh enough (≤ 60 days stale), else the row
+    // keeps NULL right columns — pandas merge_asof's `tolerance`, and
+    // the semantics every feature-store lookup actually wants (a
+    // two-year-old quote is not a usable price). Since the as-of
+    // match IS the closest at-or-before, tolerance composes as a
+    // post-join staleness gate over the left variant — no second
+    // join, same map-side max(struct) shape.
+    "join_asof_tol" -> ((s, d) => {
+      val e = T.events(s, d).select("event_id", "ts", "user_id")
+      val o = T.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+      val fresh = col("o_orderdate").isNotNull &&
+        datediff(to_date(col("ts")), col("o_orderdate")) <= 60
+      AsOf.asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+          "o_orderkey", keepUnmatched = true)
+        .select(col("event_id"), T.tstr(col("ts")).as("event_ts"),
+          when(fresh, col("o_orderkey")).as("o_orderkey"),
+          when(fresh, T.dstr(col("o_orderdate"))).as("order_date"),
+          fresh.as("within_tol"))
+        .orderBy("event_id")
+    }),
+
     // Nearest-in-time join ([[AsOf.nearestJoin]], r8): each event's
     // closest URGENT order of the same user in EITHER direction — the
     // bidirectional as-of ("order nearest the session"). Epoch-second
@@ -417,6 +439,30 @@ object JoinOps {
         |       o_orderkey,
         |       strftime(o_orderdate, '%Y-%m-%d') AS order_date
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // The LEFT ranked replay plus the same staleness gate: a stale
+    // (or absent) best match nulls the right columns and reports
+    // within_tol = false.
+    "join_asof_tol" ->
+      """WITH j AS (
+        |  SELECT event_id, ts, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY o_orderdate DESC NULLS LAST,
+        |               o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events LEFT JOIN orders
+        |    ON user_id = o_custkey AND o_orderdate <= ts),
+        |f AS (
+        |  SELECT *,
+        |    (o_orderdate IS NOT NULL AND
+        |     date_diff('day', o_orderdate, CAST(ts AS DATE)) <= 60) AS ok
+        |  FROM j WHERE rn = 1)
+        |SELECT event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        |       CASE WHEN ok THEN o_orderkey END AS o_orderkey,
+        |       CASE WHEN ok THEN strftime(o_orderdate, '%Y-%m-%d') END
+        |         AS order_date,
+        |       ok AS within_tol
+        |FROM f ORDER BY event_id""".stripMargin,
     // Nearest: ranked replay with the same pinned tie order
     // (distance, earlier time, smaller key).
     "join_nearest" ->

@@ -2155,6 +2155,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("phashNearDup ≡ exhaustive 1-NN scan for ANY signatures") {
+    // Independent reference: scan ALL pairs with Scala collections and
+    // pick each doc's nearest neighbor among those satisfying the
+    // operator's documented contract — shares ≥ 1 exact band AND
+    // within the level distance. (The contract is band-gated by
+    // design: a pair differing in every band is LSH-invisible, like
+    // dedup_simhash's.) The reference materializes pairs and bands
+    // directly, so a join/dedup/rank bug in the operator cannot agree
+    // with it.
+    val sigGen = Gen.nonEmptyListOf(
+      Gen.listOfN(16, Gen.choose(0, 2)).map(_.mkString))
+      .map(_.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+    forAllSeeded(sigGen) { sigs =>
+      val got = graft.llm.Multimodal.phashNearDup(
+          sigs.toDF("doc_id", "signature"), bandLen = 4, maxDist = 6)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      def bands(s: String) = (0 until 4).map(b => (b, s.substring(b * 4, b * 4 + 4)))
+      def dist(a: String, b: String) =
+        a.zip(b).map { case (x, y) => math.abs(x - y) }.sum.toLong
+      val want = sigs.flatMap { case (id, s) =>
+        val cands = sigs.filter { case (oid, os) =>
+          oid != id && (bands(s).toSet & bands(os).toSet).nonEmpty &&
+            dist(s, os) <= 6
+        }
+        if (cands.isEmpty) None
+        else {
+          val best = cands.map { case (oid, os) => (dist(s, os), oid) }.min
+          Some(id -> ((best._2, best._1)))
+        }
+      }.toMap
+      assert(got == want, s"got ${got.take(4)}, want ${want.take(4)}")
+    }
+  }
+
   test("degreeAssortativity ≡ local exact fold for ANY simple graph") {
     // Independent reference: mirrored endpoint-degree moments in exact
     // BigInt, then the operator's own sqrt-free double program —
