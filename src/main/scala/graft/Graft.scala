@@ -34,7 +34,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graft.knnIvf(embeddings, 10, 16)
   * }}}
   *
-  * The driver-facing query catalog (the 209 `SparkEntry.queries` keys)
+  * The driver-facing query catalog (the 211 `SparkEntry.queries` keys)
   * sits one level up and is built FROM these pieces — this object is
   * the programmatic surface.
   */
@@ -157,6 +157,9 @@ object Graft {
     operators.DomainOps.dqChecks(df, rules, uniqueKey)
   /** Two-revision cube cell diff ([[plans.CubeOps.cellDiff]]). */
   val cellDiff = plans.CubeOps.cellDiff _
+  /** Cross-table referential-integrity audit
+    * ([[operators.DomainOps.fkCheck]]). */
+  val fkCheck = operators.DomainOps.fkCheck _
 
   // ---- graph analytics ---------------------------------------------
   /** Integer-scaled PageRank ([[llm.LlmGraph.pagerank]]). */
@@ -266,6 +269,9 @@ object Graft {
   /** Banded perceptual-hash 1-NN near-dup for media assets
     * ([[llm.Multimodal.phashNearDup]]). */
   val phashNearDup = llm.Multimodal.phashNearDup _
+  /** Directed shingle-containment (quotation/excerpt) pairs
+    * ([[llm.LlmDedup.containmentPairs]]). */
+  val containmentPairs = llm.LlmDedup.containmentPairs _
   /** Streaming-shaped curation: gate → first-seen exact → near-dup
     * drop ([[streaming.StreamOps.curateStream]]). */
   val curateStream = streaming.StreamOps.curateStream _

@@ -419,8 +419,58 @@ object DomainOps {
             .otherwise("updated").as("status"),
           coalesce(col("new_bal"), col("c_acctbal")).as("bal"))
         .orderBy("cust_id")
-    })
+    }),
+
+    // Referential-integrity audit (r14): per foreign-key relationship,
+    // how many child rows point at a missing parent — the cross-table
+    // check dq_checks' per-row rules can't express, and the first
+    // thing a warehouse load validates after ingest. Each FK is one
+    // distinct-key aggregate then an ANTI join against the parent's
+    // key column — the anti join runs on the |distinct child keys|
+    // frame, never the raw child rows, so the orphan pass costs one
+    // key-sized shuffle per FK at any scale.
+    "dq_fk" -> ((s, d) =>
+      fkCheck(Seq(
+        ("lineitem_orders", T.lineitem(s, d), "l_orderkey",
+          T.orders(s, d), "o_orderkey"),
+        ("orders_customer", T.orders(s, d), "o_custkey",
+          T.customer(s, d), "c_custkey"),
+        ("customer_nation", T.customer(s, d), "c_nationkey",
+          T.nation(s, d), "n_nationkey")))
+        .orderBy("fk_name"))
   )
+
+  /** Referential-integrity audit over FK relationships
+    * `(name, child, childKey, parent, parentKey)`: per relationship,
+    * (fk_name, n_rows, n_keys, n_orphan_keys, n_orphan_rows) — orphan
+    * = a child key value absent from the parent (NULL child keys are
+    * not orphans; they're dq_checks' null-rule territory). The child
+    * collapses to its distinct keys (with row counts) BEFORE the
+    * anti join, so the parent probe is key-sized.
+    */
+  def fkCheck(fks: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(fks.nonEmpty)
+    fks.map { case (name, child, ck, parent, pk) =>
+      val keys = child.filter(col(ck).isNotNull)
+        .groupBy(col(ck).as("k")).agg(count(lit(1)).as("nrows"))
+      // LEFT marker join instead of an anti join + totals crossJoin:
+      // one key-sized probe feeds ONE aggregate carrying both the
+      // totals and the orphan split — no 1-row join anywhere.
+      keys
+        .join(parent.select(col(pk).as("k"), lit(1).as("hit")).distinct(),
+          Seq("k"), "left")
+        .agg(
+          coalesce(sum(col("nrows")), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("n_orphan_keys"),
+          coalesce(sum(when(col("hit").isNull, col("nrows"))
+            .otherwise(0L)), lit(0L)).as("n_orphan_rows"))
+        .select(lit(name).as("fk_name"), col("n_rows"), col("n_keys"),
+          col("n_orphan_keys"), col("n_orphan_rows"))
+    }.reduce(_ unionByName _)
+  }
 
   val oracle: Map[String, String] = Map(
     "cdc_apply" ->
@@ -630,6 +680,31 @@ object DomainOps {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name, c_mktsegment)
-        |ORDER BY region_name, nation_name, segment""".stripMargin
+        |ORDER BY region_name, nation_name, segment""".stripMargin,
+
+    "dq_fk" -> fkSql
   )
+
+  /** Generated dq_fk oracle — same distinct-key collapse, same LEFT
+    * marker probe, same single aggregate per relationship. */
+  private lazy val fkSql: String = {
+    val fks = Seq(
+      ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+    val branches = fks.map { case (name, child, ck, parent, pk) =>
+      s"""SELECT '$name' AS fk_name,
+         |  CAST(sum(nrows) AS BIGINT) AS n_rows,
+         |  count(*) AS n_keys,
+         |  CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_orphan_keys,
+         |  CAST(sum(CASE WHEN hit IS NULL THEN nrows ELSE 0 END) AS BIGINT)
+         |    AS n_orphan_rows
+         |FROM (SELECT $ck AS k, count(*) AS nrows FROM $child
+         |      WHERE $ck IS NOT NULL GROUP BY 1) c
+         |LEFT JOIN (SELECT DISTINCT $pk AS k, 1 AS hit FROM $parent) p
+         |  USING (k)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$branches\nORDER BY fk_name"
+  }
 }

@@ -2191,6 +2191,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fkCheck ≡ local set-difference fold for ANY parent/child") {
+    // Independent reference: Scala sets and group counts. Pins the
+    // NULL-key exclusion and the distinct-key (not row) orphan count.
+    val gen = for {
+      child <- Gen.nonEmptyListOf(Gen.oneOf(
+        Gen.choose(0L, 12L).map(Option(_)), Gen.const(Option.empty[Long])))
+      parent <- Gen.listOf(Gen.choose(0L, 9L))
+    } yield (child, parent)
+    forAllSeeded(gen) { case (child, parent) =>
+      val r = graft.operators.DomainOps.fkCheck(Seq(
+          ("t", child.map(Tuple1(_)).toDF("k"), "k",
+            (parent :+ 99L).map(Tuple1(_)).toDF("p"), "p")))
+        .collect().head
+      val keys = child.flatten
+      val pset = (parent :+ 99L).toSet
+      val byKey = keys.groupBy(identity).view.mapValues(_.size).toMap
+      val orphanKeys = byKey.keys.filterNot(pset).toSeq
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((keys.size.toLong, byKey.size.toLong, orphanKeys.size.toLong,
+          orphanKeys.map(byKey).sum.toLong)),
+        s"got $r vs ${(keys.size, byKey.size, orphanKeys.size)}")
+    }
+  }
+
+  test("containmentPairs ≡ local shingle-set division for ANY docs") {
+    // Independent reference: materialized DISTINCT shingle SETS and a
+    // direct pair scan — the operator's inverted-index join cannot
+    // agree with a set intersection by accident. Pins the DIRECTED
+    // semantics (A-in-B survives where B-in-A fails).
+    val gen = Gen.nonEmptyListOf(for {
+      n <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" ")).map(_.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t) })
+    forAllSeeded(gen) { docs =>
+      val got = graft.llm.LlmDedup.containmentPairs(
+          docs.toDF("doc_id", "text"), minContainment = 0.5,
+          minShingles = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val want = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a != b
+        sa = sh(ta); shared = (sa & sh(tb)).size
+        c = BigDecimal(shared.toDouble / sa.size.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if shared > 0 && c >= 0.5 && sa.size >= 2
+      } yield (a, b) -> ((sa.size.toLong, shared.toLong, c))).toMap
+      assert(got == want, s"got ${got.take(4)}, want ${want.take(4)}")
+    }
+  }
+
   test("degreeAssortativity ≡ local exact fold for ANY simple graph") {
     // Independent reference: mirrored endpoint-degree moments in exact
     // BigInt, then the operator's own sqrt-free double program —
