@@ -157,6 +157,19 @@ object LlmVector {
   /** Search half of [[knnIvfProbe]], over an already-built index
     * (prepared frame + trained centroids).
     */
+  /** Recall of `approx`'s (v1, v2) pairs against `truth`'s — one row
+    * (n_pairs, n_hit, recall_at_3); shared by the two eval keys. */
+  private def recallOf(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth
+      .join(approx.select(col("v1"), col("v2"), lit(1L).as("hit")),
+        Seq("v1", "v2"), "left")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("n_pairs"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          col("n_pairs").cast("double"), 6).as("recall_at_3"))
+      .orderBy("n_pairs")
+
   private def searchIvfProbe(e: DataFrame, cents: Seq[(Long, Seq[Float])],
       k: Int, nprobe: Int): DataFrame = {
     // ONE pass of the centroid battery instead of two: [[probe]]'s
@@ -566,17 +579,20 @@ object LlmVector {
     // pair then a single scalar aggregate.
     "knn_recall" -> ((s, d) => {
       val (e, cents) = ivfIndex(s, d, nCells = 16, iters = 2)
-      val truth = searchIvfProbe(e, cents, k = 3, nprobe = 16)
-      val approx = searchIvf(e, cents, k = 3)
-      truth
-        .join(approx.select(col("v1"), col("v2"), lit(1L).as("hit")),
-          Seq("v1", "v2"), "left")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .select(col("n_pairs"), col("n_hit"),
-          round(col("n_hit").cast("double") /
-            col("n_pairs").cast("double"), 6).as("recall_at_3"))
-        .orderBy("n_pairs")
+      recallOf(searchIvfProbe(e, cents, k = 3, nprobe = 16),
+        searchIvf(e, cents, k = 3))
+    }),
+
+    // PQ-tier quality evaluation (r14): the same recall@3 readout for
+    // the product-quantized (ADC) search — quantization loss on top
+    // of the cell loss knn_recall isolates; together the two numbers
+    // tell an ANN owner WHICH approximation (coarse cells vs 8-bit
+    // codes) is costing recall before they spend memory on either.
+    "knn_pq_recall" -> ((s, d) => {
+      val (e, cents) = ivfIndex(s, d, nCells = 16, iters = 2)
+      recallOf(searchIvfProbe(e, cents, k = 3, nprobe = 16),
+        knnIvfPqSearch(e, cents,
+          pqBooks(s, d, e, m = 4, nSub = 8, iters = 1), k = 3))
     }),
 
     // Embedding-cosine near-dup: vector pairs above a cosine threshold,
@@ -924,6 +940,29 @@ object LlmVector {
       s"""WITH $duckIvfPqChain
         |SELECT v1, v2, est_cos, "rank" FROM rk WHERE "rank" <= 3
         |ORDER BY v1, "rank"""".stripMargin,
+
+    // The PQ chain's top-3 against literal all-pairs ground truth —
+    // the knn_recall recipe pointed at the ADC ranking.
+    "knn_pq_recall" ->
+      s"""WITH $duckIvfPqChain,
+        |ra AS (SELECT v1, v2 FROM rk WHERE "rank" <= 3),
+        |pt AS (
+        |  SELECT l.vec_id AS v1, r.vec_id AS v2,
+        |    round(${duckDot("l", "r")} / (l.nrm * r.nrm), 6) AS cos
+        |  FROM e l JOIN e r ON l.vec_id <> r.vec_id),
+        |rt AS (
+        |  SELECT v1, v2 FROM (
+        |    SELECT v1, v2, row_number() OVER (
+        |      PARTITION BY v1 ORDER BY cos DESC, v2) AS rk2 FROM pt)
+        |  WHERE rk2 <= 3)
+        |SELECT count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN ra.v2 IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_hit,
+        |       round(CAST(sum(CASE WHEN ra.v2 IS NOT NULL
+        |                           THEN 1 ELSE 0 END) AS DOUBLE) /
+        |             CAST(count(*) AS DOUBLE), 6) AS recall_at_3
+        |FROM rt LEFT JOIN ra ON rt.v1 = ra.v1 AND rt.v2 = ra.v2
+        |ORDER BY n_pairs""".stripMargin,
 
     // Two-stage rerank: the SAME PQ chain ranks the shortlist
     // (rank ≤ 10), then exact cosine over shortlist pairs only —
