@@ -596,11 +596,17 @@ object LlmGraph {
   /** Min-hop distance from a seed set over directed `edges(src, dst)`
     * (pass both directions for undirected), capped at `depth` hops:
     * `depth` rounds of synchronous min-plus relaxation
-    * `d'(v) = min(d(v), 1 + min over in-neighbors d(u))`, seeds at 0,
-    * everything unreached after `depth` rounds at −1. `isSeed` is a
-    * predicate over the `node` column, so callers pass a rule
-    * (id % 50 = 0, a domain allowlist join, …) without materializing
-    * a seed table. Returns (node, dist) for every edge endpoint.
+    * `d'(v) = min(d(v), 1 + min over OUT-neighbors d(w))` — hops
+    * follow edge DIRECTION, so dist(v) is the forward distance from v
+    * TO the seed set (for mirrored input the distinction vanishes) —
+    * seeds at 0, everything unreached after `depth` rounds at −1.
+    * `isSeed` is a predicate over the `node` column, so callers pass
+    * a rule (id % 50 = 0, a domain allowlist join, …) without
+    * materializing a seed table. Returns (node, dist) for every edge
+    * endpoint — src AND dst sides both (r12: the universe previously
+    * came from src only, silently dropping pure sinks for directed
+    * callers; a sink has no out-edges, so its dist is its own seed
+    * init).
     *
     * All-integer math and a fixed round count — deterministic and
     * replayable as unrolled SQL (the labelPropagation rationale; BFS
@@ -628,20 +634,30 @@ object LlmGraph {
     // sound when callers guarantee simple edges (duplicates don't
     // change a MIN, but the generic path is kept as the contract for
     // arbitrary input and as the property's reference).
+    // `isSeed` is written over a `node` column, so each use gets a
+    // frame where `node` IS the endpoint being tested.
+    def init = when(isSeed, 0L).otherwise(999L)
     var d: DataFrame =
       if (assumeSimple)
-        // `isSeed` is written over a `node` column, so each use gets
-        // a frame where `node` IS the endpoint being tested: first
-        // dst (the neighbor vote), then src (the node's own init).
-        e.select(col("src"), col("dst").as("node"))
-          .select(col("src"), when(isSeed, 0L).otherwise(999L).as("dd"))
-          .groupBy(col("src").as("node")).agg(min(col("dd")).as("mind"))
-          .select(col("node"), least(
-            when(isSeed, 0L).otherwise(999L),
-            coalesce(col("mind") + 1, lit(999L))).as("dist"))
+        // Round-1 value = least(init(v), 1 + min over out-nb init(w))
+        // as ONE min over a three-way union of edge-sized candidate
+        // scans — the node's own init from BOTH endpoint sides (which
+        // is what folds pure sinks into the universe: they contribute
+        // only a dst-side init row and no relax candidates) and the
+        // out-neighbor vote init(dst)+1 keyed by src. Still a single
+        // shuffle, no join; a 999-neighbor's 1000 candidate can never
+        // win because the node's own ≤999 init is always present.
+        e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node")))
+          .select(col("node"), init.as("c"))
+          .unionByName(e
+            .select(col("src"), col("dst").as("node"))
+            .select(col("src").as("node"), (init + 1L).as("c")))
+          .groupBy("node").agg(min(col("c")).as("dist"))
       else
-        e.select(col("src").as("node")).distinct()
-          .withColumn("dist", when(isSeed, 0L).otherwise(999L))
+        e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node"))).distinct()
+          .withColumn("dist", init)
     for (_ <- (if (assumeSimple) 2 else 1) to depth) {
       // Each round references d TWICE (the left-join base and the
       // neighbor-minimum side), so without a materialize-once boundary
@@ -779,26 +795,42 @@ object LlmGraph {
     * Candidate generation is the triangle-counting wedge shape:
     * common-neighbor pairs enumerate as per-center wedges
     * (a ←w→ b, a < b), then one count per (a, b) — volume
-    * Σ_w C(deg(w), 2), never |V|². Hub centers dominate that sum at
-    * web scale; the standard cap (drop or sample centers above a
-    * degree ceiling, the shingle df-cap analogue) composes here as a
-    * pre-filter on `edges` and costs recall only on pairs whose ONLY
-    * shared context is a hub — the pairs with the least structural
-    * signal. The degree frame is node-sized (≪ pair output); its two
+    * Σ_w C(deg(w), 2), never |V|². That sum is DATA-sized: ONE
+    * 100k-degree hub center yields 5e9 wedges on its own, and hub
+    * centers dominate every web-scale graph — so `maxCenterDeg`
+    * (the shingle df-cap analogue, the standard similarity-join
+    * discipline) excludes centers above the ceiling from wedge
+    * generation BEFORE the self-join. Under the cap, `common` (and
+    * so jaccard) is a LOWER bound, and the recall cost falls only on
+    * pairs whose shared context is a mega-hub — the pairs with the
+    * least structural signal (sharing a celebrity neighbor says
+    * nothing; sharing a niche one says a lot). deg(a)/deg(b) in the
+    * denominator stay EXACT — the degree frame is computed before the
+    * cap. None = exact and complete (the key-registered config: the
+    * support graph's center degrees are vocabulary-bounded).
+    * Cap behavior spec'd on a planted-hub fixture in PropertySpec.
+    * The degree frame is node-sized (≪ pair output); its two
     * joins hash on the pair columns the wedge count just produced.
     * All counts are integers; the one division happens once per
     * output row on their double images (exactly rounded both
     * engines), then round(·, 6).
     */
-  def jaccardPairs(e: DataFrame, minCommon: Int): DataFrame = {
+  def jaccardPairs(e: DataFrame, minCommon: Int,
+      maxCenterDeg: Option[Int] = None): DataFrame = {
     require(e.columns.toSeq == Seq("u", "v"),
       s"edges must be exactly (u, v), got: ${e.columns.mkString(",")}")
     val adj = e.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
     val deg = adj.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("dg"))
-    val co = adj.select(col("src").as("w"), col("dst").as("a"))
-      .join(adj.select(col("src").as("w"), col("dst").as("b")), Seq("w"))
+    val wedgeIn = maxCenterDeg match {
+      case Some(c) => adj.join(
+        deg.filter(col("dg") <= c).select(col("node").as("src")),
+        Seq("src"), "left_semi")
+      case None => adj
+    }
+    val co = wedgeIn.select(col("src").as("w"), col("dst").as("a"))
+      .join(wedgeIn.select(col("src").as("w"), col("dst").as("b")), Seq("w"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
       .filter(col("common") >= minCommon)

@@ -165,18 +165,18 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
-    // Perceptual NEAR-dup (r14): multimodal_phash's exact-signature
-    // clusters miss a one-bucket re-encode; this is the banded-LSH
-    // tier over the SAME 16-level signature — assets sharing any of
-    // four 4-char bands are candidates (a near-identical asset agrees
-    // on ≥ one band with high probability), verified by the exact
-    // per-position level distance, and each asset reports its SINGLE
-    // nearest in-threshold neighbor (1-NN, not the pair list — output
-    // stays n rows even where signatures collapse; this synthetic
-    // corpus holds only ~14 distinct signatures, so a pair emission
-    // would be the degenerate n² mass a real phash space never has).
-    // The dedup_simhash recipe applied to media: candidates from an
-    // equi-join on band keys, never asset×asset.
+    // Perceptual NEAR-dup (r14; restructured r12): multimodal_phash's
+    // exact-signature clusters miss a one-bucket re-encode; this is
+    // the banded-LSH tier over the SAME 16-level signature — assets
+    // sharing any of four 4-char bands are candidates (a
+    // near-identical asset agrees on ≥ one band with high
+    // probability), verified by the exact per-position level
+    // distance, each asset reporting its SINGLE nearest in-threshold
+    // neighbor. The signature space COLLAPSES on this corpus (sf0.1:
+    // ~30 distinct signatures, one holding 3,670 of 5,000 docs), so
+    // all quadratic work runs on DISTINCT signatures — see
+    // phashNearDup's scaladoc; the doc-level band join this replaced
+    // emitted 87.6M candidate rows here and timed out the r11 bench.
     "multimodal_neardup" -> ((s, d) =>
       phashNearDup(signatures(s, d), bandLen = 4, maxDist = 6)
         .orderBy("doc_id"))
@@ -192,42 +192,102 @@ object Multimodal {
           least(floor(f.cast("double") * 8), lit(7.0)).cast("int")
             .cast("string")), "").as("signature"))
 
-  /** Banded 1-NN near-dup over 16-char level signatures
-    * `sigs("doc_id", "signature")`: docs sharing ANY length-`bandLen`
-    * band are candidates (equi-join on the band key — never n²);
-    * among candidates within the exact per-position level distance
-    * Σ|lᵢ−l'ᵢ| ≤ `maxDist`, each doc reports its nearest neighbor
-    * (ties to the smaller id). Returns (doc_id, best_match, dist) —
-    * docs with no in-threshold candidate are absent; output is at
-    * most n rows regardless of how the signature space clusters.
-    * All-integer arithmetic. ≡-to-reference spec'd in PropertySpec
-    * (materialized pair scan, no banding).
+  /** Banded candidate SIGNATURE pairs over 16-char level signatures:
+    * distinct signatures sharing ANY length-`bandLen` band, with the
+    * exact per-position level distance Σ|lᵢ−l'ᵢ|. Both directions
+    * (sa, sb) are emitted; a pair agreeing on k bands surfaces ONCE —
+    * it is kept only at its FIRST agreeing band (pure column math on
+    * the two signatures, the RangeBin keep-in-one-bin trick — no
+    * `.distinct()` shuffle). The frame is bounded by
+    * |distinct signatures|² REGARDLESS of document count: a flooded
+    * signature (boilerplate media — the r11 sf0.1 fixture put 3,670
+    * of 5,000 docs on one signature) contributes ONE row per side,
+    * never doc×doc. Spec'd: MultimodalSpec pins count ≤ k·(k−1) on a
+    * collapsed fixture where doc-pair banding would emit millions.
     */
-  def phashNearDup(sigs: DataFrame, bandLen: Int, maxDist: Int): DataFrame = {
+  def phashSigPairs(sigs: DataFrame, bandLen: Int): DataFrame = {
     require(16 % bandLen == 0, s"bandLen must divide 16: $bandLen")
     val nBands = 16 / bandLen
-    val banded = sigs.select(col("doc_id"), col("signature"),
+    val reps = sigs.select(col("signature")).distinct()
+    val banded = reps.select(col("signature"),
       explode(expr(s"transform(sequence(0, ${nBands - 1}), b -> " +
         s"struct(b AS b, substring(signature, b * $bandLen + 1, $bandLen)" +
         " AS key))")).as("bk"))
-      .select(col("doc_id"), col("signature"),
-        col("bk.b").as("b"), col("bk.key").as("key"))
-    val cand = banded.as("l").join(banded.as("r"), Seq("b", "key"))
-      .filter(col("l.doc_id") =!= col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_id"), col("l.signature").as("sa"),
-        col("r.doc_id").as("cand_id"), col("r.signature").as("sb"))
-      .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("dist").asc, col("cand_id").asc)
-    cand
-      .withColumn("dist", expr(
+      .select(col("signature"), col("bk.b").as("b"), col("bk.key").as("key"))
+    banded.as("l").join(banded.as("r"), Seq("b", "key"))
+      .filter(col("l.signature") =!= col("r.signature"))
+      .select(col("l.signature").as("sa"), col("r.signature").as("sb"),
+        col("b"))
+      // First agreeing band of (sa, sb) — emit the pair there only.
+      .filter(col("b") === expr(
+        s"filter(sequence(0, ${nBands - 1}), bb -> " +
+          s"substring(sa, bb * $bandLen + 1, $bandLen) = " +
+          s"substring(sb, bb * $bandLen + 1, $bandLen))[0]"))
+      .select(col("sa"), col("sb"), expr(
         "aggregate(transform(sequence(1, 16), i -> " +
           "abs(ascii(substring(sa, i, 1)) - ascii(substring(sb, i, 1))))," +
-          " 0, (acc, x) -> acc + x)").cast("long"))
+          " 0, (acc, x) -> acc + x)").cast("long").as("dist"))
+  }
+
+  /** Banded 1-NN near-dup over 16-char level signatures
+    * `sigs("doc_id", "signature")`: docs sharing ANY length-`bandLen`
+    * band are candidates; among candidates within the exact
+    * per-position level distance Σ|lᵢ−l'ᵢ| ≤ `maxDist`, each doc
+    * reports its nearest neighbor (ties to the smaller id). Returns
+    * (doc_id, best_match, dist) — docs with no in-threshold candidate
+    * are absent; output is at most n rows.
+    *
+    * Scale shape (the r11 fix): dist is a pure function of the
+    * SIGNATURE pair, so every quadratic step runs on DISTINCT
+    * signatures ([[phashSigPairs]], ≤ |sigs|² candidate rows — truly
+    * never asset×asset, even within a shared band). Per-doc answers
+    * are then pure group math: two distinct signatures differ in ≥ 1
+    * position (dist ≥ 1), so any doc sharing its signature with
+    * another doc has its 1-NN IN-group at dist 0 — best = the group's
+    * min doc_id (or the runner-up, for the min itself); only
+    * singleton-signature docs consult the cross-signature best, whose
+    * per-query tiebreak min(struct(dist, mn)) equals the pair-level
+    * (dist, cand_id) order because every doc of a tying foreign group
+    * is a candidate and the smallest is that group's mn. Group stats
+    * come from combinable groupBys (a flooded signature costs map-side
+    * combiners, not one hot window partition), and per-signature
+    * answers join back on signature — AQE-broadcastable at |sigs|
+    * rows. All-integer arithmetic. ≡-to-reference spec'd in
+    * PropertySpec (materialized pair scan, no banding).
+    */
+  def phashNearDup(sigs: DataFrame, bandLen: Int, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    // sigs feeds stats, the runner-up pass, sig-pairs, and the final
+    // assembly — materialize once (lazy, off the CacheManager).
+    val sg = sigs.localCheckpoint(false)
+    val stats = sg.groupBy("signature")
+      .agg(min("doc_id").as("mn"), count(lit(1)).as("cnt"))
+    // Runner-up doc_id per shared signature — the min doc's own 1-NN.
+    val second = sg.join(stats, Seq("signature"))
+      .filter(col("doc_id") =!= col("mn"))
+      .groupBy("signature").agg(min("doc_id").as("second"))
+    // Cross-signature best per query signature: nearest foreign
+    // signature's min doc, ties (dist, then doc) via lexicographic
+    // struct-min — combine-safe, no window.
+    val xbest = phashSigPairs(sg, bandLen)
       .filter(col("dist") <= maxDist)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("cand_id").as("best_match"), col("dist"))
+      .join(stats.select(col("signature").as("sb"), col("mn").as("rmn")),
+        Seq("sb"))
+      .groupBy(col("sa").as("signature"))
+      .agg(min(struct(col("dist").as("dist"), col("rmn").as("rmn")))
+        .as("best"))
+      .select(col("signature"), col("best.rmn").as("xb"),
+        col("best.dist").as("xd"))
+    sg.join(stats, Seq("signature"))
+      .join(second, Seq("signature"), "left")
+      .join(xbest, Seq("signature"), "left")
+      .select(col("doc_id"),
+        when(col("cnt") >= 2,
+          when(col("doc_id") === col("mn"), col("second"))
+            .otherwise(col("mn")))
+          .otherwise(col("xb")).as("best_match"),
+        when(col("cnt") >= 2, lit(0L)).otherwise(col("xd")).as("dist"))
+      .filter(col("best_match").isNotNull)
   }
 
   // Zero-count histogram buckets contribute exactly 0.0 to the

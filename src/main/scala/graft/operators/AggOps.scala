@@ -640,15 +640,27 @@ object AggOps {
     // and the sums ride graft_sum128's two-long-limb buffers, which
     // never leave the codegen fast path at ANY group size (a
     // decimal(38) sum buffer pays a BigDecimal round-trip per row).
-    // Caller contract: 0 ≤ x·10^scale < 2^31, so every cross product
-    // sits below 2^62 (the fixture's widest column, l_extendedprice
-    // at scale 2, is 1.0e7). Pearson is invariant under the per-
-    // column positive scaling, so the statistic is unchanged; the
-    // oracle replays the identical scaled-moment program.
+    // Magnitude contract: 0 ≤ x·10^scale < 2^31, so every cross
+    // product sits below 2^62 (the fixture's widest column,
+    // l_extendedprice at scale 2, is 1.0e7). Pearson is invariant
+    // under the per-column positive scaling, so the statistic is
+    // unchanged; the oracle replays the identical scaled-moment
+    // program. The contract is RUNTIME-guarded (r12, the ppsSample
+    // raise_error pattern): an out-of-range or negative value would
+    // otherwise overflow the limb bound into silently wrong sums —
+    // it now errors loudly, per row, on the codegen path. NULLs pass
+    // through unchanged (three-valued when(); sum128 treats them as
+    // every Spark sum does).
     import org.apache.spark.sql.types.{DecimalType, LongType}
     val f = math.pow(10, scale).toLong
-    def xc(c: String) =
-      (col(c).cast(DecimalType(18, scale)) * lit(f)).cast(LongType)
+    def xc(c: String) = {
+      val v = (col(c).cast(DecimalType(18, scale)) * lit(f)).cast(LongType)
+      when(v < 0L || v >= 2147483648L,
+        raise_error(concat(
+          lit(s"corrMatrix: $c scaled by 10^$scale outside [0, 2^31): "),
+          v.cast("string"))))
+        .otherwise(v)
+    }
     val scaled = df.select(col("g") +:
       cols.map { case (c, _) => xc(c).as(s"x_$c") }: _*)
     // graft_sum128: two-long-limb exact sums on the codegen fast path

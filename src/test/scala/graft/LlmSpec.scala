@@ -126,6 +126,32 @@ class LlmSpec extends SparkSpec {
     assert(!capped.contains((3L, 4L)), s"boilerplate-only pair must die: $capped")
   }
 
+  test("containment df-cap kills boilerplate-manufactured containment, " +
+    "keeps genuine quotation") {
+    // Doc 1 is genuinely quoted inside doc 2 (containment 1.0 on
+    // non-boilerplate shingles). Doc 3 is a short doc made ENTIRELY of
+    // the corpus-wide footer — with no cap it scores containment 1.0
+    // against every footer-carrying doc; under the cap (footer
+    // shingles' df = 3 > 2) its postings vanish and it emits nothing,
+    // while the genuine quotation (df-2 shingles) survives untouched.
+    val footer = "subscribe to our newsletter for updates every single day"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " plus commentary around the quoted passage " + footer),
+      (3L, footer),
+      (4L, "one two three four five six seven eight nine ten " + footer))
+      .toDF("doc_id", "text")
+    def pairs(cap: Option[Int]) =
+      LlmDedup.containmentPairs(docs, 0.8, 3, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    assert(uncapped.contains((3L, 2L)) && uncapped.contains((3L, 4L)),
+      s"boilerplate doc should contain-match w/o cap: $uncapped")
+    val capped = pairs(Some(2))
+    assert(capped.contains((1L, 2L)), s"genuine quotation must survive: $capped")
+    assert(!capped.exists(_._1 == 3L), s"boilerplate containment must die: $capped")
+  }
+
   test("ANN retrieves exact duplicates with recall 1 (shared bucket)") {
     val emb = T.embeddings(spark, sf)
     val dup = emb.limit(5)
@@ -454,6 +480,69 @@ class LlmSpec extends SparkSpec {
     f1.foreach(f => assert(f.length == Multimodal.featureDim))
     // histogram is normalized: sums to ~1
     f1.foreach(f => assert(math.abs(f.sum - 1f) < 1e-3))
+  }
+
+  test("phashNearDup: candidate work is bounded by DISTINCT signatures, " +
+    "not docs (the r11 collapsed-bucket blow-up)") {
+    // Degenerate fixture: 1,990 docs flood one signature, 5 share a
+    // second, plus two singletons. Doc-level banding would emit
+    // ~1990² ≈ 4M candidate rows here (the shape that timed out the
+    // r11 bench at sf0.1); the distinct-signature collapse must emit
+    // ≤ k·(k−1) = 12 signature pairs, and each band-sharing pair
+    // exactly once per direction (first-agreeing-band dedup, no
+    // .distinct()).
+    val sigA = "0000000000000000" // flood
+    val sigB = "0000000000000001" // shares bands 0-2 with A, dist 1
+    val sigC = "7777777777777777" // no shared band with anything
+    val sigD = "1111000000000000" // shares bands 1-3 with A (dist 4), B (dist 5)
+    val sigs = ((1L to 1990L).map(_ -> sigA) ++
+      (2001L to 2005L).map(_ -> sigB) ++
+      Seq(3001L -> sigC, 3002L -> sigD)).toDF("doc_id", "signature")
+    val pairs = Multimodal.phashSigPairs(sigs, bandLen = 4).collect()
+    assert(pairs.length <= 12, s"candidate volume ${pairs.length} > k(k-1)")
+    val ab = pairs.count(r => r.getString(0) == sigA && r.getString(1) == sigB)
+    assert(ab == 1, s"A-B pair emitted $ab times (shares 3 bands — must be 1)")
+    val out = Multimodal.phashNearDup(sigs, bandLen = 4, maxDist = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // Flood/shared groups: 1-NN in-group at dist 0 (min, or runner-up
+    // for the min itself); singleton D crosses to A's min at dist 4;
+    // C shares no band and is absent.
+    assert(out(1L) == ((2L, 0L)) && out(2L) == ((1L, 0L)) &&
+      out(1990L) == ((1L, 0L)), s"flood group: ${out.get(1L)}")
+    assert(out(2001L) == ((2002L, 0L)) && out(2005L) == ((2001L, 0L)))
+    assert(out(3002L) == ((1L, 4L)), s"singleton cross: ${out.get(3002L)}")
+    assert(!out.contains(3001L), "band-invisible doc must be absent")
+    assert(out.size == 1990 + 5 + 1)
+  }
+
+  test("jaccardPairs maxCenterDeg: planted hub's wedge mass dies, " +
+    "niche shared context and exact degrees survive") {
+    import graft.llm.LlmGraph
+    // Star hub 100 — nodes 1..10 (C(10,2) = 45 wedge pairs through it
+    // alone) — plus genuine niche context: 1 and 2 both adjacent to 11
+    // and 12. The cap excludes the hub CENTER, so hub-only pairs
+    // (e.g. 3-4) vanish; (1,2) survives via the niche centers with
+    // common = 2 (the documented lower bound — true common is 3
+    // counting the hub) while its denominator degrees stay EXACT
+    // (deg 3 each, hub edge included): j = 2/(3+3−2) = 0.5.
+    val edges = ((1L to 10L).map(i => (i, 100L)) ++
+      Seq((1L, 11L), (2L, 11L), (1L, 12L), (2L, 12L))).toDF("u", "v")
+    def run(cap: Option[Int]) =
+      LlmGraph.jaccardPairs(edges, minCommon = 1, maxCenterDeg = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    val uncapped = run(None)
+    assert(uncapped.contains((3L, 4L)) && uncapped.size == 48,
+      s"expected full hub wedge mass (48 pairs): ${uncapped.size}")
+    assert(uncapped((1L, 2L)) == ((3L, 1.0)))
+    val capped = run(Some(5))
+    assert(!capped.contains((3L, 4L)), "hub-only pair must die under cap")
+    assert(capped((1L, 2L)) == ((2L, 0.5)),
+      s"lower-bound common, exact degrees: ${capped.get((1L, 2L))}")
+    assert(capped.keySet == Set((1L, 2L), (11L, 12L), (11L, 100L),
+      (12L, 100L)), s"got ${capped.keySet}")
   }
 
   test("LlmGraph.pagerank: hand-computed path graph, hub dominance, determinism") {

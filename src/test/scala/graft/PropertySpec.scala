@@ -900,6 +900,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("seedDistance ≡ forward-BFS for ANY DIRECTED graph (sinks included, " +
+    "both paths)") {
+    // r12 (ADVICE): the node universe previously came from src
+    // endpoints only, so a pure SINK (dst-only node) was silently
+    // absent for directed callers. Directed generator — no mirroring,
+    // self-loop-free, so sinks occur constantly. Reference: dist(v) =
+    // min hops FORWARD (along edge direction) to a seed, computed by
+    // frontier expansion over REVERSED edges — structurally different
+    // from the operator's min-plus rounds. Both the generic and the
+    // assumeSimple path must match it and cover every endpoint.
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 14L); d <- Gen.choose(1L, 14L)
+    } yield (a, (a + d) % 15)).map(_.distinct)
+    forAllSeeded(edgeGen) { dirs =>
+      val depth = 3
+      val nodes = dirs.flatMap(e => Seq(e._1, e._2)).toSet
+      val radj = dirs.groupBy(_._2).map { case (t, es) => t -> es.map(_._1) }
+      var dist = nodes.filter(_ % 4 == 0).map(_ -> 0L).toMap
+      var frontier = dist.keySet
+      (1 to depth).foreach { lvl =>
+        frontier = frontier.flatMap(radj.getOrElse(_, Nil))
+          .filterNot(dist.contains)
+        dist ++= frontier.map(_ -> lvl.toLong)
+      }
+      val want = nodes.map(n => n -> dist.getOrElse(n, -1L)).toMap
+      Seq(true, false).foreach { simple =>
+        val got = graft.llm.LlmGraph.seedDistance(
+            dirs.toDF("src", "dst"), col("node") % 4 === 0, depth,
+            assumeSimple = simple)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == want, s"simple=$simple: got ${got.toSeq.sorted.take(8)}" +
+          s", want ${want.toSeq.sorted.take(8)}")
+      }
+    }
+  }
+
   test("pqCodebook/pqCode ≡ local mean-Lloyd fold for ANY sub-vectors") {
     // Independent reference for the PQ sub-quantizer — seed selection,
     // (dot(c,c) − 2·dot(x,c), cid) argmin assignment, exact-decimal
@@ -1453,6 +1489,24 @@ class PropertySpec extends SparkSpec {
             }
         }
       }
+    }
+  }
+
+  test("corrMatrix magnitude contract fails LOUDLY, never silently wrong") {
+    // r12 (ADVICE): 0 ≤ x·10^scale < 2^31 keeps products under the
+    // Sum128 2^62 limb bound — a violation used to overflow into
+    // silently wrong sums. The ppsSample-style raise_error guard must
+    // throw on both the too-large and the negative side.
+    Seq(3.0e8, -1.0).foreach { bad =>
+      val df = Seq(("a", bad, 1.0), ("a", 2.0, 3.0)).toDF("g", "x", "y")
+      val ex = intercept[Exception] {
+        graft.operators.AggOps.corrMatrix(df, Seq("x" -> "x", "y" -> "y"))
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("corrMatrix")),
+        s"value $bad: expected the loud guard, got: ${ex.getMessage}")
     }
   }
 
