@@ -74,6 +74,7 @@ object VectorExpressions {
   private val bpeIdent = FunctionIdentifier("graft_bpe")
   private val mh48Ident = FunctionIdentifier("graft_minhash48")
   private val s128Ident = FunctionIdentifier("graft_sum128")
+  private val pairsIdent = FunctionIdentifier("graft_pairs")
 
   /** Register once per session; safe to call repeatedly. */
   def register(spark: SparkSession): Unit = {
@@ -109,6 +110,10 @@ object VectorExpressions {
       s128Ident,
       new ExpressionInfo(classOf[Sum128].getName, "graft_sum128"),
       (children: Seq[Expression]) => Sum128(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      pairsIdent,
+      new ExpressionInfo(classOf[PairsOf].getName, "graft_pairs"),
+      (children: Seq[Expression]) => PairsOf(children.head))
   }
 
   /** Second arguments of the custom functions must be integral literals

@@ -572,7 +572,7 @@ object LlmGraph {
     * the pair volume is Σ C(basket, 2) — basket-bounded, never
     * catalog².
     */
-  private def supportEdges(s: SparkSession, d: String): DataFrame =
+  private def supportEdges(s: SparkSession, d: String): DataFrame = {
     // T.spread between the basket agg and the pair explode: AQE
     // coalesces the basket exchange to a handful of partitions (the
     // map output is small — compressed arrays), but the next stage
@@ -580,18 +580,20 @@ object LlmGraph {
     // profiled at 0.71 s on 4 tasks where 32 take ~0.1 s. The classic
     // AQE underestimate in front of an explosive operator; the extra
     // basket-sized exchange is noise next to the explode stage it
-    // parallelizes.
+    // parallelizes. Pair expansion is the native codegen'd
+    // [[graft.functions.PairsOf]] (r12) — the previous interpreted
+    // flatten(transform(…, slice(…))) lambda paid O(k²) suffix copies
+    // per basket; output is identical pair-for-pair.
+    graft.functions.VectorExpressions.register(s)
     T.spread(T.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps")))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), " +
-          "y -> struct(x AS u, y AS v))))")).as("pr"))
+      .select(explode(call_function("graft_pairs", col("ps"))).as("pr"))
       .select(col("pr.u").as("u"), col("pr.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select("u", "v")
+  }
 
   /** Min-hop distance from a seed set over directed `edges(src, dst)`
     * (pass both directions for undirected), capped at `depth` hops:

@@ -135,6 +135,29 @@ class VectorExprSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_nfc"), plan)
   }
 
+  test("graft_pairs ≡ the interpreted flatten/transform/slice lambda, " +
+    "pair-for-pair") {
+    // Real baskets (the supportEdges input shape) plus the edge sizes:
+    // empty, singleton, and a pair. Order must match the lambda's
+    // (i < j lexicographic) exactly — consumers groupBy afterwards,
+    // but the contract is the stronger one.
+    VectorExpressions.register(spark)
+    val baskets = T.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .unionByName(Seq(
+        (-1L, Seq.empty[Long]), (-2L, Seq(7L)), (-3L, Seq(3L, 9L)))
+        .toDF("l_orderkey", "ps"))
+    val lambda = expr("flatten(transform(ps, (x, i) -> " +
+      "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))")
+    val diff = baskets
+      .select(col("ps"), call_function("graft_pairs", col("ps")).as("a"),
+        lambda.as("b"))
+      .filter(not(col("a") <=> col("b")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("every native expression's generated stage COMPILES (fallback=false)") {
     // The r11 graft_bpe lesson, applied to the whole family: a janino
     // failure silently drops the stage to interpreted eval, plan
@@ -170,6 +193,14 @@ class VectorExprSpec extends SparkSpec {
         .agg(call_function("graft_sum128", col("n_chars")).as("s"))
         .collect().head.getDecimal(0)
       assert(s.signum() > 0)
+      // graft_pairs: forced through a real scan + explode + agg.
+      val np = T.lineitem(spark, sf)
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(call_function("graft_pairs", col("ps"))).as("pr"))
+        .filter(col("pr.u") < col("pr.v"))
+        .count()
+      assert(np > 0)
     } finally prevFb match {
       case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
       case None => spark.conf.unset("spark.sql.codegen.fallback")
