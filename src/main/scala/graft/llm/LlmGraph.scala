@@ -581,7 +581,7 @@ object LlmGraph {
     // AQE underestimate in front of an explosive operator; the extra
     // basket-sized exchange is noise next to the explode stage it
     // parallelizes. Pair expansion is the native codegen'd
-    // [[graft.functions.PairsOf]] (r12) — the previous interpreted
+    // [[graft.functions.PairsOf]] (r15 — driver round 12) — the previous interpreted
     // flatten(transform(…, slice(…))) lambda paid O(k²) suffix copies
     // per basket; output is identical pair-for-pair.
     graft.functions.VectorExpressions.register(s)
@@ -605,7 +605,7 @@ object LlmGraph {
     * `isSeed` is a predicate over the `node` column, so callers pass
     * a rule (id % 50 = 0, a domain allowlist join, …) without
     * materializing a seed table. Returns (node, dist) for every edge
-    * endpoint — src AND dst sides both (r12: the universe previously
+    * endpoint — src AND dst sides both (r15: the universe previously
     * came from src only, silently dropping pure sinks for directed
     * callers; a sink has no out-edges, so its dist is its own seed
     * init).

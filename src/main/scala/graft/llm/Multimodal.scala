@@ -165,7 +165,7 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
-    // Perceptual NEAR-dup (r14; restructured r12): multimodal_phash's
+    // Perceptual NEAR-dup (r14; restructured r15 — driver round 12): multimodal_phash's
     // exact-signature clusters miss a one-bucket re-encode; this is
     // the banded-LSH tier over the SAME 16-level signature — assets
     // sharing any of four 4-char bands are candidates (a

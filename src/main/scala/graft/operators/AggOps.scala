@@ -645,7 +645,7 @@ object AggOps {
     // l_extendedprice at scale 2, is 1.0e7). Pearson is invariant
     // under the per-column positive scaling, so the statistic is
     // unchanged; the oracle replays the identical scaled-moment
-    // program. The contract is RUNTIME-guarded (r12, the ppsSample
+    // program. The contract is RUNTIME-guarded (r15 — driver round 12 — the ppsSample
     // raise_error pattern): an out-of-range or negative value would
     // otherwise overflow the limb bound into silently wrong sums —
     // it now errors loudly, per row, on the codegen path. NULLs pass

@@ -902,7 +902,7 @@ class PropertySpec extends SparkSpec {
 
   test("seedDistance ≡ forward-BFS for ANY DIRECTED graph (sinks included, " +
     "both paths)") {
-    // r12 (ADVICE): the node universe previously came from src
+    // r15 (driver-r11 ADVICE): the node universe previously came from src
     // endpoints only, so a pure SINK (dst-only node) was silently
     // absent for directed callers. Directed generator — no mirroring,
     // self-loop-free, so sinks occur constantly. Reference: dist(v) =
@@ -1493,7 +1493,7 @@ class PropertySpec extends SparkSpec {
   }
 
   test("corrMatrix magnitude contract fails LOUDLY, never silently wrong") {
-    // r12 (ADVICE): 0 ≤ x·10^scale < 2^31 keeps products under the
+    // r15 (driver-r11 ADVICE): 0 ≤ x·10^scale < 2^31 keeps products under the
     // Sum128 2^62 limb bound — a violation used to overflow into
     // silently wrong sums. The ppsSample-style raise_error guard must
     // throw on both the too-large and the negative side.
