@@ -194,6 +194,50 @@ object FnOps {
         .orderBy("doc_id", "url")
     }),
 
+    // IP family (r15): parse dotted-quad strings back to octets,
+    // classify RFC1918 private ranges, roll events up per /24 — the
+    // access-log triage every crawl/ingest pipeline runs (who hit us,
+    // from which networks, internal vs external). IPs are SYNTHESIZED
+    // deterministically from user_id (the dedup_url precedent — the
+    // fixture carries no ip column): five populations covering all
+    // three private ranges (10/8, 192.168/16, 172.16/12) plus two
+    // public ones, so both classifier branches and the rollup are
+    // exercised and the oracle rebuilds identical strings. Parsing is
+    // split + element-cast, classification pure integer predicates —
+    // all codegen'd, no UDF; the /24 group count is bounded by the
+    // synthetic address space, never event-sized.
+    "fn_ip" -> ((s, d) => {
+      // `div` (not /): Spark's Column./ is DOUBLE division; DuckDB
+      // replays with // — equal on non-negative ids.
+      val ip = expr(
+        """CASE CAST(user_id % 5 AS INT)
+          |  WHEN 0 THEN concat('10.', user_id % 223, '.',
+          |                     (user_id div 7) % 256, '.',
+          |                     (user_id div 3) % 256)
+          |  WHEN 1 THEN concat('192.168.', (user_id div 11) % 256, '.',
+          |                     user_id % 256)
+          |  WHEN 2 THEN concat('172.', 16 + user_id % 16, '.',
+          |                     (user_id div 5) % 256, '.', user_id % 256)
+          |  WHEN 3 THEN concat('8.8.', (user_id div 13) % 256, '.',
+          |                     user_id % 256)
+          |  ELSE concat('203.0.113.', user_id % 256)
+          |END""".stripMargin)
+      val oct = split(col("ip"), "\\.")
+      val (o1, o2) = (element_at(oct, 1).cast("int"),
+        element_at(oct, 2).cast("int"))
+      T.events(s, d)
+        .select(col("user_id"), ip.as("ip"))
+        .select(col("user_id"),
+          concat_ws(".", element_at(oct, 1), element_at(oct, 2),
+            element_at(oct, 3)).as("slash24"),
+          (o1 === 10 || (o1 === 192 && o2 === 168) ||
+            (o1 === 172 && o2.between(16, 31))).as("is_private"))
+        .groupBy("slash24", "is_private")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("slash24")
+    }),
+
     // Cryptographic digest family (r9): md5/sha256 over the raw bytes
     // — content addressing, cache keys, dedup digests, audit trails.
     // Hex output is the cross-engine canonical form; the text corpus
@@ -329,6 +373,37 @@ object FnOps {
         |      FROM read_json('/tmp/graft_docs_pii.jsonl',
         |        format='newline_delimited',
         |        columns={'doc_id':'BIGINT','text':'VARCHAR','source':'VARCHAR'}))
-        |ORDER BY doc_id, url""".stripMargin
+        |ORDER BY doc_id, url""".stripMargin,
+    // Same synthesized dotted quads (// replays Spark's div on
+    // non-negative ids), same split-and-cast parse, same RFC1918
+    // predicates.
+    "fn_ip" ->
+      """WITH ipx AS (
+        |  SELECT user_id,
+        |    CASE CAST(user_id % 5 AS INT)
+        |      WHEN 0 THEN concat('10.', user_id % 223, '.',
+        |                         (user_id // 7) % 256, '.',
+        |                         (user_id // 3) % 256)
+        |      WHEN 1 THEN concat('192.168.', (user_id // 11) % 256, '.',
+        |                         user_id % 256)
+        |      WHEN 2 THEN concat('172.', 16 + user_id % 16, '.',
+        |                         (user_id // 5) % 256, '.', user_id % 256)
+        |      WHEN 3 THEN concat('8.8.', (user_id // 13) % 256, '.',
+        |                         user_id % 256)
+        |      ELSE concat('203.0.113.', user_id % 256)
+        |    END AS ip
+        |  FROM events),
+        |p AS (SELECT user_id, string_split(ip, '.') AS o FROM ipx),
+        |c AS (
+        |  SELECT user_id,
+        |    concat_ws('.', o[1], o[2], o[3]) AS slash24,
+        |    (CAST(o[1] AS INT) = 10
+        |     OR (CAST(o[1] AS INT) = 192 AND CAST(o[2] AS INT) = 168)
+        |     OR (CAST(o[1] AS INT) = 172
+        |         AND CAST(o[2] AS INT) BETWEEN 16 AND 31)) AS is_private
+        |  FROM p)
+        |SELECT slash24, is_private, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY slash24""".stripMargin
   )
 }

@@ -429,6 +429,17 @@ object CorpusPipeline {
           col("n_tokens"))
         .orderBy("doc_id")),
 
+    // Budgeted selection (r15): keep the best-quality documents whose
+    // cumulative token count fits a budget (25% of the corpus here) —
+    // the "fill the training mix from the top of the quality ranking"
+    // op every data-constrained run performs after scoring. The greedy
+    // prefix of the (quality desc, doc_id) order; the budget is
+    // integer math against the corpus total (4·cum ≤ total), so both
+    // engines agree exactly.
+    "corpus_select_budget" -> ((s, d) =>
+      selectBudget(graft.T.documents(s, d), num = 1, den = 4)
+        .orderBy("doc_id")),
+
     // Training-mix downsample: en halved, zh kept, the rest thinned —
     // arbitrary but fixed weights; same seed → same sample on any
     // partitioning (DeterminismSpec sweeps this key like every other).
@@ -655,6 +666,55 @@ object CorpusPipeline {
         col("minc"))
   }
 
+  /** Greedy quality-ranked selection under a token budget of
+    * `num/den` of the corpus total: rank docs by (round-4 quality
+    * desc, doc_id), keep the longest prefix whose cumulative token
+    * count satisfies den·cum ≤ num·total (all-integer — no float
+    * budget boundary). Returns (doc_id, quality, n_tok, cum_tokens).
+    *
+    * Scale shape — the global running total WITHOUT a global window:
+    * a single unpartitioned window is one task holding the corpus, so
+    * the prefix sum runs TWO-LEVEL instead (the classic distributed
+    * scan): coarse quality buckets (floor(q·8) — a monotone function
+    * of the sort key, so bucket-desc order refines to the global
+    * order) aggregate to a |buckets|-row frame whose exclusive
+    * running sum IS computed on one task (constant-sized — the only
+    * unpartitioned window in the plan, PlanSpec-pinned shape), then
+    * each doc adds its within-bucket running sum partitioned BY
+    * bucket. pre(bucket) + within ≡ the global prefix sum exactly —
+    * the oracle computes the ONE-WINDOW form, so the decomposition is
+    * cross-checked, not replayed. Ordering by a round-4-fenced
+    * transcendental is sound here because text_quality's oracle
+    * already proves the rounded values bit-match cross-engine
+    * (the corpus_curate gate precedent). The corpus total rides the
+    * broadcast ONE-ROW crossJoin (corpus-totals pattern,
+    * PlanSpec-allowlisted).
+    */
+  def selectBudget(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"budget fraction must be in (0, 1]: $num/$den")
+    val scored = graft.T.spread(docs).select(col("doc_id"),
+      round(LlmText.qualityScore(col("text")), 4).as("quality"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .localCheckpoint(false) // feeds total, bucket totals, and the final
+    val tot = scored.agg(sum(col("n_tok")).as("total"))
+    val bucketed = scored
+      .withColumn("bkt", floor(col("quality") * 8).cast("long"))
+    val wpre = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = bucketed.groupBy("bkt").agg(sum(col("n_tok")).as("bt"))
+      .withColumn("pre", coalesce(sum(col("bt")).over(wpre), lit(0L)))
+      .select("bkt", "pre")
+    val win = Window.partitionBy("bkt")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(pre, Seq("bkt"))
+      .withColumn("cum_tokens", col("pre") + sum(col("n_tok")).over(win))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum_tokens") * den <= col("total") * num)
+      .select(col("doc_id"), col("quality"), col("n_tok"), col("cum_tokens"))
+  }
+
   def ppsSample(df: DataFrame, idCol: String, weightCol: String,
       num: Int, den: Int, seed: Int): DataFrame = {
     // den = 0 would make the filter vacuously true (u48·maxW·0 < w·…)
@@ -696,6 +756,35 @@ object CorpusPipeline {
   }
 
   val oracle: Map[String, String] = Map(
+    // INDEPENDENT formulation: ONE global running-sum window over the
+    // (quality desc, doc_id) order — the operator computes the same
+    // prefix sum two-level (bucket pre-sums + within-bucket windows),
+    // so a decomposition bug (wrong bucket boundary, off-by-one frame)
+    // cannot agree with this. Window sums of BIGINT go HUGEINT in
+    // DuckDB — cast before output. The quality expression is
+    // text_quality's round-4-fenced text, already hash-proven.
+    "corpus_select_budget" ->
+      """WITH q0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    round(ln(len(toks) + 1)
+        |      * (1 - len(list_filter(toks, s -> s IN
+        |          ('the', 'a', 'of', 'and', 'to', 'in')))::DOUBLE / len(toks))
+        |      * (len(list_distinct(toks))::DOUBLE / len(toks)), 4) AS quality,
+        |    len(toks) AS n_tok
+        |  FROM q0),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM t),
+        |c AS (
+        |  SELECT doc_id, quality, CAST(n_tok AS BIGINT) AS n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, quality, n_tok, cum_tokens
+        |FROM c, tot WHERE cum_tokens * 4 <= total * 1
+        |ORDER BY doc_id""".stripMargin,
+
     // The full curation pipeline, stage by stage (r12): quality =
     // text_quality's rounded expression (the ln is fenced by round —
     // the same rounded values the text_quality oracle already

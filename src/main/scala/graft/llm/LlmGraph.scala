@@ -552,8 +552,78 @@ object LlmGraph {
     // aggregate.
     "graph_degree_dist" -> ((s, d) =>
       degreeHistogram(supportEdges(s, d))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // Association rules (r15): support/confidence/lift per directed
+    // item pair over the order baskets — the classic market-basket
+    // readout one level up from supportEdges' bare adjacency (the
+    // same pair counts, now NORMALIZED into "how predictive is
+    // antecedent of consequent" and "vs. chance"). The co-occurrence
+    // scoring a curation pipeline runs on tag/domain/entity baskets
+    // before trusting any "related items" signal. Pair volume is
+    // Σ C(basket, 2) through the same native graft_pairs expansion —
+    // basket-bounded, never catalog²; the support floor keeps the
+    // rule list edge-sized.
+    "rules_assoc" -> ((s, d) =>
+      assocRules(
+        T.spread(T.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_set(col("l_partkey"))).as("items"))),
+        minPairSupport = 2)
+        .orderBy("antecedent", "consequent"))
   )
+
+  /** Association rules over `baskets("basket_id"?, "items")` (items:
+    * sorted distinct array<long>): for every DIRECTED pair (a → b)
+    * co-occurring in ≥ `minPairSupport` baskets,
+    * confidence = s(a,b)/s(a) and lift = s(a,b)·n/(s(a)·s(b)).
+    * Returns (antecedent, consequent, pair_support, ante_support,
+    * cons_support, confidence, lift).
+    *
+    * Scale shape: pair counts ride the [[graft.functions.PairsOf]]
+    * explode (Σ C(basket, 2), basket-bounded) into one combinable
+    * groupBy; item supports are one explode + groupBy (item-sized);
+    * the basket total is a broadcast ONE-ROW frame (the corpus-totals
+    * crossJoin pattern, PlanSpec-allowlisted). The undirected pair
+    * frame is checkpointed BEFORE mirroring into both rule directions
+    * (the union would otherwise embed and re-plan the whole
+    * explode+agg pipeline twice — the supportEdges lesson); divisions
+    * run once per rule on double images (exactly rounded both
+    * engines), round(·, 6).
+    */
+  def assocRules(baskets: DataFrame, minPairSupport: Int): DataFrame = {
+    require(minPairSupport >= 1, s"minPairSupport must be >= 1")
+    graft.functions.VectorExpressions.register(baskets.sparkSession)
+    val b = baskets.select(col("items")).localCheckpoint(false)
+    val nb = b.agg(count(lit(1)).as("n_baskets"))
+    val isup = b.select(explode(col("items")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("s"))
+    val pairs = b
+      .select(explode(call_function("graft_pairs", col("items"))).as("pr"))
+      .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
+      .agg(count(lit(1)).as("sab"))
+      .filter(col("sab") >= minPairSupport)
+      .localCheckpoint(false)
+    val directed = pairs
+      .select(col("u").as("antecedent"), col("v").as("consequent"), col("sab"))
+      .unionByName(pairs
+        .select(col("v").as("antecedent"), col("u").as("consequent"),
+          col("sab")))
+    directed
+      .join(isup.select(col("p").as("antecedent"), col("s").as("sa")),
+        Seq("antecedent"))
+      .join(isup.select(col("p").as("consequent"), col("s").as("sb")),
+        Seq("consequent"))
+      .crossJoin(broadcast(nb))
+      .select(col("antecedent"), col("consequent"),
+        col("sab").as("pair_support"), col("sa").as("ante_support"),
+        col("sb").as("cons_support"),
+        round(col("sab").cast("double") / col("sa").cast("double"), 6)
+          .as("confidence"),
+        round((col("sab").cast("double") * col("n_baskets").cast("double")) /
+          (col("sa").cast("double") * col("sb").cast("double")), 6)
+          .as("lift"))
+  }
 
   /** Support-≥2 part co-occurrence edges over `lineitem` — parts are
     * adjacent when they ship in the same order at least twice (the
@@ -1303,6 +1373,31 @@ object LlmGraph {
         |SELECT CAST(length(bin(dg)) - 1 AS BIGINT) AS bucket,
         |       count(*) AS n_nodes,
         |       min(dg) AS min_deg, max(dg) AS max_deg
-        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // INDEPENDENT formulation: the oracle counts directed pairs via a
+    // basket self-join (a.p <> b.p), where the operator expands
+    // undirected pairs with graft_pairs and mirrors — a pair-expansion
+    // or direction bug cannot agree. Divisions ride double images both
+    // sides (exactly rounded), counts stay BIGINT.
+    "rules_assoc" ->
+      """WITH bp AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |nb AS (SELECT count(DISTINCT o) AS n FROM bp),
+        |isup AS (SELECT p, count(*) AS s FROM bp GROUP BY 1),
+        |pr AS (
+        |  SELECT a.p AS antecedent, b.p AS consequent, count(*) AS sab
+        |  FROM bp a JOIN bp b ON a.o = b.o AND a.p <> b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT antecedent, consequent,
+        |  sab AS pair_support, ia.s AS ante_support, ic.s AS cons_support,
+        |  round(CAST(sab AS DOUBLE) / CAST(ia.s AS DOUBLE), 6)
+        |    AS confidence,
+        |  round((CAST(sab AS DOUBLE) * CAST(nb.n AS DOUBLE)) /
+        |        (CAST(ia.s AS DOUBLE) * CAST(ic.s AS DOUBLE)), 6) AS lift
+        |FROM pr
+        |JOIN isup ia ON pr.antecedent = ia.p
+        |JOIN isup ic ON pr.consequent = ic.p, nb
+        |ORDER BY antecedent, consequent""".stripMargin
   )
 }

@@ -343,9 +343,13 @@ class PlanSpec extends SparkSpec {
     // way (the |V| smoothing denominator).
     // sample_pps crossJoins its broadcast ONE-ROW max-weight frame —
     // the same constant-side corpus-totals shape.
+    // rules_assoc broadcasts its ONE-ROW basket-count frame and
+    // corpus_select_budget its ONE-ROW token-total frame — the same
+    // constant-side corpus-totals shape.
     val allowCartesian = Set("join_cross")
     val allowBnlj = Set("join_cross", "join_theta", "text_tfidf", "text_vocab",
-      "zorder_key", "text_perplexity", "sample_pps")
+      "zorder_key", "text_perplexity", "sample_pps", "rules_assoc",
+      "corpus_select_budget")
     val bad = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString

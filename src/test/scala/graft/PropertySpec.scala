@@ -936,6 +936,80 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("assocRules ≡ local pair-count fold for ANY baskets") {
+    // Independent reference: nested-loop pair counting over Scala
+    // collections (the operator expands via graft_pairs and mirrors;
+    // the reference walks ordered pairs directly — an expansion,
+    // mirror, or support-join bug cannot agree). Small item space so
+    // baskets collide constantly.
+    val basketGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.choose(1L, 8L)).map(_.distinct.sorted))
+    forAllSeeded(basketGen) { baskets =>
+      val df = baskets.zipWithIndex
+        .map { case (items, i) => (i.toLong, items) }
+        .toDF("basket_id", "items")
+      val got = graft.llm.LlmGraph.assocRules(df, minPairSupport = 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getDouble(5), r.getDouble(6))))
+        .toMap
+      val n = baskets.size.toDouble
+      val isup = baskets.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val sab = baskets
+        .flatMap(b => for (x <- b; y <- b if x != y) yield (x, y))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = sab.map { case ((a, b), s) =>
+        (a, b) -> ((s.toLong, isup(a).toLong, isup(b).toLong,
+          r6(s.toDouble / isup(a)),
+          r6((s.toDouble * n) / (isup(a).toDouble * isup(b).toDouble))))
+      }
+      assert(got == want,
+        s"got ${got.toSeq.sorted.take(4)}, want ${want.toSeq.sorted.take(4)}")
+    }
+  }
+
+  test("selectBudget two-level prefix scan ≡ local greedy fold for ANY docs") {
+    // Independent reference: sort + sequential prefix walk in plain
+    // Scala (the operator decomposes the running total into bucket
+    // pre-sums + within-bucket windows; the reference never buckets —
+    // a boundary/frame bug in the decomposition cannot agree).
+    // Quality replays bit-identically: Spark's log IS java.lang.Math
+    // .log on this JVM, and the fold applies the same round-4 fence.
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    val docGen = Gen.nonEmptyListOf(Gen.nonEmptyListOf(
+      Gen.oneOf("the", "a", "of", "wolf", "iron", "x", "moss", "tide")))
+    forAllSeeded(docGen) { tokLists =>
+      val docs = tokLists.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val got = graft.llm.CorpusPipeline.selectBudget(
+          docs.toDF("doc_id", "text"), num = 1, den = 4)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val scored = docs.map { case (id, text) =>
+        val toks = text.split(" ", -1).toSeq
+        val q = r4(math.log(toks.size + 1.0) *
+          (1.0 - toks.count(stop).toDouble / toks.size) *
+          (toks.distinct.size.toDouble / toks.size))
+        (id, q, toks.size.toLong)
+      }
+      val total = scored.map(_._3).sum
+      var cum = 0L
+      val want = scored.sortBy { case (id, q, _) => (-q, id) }.flatMap {
+        case (id, q, nt) =>
+          cum += nt
+          if (cum * 4 <= total) Some(id -> ((q, nt, cum))) else None
+      }.toMap
+      assert(got == want,
+        s"got ${got.toSeq.sorted.take(5)}, want ${want.toSeq.sorted.take(5)}")
+    }
+  }
+
   test("pqCodebook/pqCode ≡ local mean-Lloyd fold for ANY sub-vectors") {
     // Independent reference for the PQ sub-quantizer — seed selection,
     // (dot(c,c) − 2·dot(x,c), cid) argmin assignment, exact-decimal
