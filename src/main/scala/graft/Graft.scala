@@ -34,7 +34,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Graft.knnIvf(embeddings, 10, 16)
   * }}}
   *
-  * The driver-facing query catalog (the 215 `SparkEntry.queries` keys)
+  * The driver-facing query catalog (the 217 `SparkEntry.queries` keys)
   * sits one level up and is built FROM these pieces — this object is
   * the programmatic surface.
   */
@@ -272,6 +272,20 @@ object Graft {
   /** Directed shingle-containment (quotation/excerpt) pairs
     * ([[llm.LlmDedup.containmentPairs]]). */
   val containmentPairs = llm.LlmDedup.containmentPairs _
+  /** Banded candidate signature pairs over distinct phash signatures
+    * ([[llm.Multimodal.phashSigPairs]]). */
+  val phashSigPairs = llm.Multimodal.phashSigPairs _
+  /** Association rules (support/confidence/lift) over item baskets
+    * ([[llm.LlmGraph.assocRules]]). */
+  val assocRules = llm.LlmGraph.assocRules _
+  /** Budgeted quality-ranked corpus selection
+    * ([[llm.CorpusPipeline.selectBudget]]). */
+  val selectBudget = llm.CorpusPipeline.selectBudget _
+  /** Time-decayed counts per group ([[operators.AggOps.decayedCounts]]). */
+  val decayedCounts = operators.AggOps.decayedCounts _
+  /** Per-year national market share, the Q8 snowflake macro
+    * ([[operators.AggOps.marketShare]]). */
+  val marketShare = operators.AggOps.marketShare _
   /** Streaming-shaped curation: gate → first-seen exact → near-dup
     * drop ([[streaming.StreamOps.curateStream]]). */
   val curateStream = streaming.StreamOps.curateStream _

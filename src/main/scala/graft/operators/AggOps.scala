@@ -341,6 +341,41 @@ object AggOps {
     }),
 
     // Pricing-summary macro (r9) — the TPC-H Q1 shape as a driver-
+    // Time-decayed counts (r15): per event type, Σ 2^(−age_days) with
+    // a one-day half-life against the corpus max day — the trending
+    // score every "what's hot" readout runs (a count that forgets).
+    // EXACT cross-engine despite the exponential: base-2 decay over
+    // INTEGER day ages means every weight is the integer
+    // 2^(50−age) (ages > 50 decay to 0), the sum is exact integer
+    // arithmetic in a decimal buffer, and the final ÷2^50 is a pure
+    // exponent shift — no transcendental anywhere. One scan, the
+    // broadcast ONE-ROW reference-day frame (corpus-totals pattern,
+    // allowlisted), one two-phase hash aggregate.
+    "agg_decay" -> ((s, d) =>
+      decayedCounts(T.events(s, d)
+        .select(col("event_type").as("g"), to_date(col("ts")).as("day")))
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")),
+
+    // (agg_decay core lives in [[decayedCounts]] below the queries map
+    // — extracted so the ScalaCheck reference fold tests the API, the
+    // house pattern.)
+
+    // Market-share macro (r15, the TPC-H Q8 shape): per order year,
+    // each supplier NATION's share of the EUROPE-customer market for
+    // small parts — the deepest join composition in the repo (7-table
+    // snowflake: lineitem → part filter / orders → customer → nation →
+    // region / supplier → nation) feeding one exact-decimal aggregate
+    // and a per-year share. Dimension joins broadcast (nation/region
+    // are catalog-sized at any corpus scale, customer/part ride AQE);
+    // the share denominator is a window over the (year, nation)
+    // aggregate — a \|years×nations\|-row frame, never the fact table.
+    "macro_share" -> ((s, d) =>
+      marketShare(T.lineitem(s, d), T.part(s, d), T.orders(s, d),
+        T.customer(s, d), T.nation(s, d), T.region(s, d), T.supplier(s, d),
+        region0 = "EUROPE", maxPartSize = 15)
+        .orderBy("o_year", "s_nation")),
+
     // checked key (the flagship `entry()` runs it on sf0.001 but never
     // entered CORRECTNESS): full multi-measure scan-agg over ~97% of
     // lineitem — the single most-run reporting query shape there is.
@@ -600,6 +635,78 @@ object AggOps {
         .withColumnRenamed("g", "event_type")
         .orderBy("event_type"))
   )
+
+  /** Time-decayed counts per group over `ev("g", "day")` (day: DATE):
+    * n and Σ 2^(−age_days), age against the frame's max day, one-day
+    * half-life. Exact cross-engine despite the exponential: integer
+    * day ages make every weight the INTEGER 2^(50−age) (ages beyond
+    * 50 half-lives decay to exactly 0 — they'd be < 1 ulp anyway),
+    * the sum is exact integer arithmetic in a decimal buffer, and the
+    * final ÷2^50 is a pure exponent shift. One broadcast ONE-ROW
+    * reference-day frame + one two-phase hash aggregate. Returns
+    * (g, n_events, decayed_count round-6). ≡-to-reference spec'd in
+    * PropertySpec (a BigDecimal fold over explicit powers).
+    */
+  def decayedCounts(ev: DataFrame): DataFrame = {
+    val ref = ev.agg(max(col("day")).as("ref_day"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("age", datediff(col("ref_day"), col("day")))
+      .withColumn("w", expr("CASE WHEN age BETWEEN 0 AND 50 THEN " +
+        "shiftleft(CAST(1 AS BIGINT), CAST(50 - age AS INT)) " +
+        "ELSE CAST(0 AS BIGINT) END"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("w").cast(
+            org.apache.spark.sql.types.DecimalType(30, 0)))
+          .cast("double") / lit(1125899906842624.0), 6)
+          .as("decayed_count"))
+  }
+
+  /** Per-year national market share (the TPC-H Q8 shape): for orders
+    * whose CUSTOMER sits in `region`, each supplier NATION's exact-
+    * decimal revenue over parts with p_size < `maxPartSize`, and its
+    * share of the year's total. The deepest join composition in the
+    * repo — a 7-table snowflake where nation/region broadcast
+    * (catalog-sized at any corpus scale) and part/customer/orders
+    * ride AQE; the share denominator is a window over the
+    * (year, nation) AGGREGATE (\|years×nations\| rows), never the
+    * fact table. Returns (o_year, s_nation, nation_revenue money,
+    * share round-6). Micro-snowflake hand fixture in
+    * OperatorSemanticsSpec.
+    */
+  def marketShare(lineitem: DataFrame, part: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame, region: DataFrame,
+      supplier: DataFrame, region0: String = "EUROPE",
+      maxPartSize: Int = 15): DataFrame = {
+    val rev = T.dec(col("l_extendedprice")) *
+      (lit(1) - T.dec(col("l_discount")))
+    val joined = lineitem
+      .join(part.filter(col("p_size") < maxPartSize).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(
+        col("n_nationkey").as("c_nationkey"), col("n_regionkey"))),
+        Seq("c_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === region0)
+        .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(
+        col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("s_nation"))), Seq("s_nationkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("o_year")
+    joined.groupBy(col("o_year"), col("s_nation"))
+      .agg(sum(rev).as("nrev"))
+      .withColumn("trev", sum(col("nrev")).over(w))
+      .select(col("o_year"), col("s_nation"),
+        T.money(col("nrev")).as("nation_revenue"),
+        round(col("nrev").cast("double") / col("trev").cast("double"), 6)
+          .as("share"))
+  }
 
   /** Two-sided 95% normal quantile, and its square — shared by the
     * Spark expression and the generated oracle SQL so the literals
@@ -1107,6 +1214,53 @@ object AggOps {
         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // Same integer 2^(50−age) weights (<< replays shiftleft), exact
+    // HUGEINT sum cast to double, same exponent-shift ÷2^50.
+    "agg_decay" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |ref AS (SELECT max(day) AS ref_day FROM ev),
+        |aged AS (
+        |  SELECT event_type,
+        |    date_diff('day', day, ref_day) AS age
+        |  FROM ev, ref)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CASE WHEN age BETWEEN 0 AND 50
+        |      THEN CAST(1 AS BIGINT) << CAST(50 - age AS INT)
+        |      ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+        |    / 1125899906842624.0, 6) AS decayed_count
+        |FROM aged GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same snowflake joins and exact-decimal revenue; the share
+    // denominator is the same per-year window over the (year, nation)
+    // aggregate, divisions on double images.
+    "macro_share" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    sn.n_name AS s_nation,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+        |      (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size < 15
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |    AND r.r_name = 'EUROPE'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey),
+        |a AS (
+        |  SELECT o_year, s_nation, sum(rev) AS nrev
+        |  FROM j GROUP BY 1, 2),
+        |t AS (
+        |  SELECT o_year, s_nation, nrev,
+        |    sum(nrev) OVER (PARTITION BY o_year) AS trev
+        |  FROM a)
+        |SELECT o_year, s_nation,
+        |  CAST(round(nrev, 2) AS DOUBLE) AS nation_revenue,
+        |  round(CAST(nrev AS DOUBLE) / CAST(trev AS DOUBLE), 6) AS share
+        |FROM t ORDER BY o_year, s_nation""".stripMargin,
 
     // Same 63-bit word/bit split, same two-level bit_or merge;
     // bit_count sums cast off HUGEINT.

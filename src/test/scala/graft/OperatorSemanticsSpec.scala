@@ -808,4 +808,45 @@ class OperatorSemanticsSpec extends SparkSpec {
       assert(k <= n)
     }
   }
+
+  test("marketShare: hand-computed micro-snowflake (region gate, part " +
+    "filter, per-year shares)") {
+    import java.sql.Timestamp
+    // Two EUROPE-relevant orders across two years plus one ASIA order
+    // and one oversized part — the region gate and the part filter
+    // must each exclude exactly one lineitem.
+    val nation = Seq((1L, "N_A", 10L), (2L, "N_B", 10L), (3L, "N_C", 20L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((10L, "EUROPE"), (20L, "ASIA"))
+      .toDF("r_regionkey", "r_name")
+    val customer = Seq((100L, 1L), (200L, 3L))
+      .toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((7L, 1L), (8L, 2L)).toDF("s_suppkey", "s_nationkey")
+    val orders = Seq(
+      (1000L, 100L, Timestamp.valueOf("1995-03-01 00:00:00")),
+      (2000L, 100L, Timestamp.valueOf("1996-05-05 00:00:00")),
+      (3000L, 200L, Timestamp.valueOf("1995-07-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val part = Seq((5L, 5), (6L, 99)).toDF("p_partkey", "p_size")
+    val li = Seq(
+      (1000L, 5L, 7L, 100.0, 0.1), // 1995, N_A, rev 90
+      (1000L, 5L, 8L, 50.0, 0.0),  // 1995, N_B, rev 50
+      (1000L, 6L, 7L, 999.0, 0.0), // dropped: p_size 99
+      (2000L, 5L, 7L, 200.0, 0.5), // 1996, N_A, rev 100
+      (3000L, 5L, 7L, 777.0, 0.0)) // dropped: customer in ASIA
+      .toDF("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    val got = graft.operators.AggOps.marketShare(
+        li, part, orders, customer, nation, region, supplier,
+        region0 = "EUROPE", maxPartSize = 15)
+      .orderBy("o_year", "s_nation")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (1995L, "N_A", 90.0, 0.642857),
+      (1995L, "N_B", 50.0, 0.357143),
+      (1996L, "N_A", 100.0, 1.0)), got.toString)
+  }
 }

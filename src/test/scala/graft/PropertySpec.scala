@@ -971,6 +971,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("decayedCounts ≡ exact BigInt power fold for ANY grouped days") {
+    // Independent reference: Σ 2^(50−age) as exact BigInt, divided by
+    // 2^50 in BigDecimal — the operator runs a decimal-buffer sum and
+    // a double exponent shift; an off-by-one age, a wrong cutoff, or
+    // a lossy sum cannot agree. Offsets past 50 exercise the cutoff.
+    val rowGen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b")
+      off <- Gen.oneOf(Gen.choose(0, 8), Gen.choose(45, 60))
+    } yield (g, off))
+    forAllSeeded(rowGen) { rows =>
+      val base = java.time.LocalDate.parse("2024-01-01")
+      val df = rows.map { case (g, off) =>
+        (g, java.sql.Date.valueOf(base.plusDays(off)))
+      }.toDF("g", "day")
+      val got = graft.operators.AggOps.decayedCounts(df)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+      val refDay = rows.map(_._2).max
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val s = rs.map { case (_, off) =>
+          val age = refDay - off
+          if (age <= 50) BigInt(1) << (50 - age) else BigInt(0)
+        }.sum
+        // Mirror the operator's emit exactly: exact-integer sum →
+        // correctly-rounded double cast → exponent-shift ÷2^50 →
+        // round-6 (a >2^53 sum rounds at the CAST on both sides).
+        val d = BigDecimal(s.toDouble / math.pow(2, 50))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        g -> ((rs.size.toLong, d))
+      }
+      assert(got == want, s"got $got, want $want")
+    }
+  }
+
   test("selectBudget two-level prefix scan ≡ local greedy fold for ANY docs") {
     // Independent reference: sort + sequential prefix walk in plain
     // Scala (the operator decomposes the running total into bucket
