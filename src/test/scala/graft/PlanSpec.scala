@@ -328,6 +328,31 @@ class PlanSpec extends SparkSpec {
       s"star dims must broadcast, not sort-merge: $p")
   }
 
+  test("corpus_select_budget: distributed prefix scan — the only " +
+    "unpartitioned window is the |buckets|-row exclusive scan") {
+    // The 100 TB shape the operator's scaladoc promises: a global
+    // running total computed WITHOUT a corpus-sized single-task
+    // window. Exactly two Window nodes — the per-doc running sum
+    // PARTITIONED by bucket (three bracket groups in the plan string:
+    // exprs, partition, order), and the bucket pre-sum scan, which is
+    // allowed to be unpartitioned ONLY because its input is the
+    // |buckets|-row HashAggregate, never the corpus.
+    val p = plan("corpus_select_budget", graft.llm.CorpusPipeline.queries)
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.size == 2, s"expected exactly 2 windows:\n$p")
+    assert(winLines.count(
+      _.matches(""".*\], \[bkt#\d+L?\], \[quality#.*""")) == 1,
+      s"per-doc running sum must partition by bucket:\n" +
+        winLines.mkString("\n"))
+    val scan = winLines.filter(_.contains("unboundedpreceding$(), -1)"))
+    assert(scan.size == 1 &&
+      !scan.head.matches(""".*\], \[[^\]]*\], \[.*"""),
+      s"exclusive bucket scan must be the unpartitioned one:\n" +
+        winLines.mkString("\n"))
+    assert(p.contains("HashAggregate(keys=[bkt"),
+      s"the unpartitioned window must read the bucket aggregate:\n$p")
+  }
+
   test("engine-wide sweep: no unlisted cartesian/nested-loop join in ANY key") {
     // The blanket version of the targeted checks above: every declared
     // query's physical plan, with an explicit allowlist naming exactly
