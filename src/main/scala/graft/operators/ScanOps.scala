@@ -51,6 +51,23 @@ object ScanOps {
 
   def ensureCsv(): String = T.ensureFile(csvPath, csvContent)
 
+  /** XML fixture exercising the corners a regex "parser" gets wrong:
+    * an ATTRIBUTE field, XML entities (&amp;amp;/&amp;lt; must decode),
+    * a missing optional element → typed NULL, and multi-word text.
+    * Write-once like the jsonl/csv fixtures.
+    */
+  val xmlContent: String =
+    """<catalog>
+      |  <item id="1"><name>widget</name><qty>3</qty><price>19.99</price><note>a &amp; b</note></item>
+      |  <item id="2"><name>gizmo &lt;mini&gt;</name><qty>1</qty><price>5.5</price></item>
+      |  <item id="3"><name>plain</name><price>7.25</price><note>x</note></item>
+      |  <item id="4"><name>multi word</name><qty>10</qty><price>0.1</price><note>y z</note></item>
+      |</catalog>""".stripMargin
+
+  val xmlPath = "/tmp/graft_items.xml"
+
+  def ensureXml(): String = T.ensureFile(xmlPath, xmlContent)
+
   /** Write-once hive-partitioned copy of `events`, partitioned by
     * `event_type` — the layout a 100 TB event store actually uses, so
     * the engine's partition-DIRECTORY pruning surface (skip whole
@@ -188,6 +205,29 @@ object ScanOps {
         .orderBy("id")
     }),
 
+    // XML source (r15): Spark 4 ships the (former spark-xml) XML
+    // datasource natively — config/feed/sitemap ingestion without a
+    // UDF parser. Same production posture as scan_jsonl/scan_csv:
+    // EXPLICIT schema (`_id` = the id ATTRIBUTE under the default
+    // attributePrefix), rowTag streaming (files are split per row
+    // tag, never DOM-loaded whole), PERMISSIVE malformed handling.
+    // The fixture plants the corners a regex "parser" gets wrong:
+    // entity decoding (&amp;, &lt;), an attribute field, a missing
+    // optional element → typed NULL. DuckDB has no XML reader, so the
+    // oracle lists the planted logical rows as VALUES — the fixture
+    // is write-once literal content, so this checks the DECODE path
+    // (entities, attribute, null) rather than replaying it.
+    "scan_xml" -> ((s, _) => {
+      val path = ensureXml()
+      s.read.format("xml")
+        .option("rowTag", "item")
+        .schema("_id LONG, name STRING, qty LONG, price DOUBLE, note STRING")
+        .load(path)
+        .select(col("_id").as("id"), col("name"), col("qty"),
+          col("price"), col("note"))
+        .orderBy("id")
+    }),
+
     // Hive-partitioned read with partition-directory pruning (r9): the
     // event_type filter resolves against DIRECTORY NAMES at planning
     // time — 3 of 5 partitions are never listed, opened, or read
@@ -274,6 +314,20 @@ object ScanOps {
          |  columns={'id':'BIGINT','name':'VARCHAR',
          |           'qty':'BIGINT','price':'DOUBLE'})
          |ORDER BY id""".stripMargin,
+    // DuckDB has no XML reader; the planted rows ARE the truth (the
+    // fixture is write-once literal content), so the oracle lists
+    // them decoded — entities resolved, attribute as id, the missing
+    // qty/note as NULLs. This checks Spark's XML DECODE against the
+    // intended logical rows instead of replaying a parser.
+    "scan_xml" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'widget', CAST(3 AS BIGINT),
+        |   CAST(19.99 AS DOUBLE), 'a & b'),
+        |  (2, 'gizmo <mini>', 1, 5.5, NULL),
+        |  (3, 'plain', NULL, 7.25, 'x'),
+        |  (4, 'multi word', 10, 0.1, 'y z'))
+        |  AS t(id, name, qty, price, note)
+        |ORDER BY id""".stripMargin,
     // Oracle reads the ORIGINAL parquet table (scan_hive_parts
     // adjudication): the staged ORC copy holds identical rows.
     "scan_orc" ->

@@ -110,6 +110,20 @@ class OperatorSemanticsSpec extends SparkSpec {
       (4L, "multi word", Some(10L), 0.1)))
   }
 
+  test("scan_xml: entities decode, attribute surfaces, missing elements " +
+    "are typed NULLs") {
+    val rows = SparkEntry.queries("scan_xml")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getString(4))))
+      .toSeq
+    assert(rows == Seq(
+      (1L, "widget", Some(3L), 19.99, Some("a & b")),      // &amp; decoded
+      (2L, "gizmo <mini>", Some(1L), 5.5, None),           // &lt;/&gt;; no note
+      (3L, "plain", None, 7.25, Some("x")),                // missing qty
+      (4L, "multi word", Some(10L), 0.1, Some("y z"))), rows.toString)
+  }
+
   test("win_islands: consecutive-day runs split exactly at gaps") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
