@@ -83,6 +83,45 @@ object LlmText {
         .orderBy("doc_id", "term")
     }),
 
+    // Collocations (r15): corpus-wide PMI-scored adjacent bigrams —
+    // pointwise mutual information ln(p(xy)/(p(x)p(y))) over exact
+    // integer counts, the classic "which word pairs are a UNIT"
+    // readout (multi-word expressions, named entities, boilerplate
+    // phrases) a corpus analysis runs before tokenizer/vocab
+    // decisions. Every count is one combinable groupBy (bigram volume
+    // = corpus tokens, never vocab²); the two corpus totals ride ONE
+    // broadcast one-row frame (allowlisted corpus-totals shape);
+    // gating and ordering are INTEGER (pair count + lexicographic) —
+    // the ln appears only in the round-6-fenced output, never in a
+    // rank or filter (§7.5). Unigram probabilities use token mass Nt,
+    // bigram probability uses bigram mass Nb, both exact.
+    "text_collocations" -> ((s, d) => {
+      val docs = T.spread(T.documents(s, d))
+        .select(split(col("text"), " ").as("ts"))
+        .localCheckpoint(false) // feeds totals, unigrams, and bigrams
+      val tot = docs.agg(
+        sum(size(col("ts"))).cast("long").as("nt"),
+        sum(greatest(size(col("ts")) - 1, lit(0))).cast("long").as("nb"))
+      val uc = docs.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bc = docs.filter(size(col("ts")) >= 2)
+        .select(explode(expr("transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("pair_count"))
+        .filter(col("pair_count") >= 3)
+      bc.join(uc.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uc.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("pair_count"),
+          round(log(
+            (col("pair_count").cast("double") * col("nt").cast("double") *
+              col("nt").cast("double")) /
+            (col("nb").cast("double") * col("c1").cast("double") *
+              col("c2").cast("double"))), 6).as("pmi"))
+        .orderBy("w1", "w2")
+    }),
+
     // Corpus stats per language.
     "text_stats" -> ((s, d) =>
       T.documents(s, d)
@@ -585,6 +624,34 @@ object LlmText {
         |  FROM scored)
         |SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5
         |ORDER BY doc_id, term""".stripMargin,
+    // Same exact integer counts and the same left-associated double
+    // chain inside ln (round-6 fences the last-ulp libm-vs-JVM drift;
+    // gate and order are integer/lexicographic).
+    "text_collocations" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS ts FROM documents),
+        |tot AS (
+        |  SELECT CAST(sum(len(ts)) AS BIGINT) AS nt,
+        |         CAST(sum(greatest(len(ts) - 1, 0)) AS BIGINT) AS nb
+        |  FROM t),
+        |uc AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(ts) AS w FROM t) GROUP BY 1),
+        |bc AS (
+        |  SELECT b['w1'] AS w1, b['w2'] AS w2, count(*) AS pair_count
+        |  FROM (SELECT unnest([{'w1': ts[i], 'w2': ts[i+1]}
+        |                       for i in range(1, len(ts))]) AS b
+        |        FROM t WHERE len(ts) >= 2)
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT w1, w2, pair_count,
+        |  round(ln((CAST(pair_count AS DOUBLE) * CAST(tot.nt AS DOUBLE)
+        |            * CAST(tot.nt AS DOUBLE)) /
+        |           (CAST(tot.nb AS DOUBLE) * CAST(u1.c AS DOUBLE)
+        |            * CAST(u2.c AS DOUBLE))), 6) AS pmi
+        |FROM bc
+        |JOIN uc u1 ON bc.w1 = u1.w
+        |JOIN uc u2 ON bc.w2 = u2.w, tot
+        |ORDER BY w1, w2""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -823,6 +823,32 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("text_collocations: hand-counted PMI on a micro corpus " +
+    "(threshold, masses, adjacency)") {
+    // "a b a b" + "a b c": bigram (a,b) appears 3× (only pair over
+    // the ≥3 gate; (b,a) and (b,c) appear once each); Nt = 7 tokens,
+    // Nb = 5 bigrams, c(a) = c(b) = 3.
+    // pmi = ln(3·7·7 / (5·3·3)) = ln(147/45).
+    val out = graft.llm.LlmText.queries("text_collocations")(spark, sf)
+    // the registered key reads the corpus; rebuild on the micro corpus
+    // through the same pipeline by substituting the table via a temp
+    // view is heavier than recomputing inline — so assert on the
+    // corpus key only structurally, and hand-check via a direct call
+    // shape below.
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val tmp = s"/tmp/graft_colloc_spec_${System.nanoTime()}"
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val got = graft.llm.LlmText.queries("text_collocations")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val pmi = BigDecimal(math.log(147.0 / 45.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("a", "b", 3L, pmi)), got.toString)
+    assert(out.columns.toSeq ==
+      Seq("w1", "w2", "pair_count", "pmi"))
+  }
+
   test("marketShare: hand-computed micro-snowflake (region gate, part " +
     "filter, per-year shares)") {
     import java.sql.Timestamp

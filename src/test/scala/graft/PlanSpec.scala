@@ -374,7 +374,7 @@ class PlanSpec extends SparkSpec {
     val allowCartesian = Set("join_cross")
     val allowBnlj = Set("join_cross", "join_theta", "text_tfidf", "text_vocab",
       "zorder_key", "text_perplexity", "sample_pps", "rules_assoc",
-      "corpus_select_budget", "agg_decay")
+      "corpus_select_budget", "agg_decay", "text_collocations")
     val bad = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
