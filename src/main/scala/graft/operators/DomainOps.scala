@@ -437,7 +437,41 @@ object DomainOps {
           T.customer(s, d), "c_custkey"),
         ("customer_nation", T.customer(s, d), "c_nationkey",
           T.nation(s, d), "n_nationkey")))
-        .orderBy("fk_name"))
+        .orderBy("fk_name")),
+
+    // Fact-to-summary reconciliation (r15): does the header total
+    // agree with the sum of its detail lines — o_totalprice vs
+    // Σ l_extendedprice·(1−disc) per order — the audit every
+    // warehouse runs between a rollup table and its fact table (dq_fk
+    // checks the KEYS line up; this checks the MONEY does). Per
+    // status: order counts, within-tolerance matches, orders with no
+    // detail lines at all, and the worst absolute drift. One
+    // fact-sized aggregate + one key equi-join + a |statuses|-row
+    // aggregate. Money math is the TWO-factor revenue product on
+    // purpose: (18,4)×(19,4) = (38,8) sits inside Spark's exact
+    // decimal window, so the tolerance gate compares EXACT values —
+    // a third factor would cross the 38-digit cap, force a lossy
+    // rescale, and let a 1e-6 representation drift flip a
+    // boundary-sitting adiff ≤ 0.01 differently per engine.
+    "dq_reconcile" -> ((s, d) => {
+      val charge = T.dec(col("l_extendedprice")) *
+        (lit(1) - T.dec(col("l_discount")))
+      val computed = T.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(sum(charge).as("computed"))
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          T.dec(col("o_totalprice")).as("header"))
+        .join(computed, col("o_orderkey") === col("l_orderkey"), "left")
+        .withColumn("adiff", abs(col("header") - col("computed")))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("adiff") <= 0.01, 1L).otherwise(0L))
+            .as("n_matched"),
+          sum(when(col("computed").isNull, 1L).otherwise(0L))
+            .as("n_missing_facts"),
+          T.money(max(col("adiff"))).as("max_abs_diff"))
+        .orderBy("o_orderstatus")
+    })
   )
 
   /** Referential-integrity audit over FK relationships
@@ -682,7 +716,28 @@ object DomainOps {
         |GROUP BY ROLLUP(r_name, n_name, c_mktsegment)
         |ORDER BY region_name, nation_name, segment""".stripMargin,
 
-    "dq_fk" -> fkSql
+    "dq_fk" -> fkSql,
+
+    // Same exact two-factor decimal product and sum — the tolerance
+    // gate compares exact decimals on both engines.
+    "dq_reconcile" ->
+      """WITH c AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |        (1 - CAST(l_discount AS DECIMAL(18,4)))) AS computed
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderstatus, c.computed,
+        |    abs(CAST(o.o_totalprice AS DECIMAL(18,4)) - c.computed)
+        |      AS adiff
+        |  FROM orders o LEFT JOIN c ON o.o_orderkey = c.l_orderkey)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN adiff <= 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matched,
+        |  CAST(sum(CASE WHEN computed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missing_facts,
+        |  CAST(round(max(adiff), 2) AS DOUBLE) AS max_abs_diff
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Generated dq_fk oracle — same distinct-key collapse, same LEFT

@@ -849,6 +849,24 @@ class OperatorSemanticsSpec extends SparkSpec {
       Seq("w1", "w2", "pair_count", "pmi"))
   }
 
+  test("dq_reconcile: matched/mismatched/missing split on a hand fixture") {
+    // o1 reconciles exactly, o2 drifts by 10, o3 has no detail lines.
+    val tmp = s"/tmp/graft_reconcile_spec_${System.nanoTime()}"
+    Seq((1L, "O", 100.0), (2L, "O", 50.0), (3L, "F", 10.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.parquet(s"$tmp/orders.parquet")
+    Seq((1L, 60.0, 0.0), (1L, 40.0, 0.0), (2L, 100.0, 0.4))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val got = SparkEntry.queries("dq_reconcile")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toSeq
+    assert(got == Seq(
+      ("F", 1L, 0L, 1L, None),
+      ("O", 2L, 1L, 0L, Some(10.0))), got.toString)
+  }
+
   test("marketShare: hand-computed micro-snowflake (region gate, part " +
     "filter, per-year shares)") {
     import java.sql.Timestamp
