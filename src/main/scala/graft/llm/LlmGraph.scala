@@ -603,17 +603,23 @@ object LlmGraph {
       .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
       .agg(count(lit(1)).as("sab"))
       .filter(col("sab") >= minPairSupport)
+    // Supports join onto the UNDIRECTED frame (half the rows), then
+    // mirror with the support columns swapped — two joins on half the
+    // data instead of two joins on the doubled directed frame. The
+    // checkpoint sits HERE, just before the mirror union (the
+    // supportEdges lesson: a frame referenced by both union branches
+    // otherwise embeds and re-plans its whole pipeline twice).
+    val supported = pairs
+      .join(isup.select(col("p").as("u"), col("s").as("su")), Seq("u"))
+      .join(isup.select(col("p").as("v"), col("s").as("sv")), Seq("v"))
       .localCheckpoint(false)
-    val directed = pairs
-      .select(col("u").as("antecedent"), col("v").as("consequent"), col("sab"))
-      .unionByName(pairs
+    val directed = supported
+      .select(col("u").as("antecedent"), col("v").as("consequent"),
+        col("sab"), col("su").as("sa"), col("sv").as("sb"))
+      .unionByName(supported
         .select(col("v").as("antecedent"), col("u").as("consequent"),
-          col("sab")))
+          col("sab"), col("sv").as("sa"), col("su").as("sb")))
     directed
-      .join(isup.select(col("p").as("antecedent"), col("s").as("sa")),
-        Seq("antecedent"))
-      .join(isup.select(col("p").as("consequent"), col("s").as("sb")),
-        Seq("consequent"))
       .crossJoin(broadcast(nb))
       .select(col("antecedent"), col("consequent"),
         col("sab").as("pair_support"), col("sa").as("ante_support"),
