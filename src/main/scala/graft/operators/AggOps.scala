@@ -290,6 +290,36 @@ object AggOps {
         .orderBy("event_id")
     }),
 
+    // Robust outlier scale via MAD (r15): per group, the median
+    // absolute deviation and the count of points beyond 3 robust
+    // sigmas (3·1.4826·MAD — the normal-consistency constant, a
+    // SHARED literal with the oracle, the wilsonZ discipline). The
+    // robust complement to agg_outlier's IQR fences: MAD gives a
+    // SCALE (a robust z-score denominator), fences only a flag; both
+    // survive 50%-contaminated data where stddev does not. Two exact
+    // percentile passes (group median, then median of |x−med|) with
+    // broadcast joins back — the quantile_cont parity the agg_outlier
+    // oracle already proves; every gate comparison runs on doubles
+    // built identically in both engines. At 100 TB swap the exact
+    // percentiles for approx_percentile — the shape is unchanged.
+    "agg_mad" -> ((s, d) => {
+      val e = T.events(s, d).select("event_type", "value")
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val madf = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5D)").as("mad"))
+      dev.join(broadcast(madf), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("med")), 4).as("median"),
+          round(min(col("mad")), 4).as("mad"),
+          sum(when(col("adev") > lit(madK) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // Fixed-width histogram (r8): bucket = floor(x / width) — the OLAP
     // distribution profile as ONE hash aggregate over a computed key
     // (never a per-bucket pass; scales like any groupBy). The division
@@ -707,6 +737,12 @@ object AggOps {
         round(col("nrev").cast("double") / col("trev").cast("double"), 6)
           .as("share"))
   }
+
+  /** 3 robust sigmas in MAD units (3 × the 1.4826 normal-consistency
+    * constant) — Scala-rendered once into BOTH the Spark expression
+    * and the oracle SQL (the wilsonZ discipline), so the agg_mad gate
+    * literal can never drift between engines. */
+  private val madK = 3 * 1.4826
 
   /** Two-sided 95% normal quantile, and its square — shared by the
     * Spark expression and the generated oracle SQL so the literals
@@ -1214,6 +1250,26 @@ object AggOps {
         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // quantile_cont ≡ Spark percentile (the agg_outlier parity);
+    // the 3·1.4826 gate literal is the interpolated Scala double.
+    "agg_mad" ->
+      s"""WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |madf AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  round(min(d.med), 4) AS median,
+        |  round(min(m.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > $madK * m.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN madf m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same integer 2^(50−age) weights (<< replays shiftleft), exact
     // HUGEINT sum cast to double, same exponent-shift ÷2^50.

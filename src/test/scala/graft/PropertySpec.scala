@@ -971,6 +971,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("agg_mad ≡ local sorted-median fold for ANY grouped values") {
+    // Independent reference: sort + linear-interpolated median in
+    // plain Scala (Spark's percentile formula: pos = p·(n−1), lower +
+    // frac·(upper−lower)), twice — once on values, once on absolute
+    // deviations — then the 3·1.4826·MAD gate. Values are DYADIC
+    // (k/4.0) so medians and deviations are exact doubles and the
+    // fold can assert BIT-equal medians and exact outlier counts.
+    val rowGen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.choose(0, 400).map(_ / 4.0)
+    } yield (g, v))
+    forAllSeeded(rowGen) { rows =>
+      val tmp = s"/tmp/graft_mad_prop_${System.nanoTime()}"
+      rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }
+        .toDF("event_id", "event_type", "value")
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("user_id", lit(1L))
+        .withColumn("props", lit("{}"))
+        .write.parquet(s"$tmp/events.parquet")
+      val got = graft.operators.AggOps.queries("agg_mad")(spark, tmp)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+        .toMap
+      def medOf(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        val pos = 0.5 * (s.size - 1)
+        val lo = pos.toInt
+        if (lo + 1 >= s.size) s(lo)
+        else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+      }
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val vs = rs.map(_._2)
+        val med = medOf(vs)
+        val adev = vs.map(v => math.abs(v - med))
+        val mad = medOf(adev)
+        g -> ((vs.size.toLong, r4(med), r4(mad),
+          adev.count(_ > 3 * 1.4826 * mad).toLong))
+      }
+      assert(got == want, s"got $got, want $want")
+    }
+  }
+
   test("decayedCounts ≡ exact BigInt power fold for ANY grouped days") {
     // Independent reference: Σ 2^(50−age) as exact BigInt, divided by
     // 2^50 in BigDecimal — the operator runs a decimal-buffer sum and
