@@ -54,6 +54,31 @@ object LlmVector {
       .orderBy("v1", "rank")
   }
 
+  /** Radius (range) similarity search: EVERY neighbor within
+    * round-6 cosine ≥ `minCos` inside the block — the range query
+    * next to [[knnBrute]]'s top-k (dedup sweeps and "find ALL near
+    * matches" audits want every in-threshold neighbor, not a fixed
+    * k). Same block equi-join candidate shape — never all-pairs;
+    * output is threshold-bounded, and the gate compares the SAME
+    * round-6 doubles both engines build, so the boundary is exact.
+    * Returns (v1, v2, cos), both directions, ordered (v1, v2).
+    */
+  def knnRadius(emb: DataFrame, minCos: Double, block: String): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val withNorm = graft.T.spread(emb)
+      .withColumn("nrm", norm(col("embedding")))
+    val l = withNorm.select(col(block).as("blk"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val r = withNorm.select(col(block).as("blk"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    l.join(r, Seq("blk")).filter(col("v1") =!= col("v2"))
+      .withColumn("cos",
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .filter(col("cos") >= minCos)
+      .select("v1", "v2", "cos")
+      .orderBy("v1", "v2")
+  }
+
   /** Sign-LSH bucket code over the first `nBits` dimensions. */
   private def signCode(e: Column, nBits: Int): Column =
     (0 until nBits).map { i =>
@@ -548,6 +573,17 @@ object LlmVector {
     "knn_ann" -> ((s, d) =>
       knnLsh(T.embeddings(s, d), k = 3, nBits = 4)),
 
+    // Range (radius) similarity search (r15): every in-threshold
+    // neighbor, not a fixed k — the query shape dedup sweeps and
+    // "find ALL near matches" audits need (top-k under-reports dense
+    // neighborhoods and pads sparse ones). τ = 0.35 is
+    // fixture-calibrated: the synthetic embeddings are near-orthogonal
+    // random vectors (cos ≥ 0.5 yields 2 pairs corpus-wide), so the
+    // gate sits where the distribution has mass; real embedding
+    // spaces run the same operator at 0.9+.
+    "knn_radius" -> ((s, d) =>
+      knnRadius(T.embeddings(s, d), minCos = 0.35, block = "label")),
+
     // IVF coarse-quantization variant of ANN: nprobe=1, 16 cells,
     // centroids from two exact-decimal Lloyd k-means iterations —
     // trained once per dataset ([[ivfIndex]]), searched per query.
@@ -800,6 +836,17 @@ object LlmVector {
       | + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same block equi-join and round-6 cosine; the ≥ τ gate compares
+    // identical round-6 doubles, so the boundary is exact.
+    "knn_radius" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, embedding, $duckNorm AS nrm FROM embeddings)
+        |SELECT l.vec_id AS v1, r.vec_id AS v2,
+        |  round(${duckDot("l", "r")} / (l.nrm * r.nrm), 6) AS cos
+        |FROM e l JOIN e r ON l.label = r.label AND l.vec_id <> r.vec_id
+        |WHERE round(${duckDot("l", "r")} / (l.nrm * r.nrm), 6) >= 0.35
+        |ORDER BY v1, v2""".stripMargin,
+
     "knn_cosine" ->
       s"""WITH e AS (
         |  SELECT vec_id, label, embedding, $duckNorm AS nrm FROM embeddings),

@@ -516,6 +516,27 @@ class LlmSpec extends SparkSpec {
     assert(out.size == 1990 + 5 + 1)
   }
 
+  test("knn_radius: symmetric, in-threshold, and contains every " +
+    "in-threshold brute top-k pair") {
+    import graft.llm.LlmVector
+    val emb = T.embeddings(spark, sf)
+    val rad = LlmVector.knnRadius(emb, 0.35, "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rad.nonEmpty)
+    val pairs = rad.map(t => (t._1, t._2)).toSet
+    rad.foreach { case (a, b, c) =>
+      assert(c >= 0.35, s"below threshold: $a,$b,$c")
+      // cosine is exactly symmetric (same element order in the dot,
+      // commutative products), so the directed pair set must be too
+      assert(pairs((b, a)), s"asymmetric pair: $a,$b")
+    }
+    val brute = LlmVector.knnBrute(emb, 3, "label").collect()
+      .filter(_.getDouble(2) >= 0.35)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(pairs),
+      s"in-threshold top-k pairs missing from radius: ${brute -- pairs}")
+  }
+
   test("jaccardPairs maxCenterDeg: planted hub's wedge mass dies, " +
     "niche shared context and exact degrees survive") {
     import graft.llm.LlmGraph
