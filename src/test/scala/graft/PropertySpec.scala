@@ -971,6 +971,88 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("marketShare ≡ local snowflake fold for ANY random tables") {
+    // Independent reference: hash-map lookups through the snowflake in
+    // plain Scala with BigDecimal revenue — the operator composes
+    // seven joins; a wrong join key, a leaked region, or an unfiltered
+    // part cannot agree. Keys deliberately include dangling references
+    // (orders to missing customers etc. drop out of inner joins on
+    // both sides).
+    val gen = for {
+      nations <- Gen.listOfN(3, Gen.choose(1L, 4L)).map(_.distinct)
+      regions = Map(1L -> "EUROPE", 2L -> "ASIA")
+      natRegion <- Gen.listOfN(nations.size, Gen.choose(1L, 2L))
+      custs <- Gen.listOfN(4, Gen.zip(Gen.choose(1L, 9L), Gen.choose(1L, 4L)))
+        .map(_.distinctBy(_._1))
+      supps <- Gen.listOfN(3, Gen.zip(Gen.choose(1L, 9L), Gen.choose(1L, 4L)))
+        .map(_.distinctBy(_._1))
+      parts <- Gen.listOfN(3, Gen.zip(Gen.choose(1L, 6L), Gen.choose(1, 30)))
+        .map(_.distinctBy(_._1))
+      orders <- Gen.listOfN(5, for {
+        ok <- Gen.choose(1L, 9L); ck <- Gen.choose(1L, 9L)
+        yr <- Gen.choose(1995, 1997)
+      } yield (ok, ck, yr)).map(_.distinctBy(_._1))
+      lis <- Gen.nonEmptyListOf(for {
+        ok <- Gen.choose(1L, 9L); pk <- Gen.choose(1L, 6L)
+        sk <- Gen.choose(1L, 9L); pr <- Gen.choose(1, 40000).map(_ / 4.0)
+        di <- Gen.choose(0, 40).map(_ / 100.0)
+      } yield (ok, pk, sk, pr, di))
+    } yield (nations.zip(natRegion), regions, custs, supps, parts,
+      orders, lis)
+    forAllSeeded(gen) { case (nats, regions, custs, supps, parts, ords, lis) =>
+      import java.sql.Timestamp
+      val nationDf = nats.map { case (nk, rk) => (nk, s"N_$nk", rk) }
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+      val regionDf = regions.toSeq.toDF("r_regionkey", "r_name")
+      val custDf = custs.toDF("c_custkey", "c_nationkey")
+      val suppDf = supps.toDF("s_suppkey", "s_nationkey")
+      val ordDf = ords.map { case (ok, ck, yr) =>
+        (ok, ck, Timestamp.valueOf(s"$yr-06-01 00:00:00")) }
+        .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      val partDf = parts.toDF("p_partkey", "p_size")
+      val liDf = lis.toDF("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      val got = graft.operators.AggOps.marketShare(liDf, partDf, ordDf,
+          custDf, nationDf, regionDf, suppDf, region0 = "EUROPE",
+          maxPartSize = 15)
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+      // local fold
+      def d4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val natRegion = nats.toMap
+      val natName = nats.map { case (nk, _) => nk -> s"N_$nk" }.toMap
+      val custNat = custs.toMap
+      val suppNat = supps.toMap
+      val partSize = parts.toMap
+      val ordInfo = ords.map { case (ok, ck, yr) => ok -> ((ck, yr)) }.toMap
+      val rev = scala.collection.mutable.Map[(Long, String), BigDecimal]()
+      for ((ok, pk, sk, pr, di) <- lis) {
+        val keep = for {
+          sz <- partSize.get(pk) if sz < 15
+          (ck, yr) <- ordInfo.get(ok)
+          cn <- custNat.get(ck)
+          rk <- natRegion.get(cn) if regions.get(rk).contains("EUROPE")
+          sn <- suppNat.get(sk)
+          _ <- natRegion.get(sn) // supplier nation must exist to join
+        } yield (yr.toLong, natName(sn))
+        keep.foreach { k =>
+          rev(k) = rev.getOrElse(k, BigDecimal(0)) +
+            d4(pr) * (BigDecimal(1) - d4(di))
+        }
+      }
+      def r(x: BigDecimal, s: Int) = x.setScale(s, BigDecimal.RoundingMode.HALF_UP)
+      val byYear = rev.groupBy(_._1._1).view
+        .mapValues(_.values.sum).toMap
+      val want = rev.map { case ((yr, nat), nr) =>
+        (yr, nat) -> ((r(nr, 2).toDouble,
+          BigDecimal(nr.toDouble / byYear(yr).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.toMap
+      assert(got == want, s"got ${got.toSeq.sorted.take(4)}, " +
+        s"want ${want.toSeq.sorted.take(4)}")
+    }
+  }
+
   test("agg_mad ≡ local sorted-median fold for ANY grouped values") {
     // Independent reference: sort + linear-interpolated median in
     // plain Scala (Spark's percentile formula: pos = p·(n−1), lower +
