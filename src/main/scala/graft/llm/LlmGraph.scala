@@ -596,8 +596,12 @@ object LlmGraph {
     graft.functions.VectorExpressions.register(baskets.sparkSession)
     val b = baskets.select(col("items")).localCheckpoint(false)
     val nb = b.agg(count(lit(1)).as("n_baskets"))
+    // Item supports feed BOTH sides of the pair join — checkpoint the
+    // item-sized result so the corpus-sized explode+count runs once,
+    // not once per join side.
     val isup = b.select(explode(col("items")).as("p"))
       .groupBy("p").agg(count(lit(1)).as("s"))
+      .localCheckpoint(false)
     val pairs = b
       .select(explode(call_function("graft_pairs", col("items"))).as("pr"))
       .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
