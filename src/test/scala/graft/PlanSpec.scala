@@ -328,6 +328,23 @@ class PlanSpec extends SparkSpec {
       s"star dims must broadcast, not sort-merge: $p")
   }
 
+  test("macro_share: dimension joins broadcast; the share window reads " +
+    "the aggregate, never the fact table") {
+    // nation/region are catalog-sized at any corpus scale — their
+    // joins (and the region gate) must broadcast; the per-year share
+    // denominator must be a Window ABOVE the (year, nation)
+    // HashAggregate, so the window's sort sees |years×nations| rows.
+    val p = plan("macro_share", AggOps.queries)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window ["))
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"share window must sit above the (year, nation) aggregate:\n$p")
+  }
+
   test("corpus_select_budget: distributed prefix scan — the only " +
     "unpartitioned window is the |buckets|-row exclusive scan") {
     // The 100 TB shape the operator's scaladoc promises: a global
