@@ -4,8 +4,8 @@ import graft.T
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** §2.10 Streaming operators. The reference is batch-only CLI; these
   * extend the engine to the streaming surface the north star demands.
@@ -124,6 +124,76 @@ object StreamOps {
       if (best._3) Iterator.empty
       else Iterator.single(CdcOut(key, best._1, best._4))
     }
+  }
+
+  /** Running decayed count emitted per key per micro-batch. */
+  final case class DecayOut(event_type: String, n_events: Long,
+      decayed_count: Double)
+
+  /** Continuously-decayed counts (r15) — `agg_decay` as streaming
+    * state: per event type, a MapState of (epoch-day → count) plus a
+    * running total; each micro-batch folds its arrivals in and emits
+    * the current Σ count_d · 2^(−age_days) against the type's OWN
+    * latest day. State is HARD-bounded at 51 live days per key: a day
+    * more than 50 half-lives behind the max contributes exactly 0 to
+    * every future emit (the max only grows), so eviction is lossless —
+    * the bounded-state discipline every 100 TB stream op needs, here
+    * with zero approximation. Deliberate survivor-rule contrast with
+    * the batch key (the stream_dedup precedent): batch agg_decay
+    * references the GLOBAL corpus max day; a per-key stream can only
+    * know its own key's clock, so the reference is per type — the
+    * oracle replays exactly that. The emit mirrors agg_decay's exact
+    * arithmetic: integer 2^(50−age) weights, exact (BigInt) sum,
+    * correctly-rounded double cast, exponent-shift ÷2^50, round-6.
+    */
+  final class DecayProcessor
+      extends StatefulProcessor[String, (String, Int), DecayOut] {
+    @transient private var days: MapState[Int, Long] = _
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      days = getHandle.getMapState[Int, Long]("days",
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Int)],
+        timerValues: TimerValues): Iterator[DecayOut] = {
+      var n = if (total.exists()) total.get() else 0L
+      rows.foreach { case (_, day) =>
+        n += 1
+        days.updateValue(day,
+          (if (days.containsKey(day)) days.getValue(day) else 0L) + 1L)
+      }
+      total.update(n)
+      val entries = days.iterator().toList
+      val maxDay = entries.map(_._1).max
+      // lossless horizon eviction: age > 50 ⇒ weight 0 forever
+      entries.filter(e => maxDay - e._1 > 50)
+        .foreach(e => days.removeKey(e._1))
+      val sum = entries.foldLeft(BigInt(0)) { case (acc, (d, c)) =>
+        val age = maxDay - d
+        if (age <= 50) acc + (BigInt(c) << (50 - age)) else acc
+      }
+      Iterator.single(DecayOut(key, n,
+        BigDecimal(sum.toDouble / 1125899906842624.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+  }
+
+  /** Decayed-count fold over a batch OR streaming (event_type,
+    * epoch_day) frame — [[DecayProcessor]] behind the same
+    * batch/stream dual entry the other TWS operators use. */
+  def decayState(typedDays: DataFrame): DataFrame = {
+    val s = typedDays.sparkSession
+    import s.implicits._
+    ensureStateStoreCoordinator(s)
+    typedDays.as[(String, Int)]
+      .groupByKey(_._1)
+      .transformWithState(new DecayProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
   }
 
   /** Last-writer-wins changelog fold over a batch OR streaming change
@@ -692,6 +762,18 @@ object StreamOps {
     "stream_stateful" -> ((s, d) =>
       runningCountsTWS(T.events(s, d)).orderBy("user_id")),
 
+    // Continuously-decayed trending counts (r15): agg_decay as
+    // cross-batch state — see [[DecayProcessor]] for the bounded
+    // 51-day map-state design and the per-type-reference survivor
+    // rule. One-batch replay over the whole log ≡ the per-type batch
+    // decay, which is what the oracle replays; cross-batch bridging
+    // and the lossless horizon eviction are MemoryStream-spec'd.
+    "stream_decay" -> ((s, d) =>
+      decayState(T.events(s, d).select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .as("day")))
+        .orderBy("event_type")),
+
     // Windowed top-k (r9): trending items per tumbling window — the
     // dashboard query every event stream serves ("top event types this
     // quarter hour"). Batch form = windowed two-phase count + a
@@ -829,6 +911,22 @@ object StreamOps {
         |         date_trunc('second', ts)), '%Y-%m-%d %H:%M:%S') AS win_start,
         |       count(*) AS n
         |FROM events GROUP BY 1 ORDER BY win_start""".stripMargin,
+    // Per-TYPE reference day (the per-key stream can only know its own
+    // key's clock — see DecayProcessor); otherwise agg_decay's exact
+    // integer-weight program.
+    "stream_decay" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |ref AS (SELECT event_type, max(day) AS ref_day FROM ev GROUP BY 1),
+        |aged AS (
+        |  SELECT e.event_type, date_diff('day', e.day, r.ref_day) AS age
+        |  FROM ev e JOIN ref r USING (event_type))
+        |SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CASE WHEN age BETWEEN 0 AND 50
+        |      THEN CAST(1 AS BIGINT) << CAST(50 - age AS INT)
+        |      ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+        |    / 1125899906842624.0, 6) AS decayed_count
+        |FROM aged GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_stateful" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,

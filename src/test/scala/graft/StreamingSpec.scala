@@ -134,6 +134,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_decay: day map bridges micro-batches and the horizon " +
+    "eviction is lossless") {
+    import org.apache.spark.sql.streaming.TimeMode
+    // Two named state variables (the day map + the running total) =
+    // multiple column families — RocksDB provider required in
+    // streaming mode (the HDFS-backed default rejects them; batch
+    // TWS takes a different store path, which is why the KEY runs
+    // fine without this).
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // The PRODUCTION processor. Batch 1 plants days 0 and 1; batch 2
+      // adds day 2 (shifting every age) plus a day already BEYOND the
+      // 50-half-life horizon (day 2 − 60) whose weight must be exactly
+      // 0 and whose arrival must not disturb the live days. Expected
+      // after batch 2 for type a: ages {2,1,1,0} + one dead row →
+      // (2^48 + 2·2^49 + 2^50) / 2^50 = 0.25 + 1 + 1 = 2.25, n = 5.
+      val in = MemoryStream[(String, Int)]
+      val out = in.toDS().groupByKey(_._1)
+        .transformWithState(new StreamOps.DecayProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.writeStream.format("memory").queryName("decay_sink")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        in.addData(("a", 0), ("a", 1), ("b", 0))
+        q.processAllAvailable()
+        val b1 = spark.table("decay_sink")
+          .filter(col("event_type") === "a")
+          .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+        // after batch 1: ages {1, 0} → (2^49 + 2^50)/2^50 = 1.5
+        assert(b1 == Seq((2L, 1.5)), b1.toString)
+        in.addData(("a", 2), ("a", 1), ("a", -58))
+        q.processAllAvailable()
+        val b2 = spark.table("decay_sink")
+          .filter(col("event_type") === "a")
+          .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+        assert(b2.contains((5L, 2.25)),
+          s"cross-batch decay with dead-day arrival: $b2")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("windowed top-k counts accumulate incrementally across micro-batches") {
     // stream_topk's SURVEY claim: the same window(15 min) aggregate
     // runs incrementally — a second batch's events UPDATE the counts
