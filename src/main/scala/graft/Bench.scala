@@ -1,11 +1,29 @@
 package graft
 object Bench {
 
-  private def benchFiles(pattern: String): Seq[java.io.File] = {
+  private[graft] def benchFiles(pattern: String): Seq[java.io.File] = {
     val dirs = Seq(new java.io.File("."), new java.io.File("/root/repo"))
+    // Canonicalize BEFORE distinct: when the CWD is /root/repo the two
+    // scan roots surface the same file under different path strings,
+    // and java.io.File equality is path-string-based (r12 advice) —
+    // "./BENCH_DETAIL_r12.json" and "/root/repo/BENCH_DETAIL_r12.json"
+    // would both survive a plain .distinct.
     dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
-      .filter(_.getName.matches(pattern)).distinct
+      .filter(_.getName.matches(pattern))
+      .map(_.getCanonicalFile).distinct
   }
+
+  /** Numeric fields of the summary JSON line that are NOT query names.
+    * [[LintBench]] excludes exactly this set when diffing a
+    * BENCH_DETAIL file's scraped keys against `SparkEntry.queries`
+    * (the summary is embedded in the same file); [[main]] asserts at
+    * write time that the summary it just built introduces no numeric
+    * key outside this set, so adding a summary field without updating
+    * the constant fails the BENCH, not the later lint (r12 advice:
+    * the two copies of this list had already drifted apart once).
+    */
+  val summaryNumericFields: Set[String] =
+    Set("value", "nqueries", "timed", "loadavg_before", "loadavg_after")
 
   /** Per-query minima across committed bench history — the noise floor
     * each new measurement is sanity-checked against. Sources, in trust
@@ -192,6 +210,14 @@ object Bench {
     // reading the JSON alone can tell a complete 130-key sweep from one
     // where 30 keys errored out, without parsing prose.
     val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${results.size},"timed":${results.count(_._2 >= 0)},"errors":$errs,"retried":$retr,"loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg())},"sf":"$sfDir"}"""
+    // Keep the summary's numeric keys inside the shared constant (see
+    // [[summaryNumericFields]]) — a drifted field would otherwise make
+    // LintBench flag it as a stale query key at round close.
+    val summaryNumeric = """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
+      .findAllMatchIn(summary).map(_.group(1)).toSet
+    require(summaryNumeric.subsetOf(summaryNumericFields),
+      s"summary numeric fields drifted from Bench.summaryNumericFields: " +
+        (summaryNumeric -- summaryNumericFields).mkString(","))
     println(summary)
     // COMMITTED detail artifact (r7 verdict #1): the driver records
     // only the last ~2.3 KB of stdout, which head-truncates the

@@ -36,6 +36,7 @@ object SparkEntry {
     (FilterOps.queries, FilterOps.oracle),
     (AggOps.queries, AggOps.oracle),
     (SortOps.queries, SortOps.oracle),
+    (SubqueryOps.queries, SubqueryOps.oracle),
     (JoinOps.queries, JoinOps.oracle),
     (BloomJoin.queries, BloomJoin.oracle),
     (RangeBin.queries, RangeBin.oracle),

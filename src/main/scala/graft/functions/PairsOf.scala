@@ -58,11 +58,17 @@ case class PairsOf(child: Expression) extends UnaryExpression {
 
 object PairsOf {
   /** One-pass C(k, 2) pair expansion; called from both eval and
-    * generated code.
+    * generated code. C(n, 2) is computed in Long and bounds-checked:
+    * `graft_pairs` is registered session-wide, so arbitrary arrays can
+    * reach it, and Int arithmetic would wrap at n ≈ 46,341 into a
+    * NegativeArraySizeException (or worse, a silently short array).
     */
   def compute(a: ArrayData): ArrayData = {
     val n = a.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    val size = n.toLong * (n - 1L) / 2L
+    require(size <= Int.MaxValue,
+      s"graft_pairs: array of $n elements expands to $size pairs (> Int.MaxValue)")
+    val out = new Array[Any](size.toInt)
     var k = 0
     var i = 0
     while (i < n) {

@@ -582,7 +582,9 @@ object LlmGraph {
     *
     * Scale shape: pair counts ride the [[graft.functions.PairsOf]]
     * explode (Σ C(basket, 2), basket-bounded) into one combinable
-    * groupBy; item supports are one explode + groupBy (item-sized);
+    * groupBy; item supports are one explode + groupBy (item-sized)
+    * and BROADCAST onto the pair frame on both join sides (the pair
+    * frame never shuffles for support lookup — PlanSpec-pinned);
     * the basket total is a broadcast ONE-ROW frame (the corpus-totals
     * crossJoin pattern, PlanSpec-allowlisted). The undirected pair
     * frame is checkpointed BEFORE mirroring into both rule directions
@@ -613,10 +615,7 @@ object LlmGraph {
     // checkpoint sits HERE, just before the mirror union (the
     // supportEdges lesson: a frame referenced by both union branches
     // otherwise embeds and re-plans its whole pipeline twice).
-    val supported = pairs
-      .join(isup.select(col("p").as("u"), col("s").as("su")), Seq("u"))
-      .join(isup.select(col("p").as("v"), col("s").as("sv")), Seq("v"))
-      .localCheckpoint(false)
+    val supported = supportedPairs(pairs, isup).localCheckpoint(false)
     val directed = supported
       .select(col("u").as("antecedent"), col("v").as("consequent"),
         col("sab"), col("su").as("sa"), col("sv").as("sb"))
@@ -634,6 +633,20 @@ object LlmGraph {
           (col("sa").cast("double") * col("sb").cast("double")), 6)
           .as("lift"))
   }
+
+  /** Pre-checkpoint support-annotation fragment of [[assocRules]]:
+    * `isup` is ITEM-sized (|catalog| rows — bounded at any corpus
+    * scale), so it is BROADCAST onto the pair frame on both join
+    * sides — the edge-sized pair frame never shuffles for support
+    * lookup (r12 verdict: the two sort-merge exchanges here were
+    * rules_assoc's whole 2 s-budget risk). Package-visible so
+    * PlanSpec can pin the broadcast shape (the checkpoint in
+    * [[assocRules]] hides this fragment from the final plan).
+    */
+  private[graft] def supportedPairs(pairs: DataFrame, isup: DataFrame): DataFrame =
+    pairs
+      .join(broadcast(isup.select(col("p").as("u"), col("s").as("su"))), Seq("u"))
+      .join(broadcast(isup.select(col("p").as("v"), col("s").as("sv"))), Seq("v"))
 
   /** Support-≥2 part co-occurrence edges over `lineitem` — parts are
     * adjacent when they ship in the same order at least twice (the

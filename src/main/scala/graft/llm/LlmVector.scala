@@ -361,9 +361,21 @@ object LlmVector {
     * seed id; the POSITION in the returned seq is the PQ code.
     */
   private[graft] def pqCodebook(sub: DataFrame, nSub: Int,
-      iters: Int): Seq[Seq[Float]] = {
+      iters: Int, fitFraction: Double = 1.0): Seq[Seq[Float]] = {
     graft.functions.VectorExpressions.register(sub.sparkSession)
-    var cents: Seq[(Long, Seq[Float])] = sub.orderBy("vec_id").limit(nSub)
+    // 100 TB training posture (r16, [[kMeansOn]]'s recipe brought to
+    // the PQ tier): codebook QUALITY needs a representative sample,
+    // not the corpus — `fitFraction < 1` trains each sub-quantizer on
+    // a deterministic hash-Bernoulli subset (membership depends only
+    // on vec_id: partitioning-invariant) and only code ASSIGNMENT
+    // later touches every vector. Default 1.0 keeps the oracled keys
+    // bit-identical; the sampled-vs-full recall property lives in
+    // LlmSpec.
+    val s0 =
+      if (fitFraction >= 1.0) sub
+      else sub.filter(pmod(xxhash64(col("vec_id")), lit(1000000L))
+        .cast("double") / 1000000.0 < fitFraction)
+    var cents: Seq[(Long, Seq[Float])] = s0.orderBy("vec_id").limit(nSub)
       .select("vec_id", "sub")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
     for (_ <- 1 to iters) {
@@ -372,7 +384,7 @@ object LlmVector {
         struct((lit(cc) - lit(2.0) * dot(col("sub"), lit(ce.toArray)))
           .as("d2"), lit(cid).as("cid"))
       }
-      val sums = sub.withColumn("mm", array_min(array(cand: _*)))
+      val sums = s0.withColumn("mm", array_min(array(cand: _*)))
         .select(col("mm.cid").as("cid"),
           posexplode(col("sub")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
@@ -410,14 +422,15 @@ object LlmVector {
     (SparkSession, String), Seq[Seq[Seq[Float]]]]()
 
   private[graft] def pqBooks(s: SparkSession, d: String, e: DataFrame, m: Int,
-      nSub: Int, iters: Int): Seq[Seq[Seq[Float]]] = {
+      nSub: Int, iters: Int, fitFraction: Double = 1.0): Seq[Seq[Seq[Float]]] = {
     pqCache.keySet.removeIf { case (sess, _) => sess.sparkContext.isStopped }
-    pqCache.computeIfAbsent((s, s"$d|$m|$nSub|$iters"), _ => {
+    pqCache.computeIfAbsent((s, s"$d|$m|$nSub|$iters|$fitFraction"), _ => {
       val dim = 64
       val w = dim / m
       (0 until m).map { si =>
         pqCodebook(e.select(col("vec_id"),
-          slice(col("embedding"), si * w + 1, w).as("sub")), nSub, iters)
+          slice(col("embedding"), si * w + 1, w).as("sub")), nSub, iters,
+          fitFraction)
       }
     })
   }

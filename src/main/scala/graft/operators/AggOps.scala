@@ -798,10 +798,19 @@ object AggOps {
     val f = math.pow(10, scale).toLong
     def xc(c: String) = {
       val v = (col(c).cast(DecimalType(18, scale)) * lit(f)).cast(LongType)
-      when(v < 0L || v >= 2147483648L,
+      // The DECIMAL(18, scale) cast is LOSSY in non-ANSI mode: a value
+      // above ~10^(18-scale) becomes NULL, which would make the range
+      // guard below three-valued-NULL and the row silently fall through
+      // as a dropped NULL (r12 advice). Guard the cast itself first:
+      // raw non-null + scaled null can only mean overflow → error.
+      when(col(c).isNotNull && v.isNull,
         raise_error(concat(
-          lit(s"corrMatrix: $c scaled by 10^$scale outside [0, 2^31): "),
-          v.cast("string"))))
+          lit(s"corrMatrix: $c does not fit DECIMAL(18, $scale): "),
+          col(c).cast("string"))))
+        .when(v < 0L || v >= 2147483648L,
+          raise_error(concat(
+            lit(s"corrMatrix: $c scaled by 10^$scale outside [0, 2^31): "),
+            v.cast("string"))))
         .otherwise(v)
     }
     val scaled = df.select(col("g") +:

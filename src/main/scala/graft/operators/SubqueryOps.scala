@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** §2.13 Subquery / decorrelation tier (r16 = driver round 13, the r12
+  * verdict's top-next): the one classic relational surface the
+  * operator board never exercised. Each key is written AS SQL with the
+  * subquery in place — the point is not the decorrelated FORM
+  * (join_semi / join_anti / agg_minmax_by already prove those) but
+  * that Catalyst's subquery rewrites produce the efficient join plan
+  * FROM the declarative form a SQL analyst actually writes:
+  *
+  *   - `sub_scalar`: uncorrelated scalar subqueries — computed ONCE as
+  *     separate subquery stages and inlined into the main scan's
+  *     filter (never per-row; the plan shows Subquery stages feeding a
+  *     plain Filter, no join at all).
+  *   - `sub_correlated`: TPC-H Q17's shape — a correlated scalar
+  *     aggregate subquery (`l_quantity < 0.2·avg(qty) of the same
+  *     part`); RewriteCorrelatedScalarSubquery must turn it into ONE
+  *     aggregate over lineitem grouped by the correlation key, joined
+  *     back to the outer scan. A per-outer-row subquery would be
+  *     O(|lineitem|²) at 100 TB; the decorrelated plan is two
+  *     lineitem scans + hash joins, all equi-partitioned.
+  *   - `macro_waiting`: TPC-H Q21's shape — EXISTS + NOT EXISTS
+  *     composed against the same fact table (suppliers who were the
+  *     ONLY returned line in a finished multi-supplier order — the
+  *     fixture has no receipt/commit dates, so `l_returnflag = 'R'`
+  *     plays Q21's "late" role); RewritePredicateSubquery must plan
+  *     them as one LeftSemi and one LeftAnti equi-join on
+  *     l_orderkey. Both shuffle on the fact key — partitionable at
+  *     any scale, no nested loop.
+  *
+  * Determinism (§7.5): every threshold comparison is exact —
+  * `sub_scalar` cross-multiplies the exact DECIMAL(18,4) sum against
+  * COUNT(*) instead of comparing to a double mean (whose last-ulp
+  * summation-order drift could flip boundary rows between engines);
+  * `sub_correlated`'s `0.2·avg(l_quantity)` is bit-identical in both
+  * engines because l_quantity is integral (partial double sums stay
+  * exact below 2^53) and ·0.2 / ÷count are single exactly-rounded
+  * IEEE ops. PlanSpec pins all three decorrelated shapes.
+  */
+object SubqueryOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def pq(d: String, t: String) = s"parquet.`$d/$t.parquet`"
+
+  /** Shared SQL text, parameterized only by table reference syntax
+    * (Spark reads `parquet.`…`` paths; the DuckDB oracle reads the
+    * driver-registered table names) — the query the two engines run
+    * is otherwise IDENTICAL, so the key verifies engine semantics,
+    * not two hand-kept copies.
+    */
+  private def subScalarSql(t: String => String) =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice
+       |FROM ${t("orders")}
+       |WHERE CAST(o_totalprice AS DECIMAL(18,4))
+       |        * (SELECT COUNT(*) FROM ${t("orders")})
+       |      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+       |         FROM ${t("orders")})
+       |ORDER BY o_orderkey""".stripMargin
+
+  private def subCorrelatedSql(t: String => String) =
+    s"""SELECT p_brand,
+       |       COUNT(*) AS n_lines,
+       |       CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+       |                       AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+       |FROM ${t("lineitem")} JOIN ${t("part")} ON p_partkey = l_partkey
+       |WHERE p_size <= 5
+       |  AND l_quantity < (SELECT 0.2 * AVG(li.l_quantity)
+       |                    FROM ${t("lineitem")} AS li
+       |                    WHERE li.l_partkey = p_partkey)
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
+
+  private def macroWaitingSql(t: String => String) =
+    s"""SELECT n_name, s_name, COUNT(*) AS numwait
+       |FROM ${t("lineitem")} AS l1
+       |JOIN ${t("orders")}   ON o_orderkey = l1.l_orderkey
+       |JOIN ${t("supplier")} ON s_suppkey = l1.l_suppkey
+       |JOIN ${t("nation")}   ON n_nationkey = s_nationkey
+       |WHERE o_orderstatus = 'F'
+       |  AND l1.l_returnflag = 'R'
+       |  AND EXISTS (SELECT 1 FROM ${t("lineitem")} AS l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey
+       |                AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM ${t("lineitem")} AS l3
+       |                  WHERE l3.l_orderkey = l1.l_orderkey
+       |                    AND l3.l_suppkey <> l1.l_suppkey
+       |                    AND l3.l_returnflag = 'R')
+       |GROUP BY n_name, s_name
+       |ORDER BY numwait DESC, n_name, s_name""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "sub_scalar" -> ((s, d) => s.sql(subScalarSql(pq(d, _)))),
+    "sub_correlated" -> ((s, d) => s.sql(subCorrelatedSql(pq(d, _)))),
+    "macro_waiting" -> ((s, d) => s.sql(macroWaitingSql(pq(d, _))))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sub_scalar" -> subScalarSql(identity),
+    "sub_correlated" -> subCorrelatedSql(identity),
+    "macro_waiting" -> macroWaitingSql(identity)
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-fixture drive of [[LintBench.lint]] (r16 = driver round 13,
+  * r12 verdict #4): each failure mode is demonstrated on a fixture
+  * built to trip exactly it, plus a clean set that must pass — the
+  * drift trigger in particular is pinned to "BOTH of the last two
+  * rounds above older-min + 0.3 s", with negative controls for a
+  * single spike and for a key too new to have a baseline.
+  */
+class LintBenchSpec extends AnyFunSuite {
+
+  private def plant(dir: java.nio.file.Path, round: Int,
+      entries: (String, Double)*): java.io.File = {
+    val qs = entries.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    // Summary embedded exactly the way Bench.main writes it — the lint
+    // must exclude its numeric fields via Bench.summaryNumericFields.
+    val summary = s"""{"metric":"total","value":9.9,"unit":"sec",""" +
+      s""""nqueries":${entries.size},"timed":${entries.size},""" +
+      s""""errors":[],"retried":[],"loadavg_before":0.5,""" +
+      s""""loadavg_after":0.6,"sf":"x"}"""
+    val f = dir.resolve(s"BENCH_DETAIL_r$round.json").toFile
+    val w = new java.io.PrintWriter(f)
+    try w.println(s"""{"queries":$qs,"summary":$summary}""") finally w.close()
+    f
+  }
+
+  private def fresh() = java.nio.file.Files.createTempDirectory("lintbench")
+
+  test("clean history passes; embedded summary numerics are not stale keys") {
+    val d = fresh()
+    val files = Seq(
+      plant(d, 1, "a" -> 0.5, "b" -> 0.5),
+      plant(d, 2, "a" -> 0.55, "b" -> 0.62),
+      plant(d, 3, "a" -> 0.6, "b" -> 0.5))
+    assert(LintBench.lint(files, Set("a", "b")).isEmpty)
+  }
+
+  test("missing / errored / stale keys fail against the newest detail") {
+    val d = fresh()
+    val files = Seq(plant(d, 1, "a" -> 0.5, "b" -> -1.0, "zombie" -> 0.3))
+    val msgs = LintBench.lint(files, Set("a", "b", "c")).mkString("\n")
+    assert(msgs.contains("missing=c"), msgs)
+    assert(msgs.contains("errored=b"), msgs)
+    assert(msgs.contains("stale=zombie"), msgs)
+  }
+
+  test("a reading over the 2 s budget fails even with no history") {
+    val d = fresh()
+    val files = Seq(plant(d, 1, "a" -> 2.5, "b" -> 0.5))
+    val msgs = LintBench.lint(files, Set("a", "b")).mkString("\n")
+    assert(msgs.contains("over-budget") && msgs.contains("a=2.50"), msgs)
+  }
+
+  test("drift: two consecutive rounds above older-min + 0.3 fail; " +
+    "a single spike or a two-round-old key do not") {
+    val d = fresh()
+    // a regresses 1.0 → 1.4 → 1.45 (both last rounds over 1.3) = drift;
+    // b spikes once then recovers = clean; n has only 2 rounds = clean.
+    val files = Seq(
+      plant(d, 1, "a" -> 1.0, "b" -> 1.0),
+      plant(d, 2, "a" -> 1.4, "b" -> 1.9, "n" -> 1.0),
+      plant(d, 3, "a" -> 1.45, "b" -> 1.05, "n" -> 1.9))
+    val msgs = LintBench.lint(files, Set("a", "b", "n"))
+    assert(msgs.size == 1 && msgs.head.contains("drift") &&
+      msgs.head.contains("a:"), msgs.mkString("\n"))
+    assert(!msgs.head.contains("b:") && !msgs.head.contains("n:"),
+      msgs.mkString("\n"))
+  }
+
+  test("no detail file at all fails") {
+    assert(LintBench.lint(Seq.empty, Set("a")).nonEmpty)
+  }
+}

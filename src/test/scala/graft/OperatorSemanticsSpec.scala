@@ -907,4 +907,57 @@ class OperatorSemanticsSpec extends SparkSpec {
       (1995L, "N_B", 50.0, 0.357143),
       (1996L, "N_A", 100.0, 1.0)), got.toString)
   }
+
+  test("subquery tier: hand-computed micro-fixture pins the SQL semantics") {
+    // Independent of the DuckDB oracle (which runs the same SQL text):
+    // a five-table micro-fixture small enough to evaluate by hand, with
+    // a deliberate boundary row per key — sub_scalar's exactly-average
+    // order must be EXCLUDED (strict >), sub_correlated's threshold is
+    // strict <, macro_waiting excludes single-supplier orders (EXISTS),
+    // both-suppliers-returned orders (NOT EXISTS), and same-supplier
+    // multi-line orders (the <> correlates on suppkey, not linenumber).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_subq").toString
+    // orders: avg price 250 over 5 rows → sub_scalar keeps price > 250.
+    Seq((1L, 10L, "F", 100.0), (2L, 20L, "F", 200.0), (3L, 30L, "O", 300.0),
+        (4L, 40L, "F", 400.0), (5L, 50L, "F", 250.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    // p1 (size 3, B1) avg qty = (1+9+10+100)/4 = 30 → threshold 6;
+    // p3 (size 5, B2) avg qty = 5 → threshold 1; p2 filtered (size 10).
+    Seq((1L, "B1", 3), (2L, "B2", 10), (3L, "B2", 5))
+      .toDF("p_partkey", "p_brand", "p_size")
+      .write.parquet(s"$dir/part.parquet")
+    Seq(
+      (1L, 1L, 1L, 1.0, 70.0, "R"),   // o1: s1 returned, s2 clean → waits
+      (1L, 1L, 2L, 9.0, 10.0, "N"),
+      (2L, 1L, 1L, 10.0, 20.0, "R"),  // o2: both suppliers returned
+      (2L, 3L, 2L, 5.0, 30.0, "R"),
+      (3L, 3L, 1L, 5.0, 40.0, "R"),   // o3: status O
+      (4L, 2L, 3L, 7.0, 50.0, "R"),   // o4: single-supplier order
+      (5L, 2L, 1L, 7.0, 60.0, "R"),   // o5: two lines, ONE supplier
+      (5L, 1L, 1L, 100.0, 80.0, "N"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "S1", 0), (2L, "S2", 0), (3L, "S3", 1))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((0, "ALPHA"), (1, "BETA"))
+      .toDF("n_nationkey", "n_name")
+      .write.parquet(s"$dir/nation.parquet")
+
+    val q = graft.operators.SubqueryOps.queries
+    val scalar = q("sub_scalar")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(scalar == Seq((3L, 300.0), (4L, 400.0)),
+      s"250·5 = sum must be excluded (strict >): $scalar")
+    val corr = q("sub_correlated")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // only p1's qty-1 line sits under 0.2·avg = 6; round(70/7, 2) = 10
+    assert(corr == Seq(("B1", 1L, 10.0)), corr.toString)
+    val waiting = q("macro_waiting")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(waiting == Seq(("ALPHA", "S1", 1L)), waiting.toString)
+  }
 }

@@ -370,6 +370,78 @@ class PlanSpec extends SparkSpec {
       s"the unpartitioned window must read the bucket aggregate:\n$p")
   }
 
+  test("sub_scalar: uncorrelated scalar subqueries are one-shot stages, no join") {
+    // The efficient shape for an uncorrelated scalar subquery: Spark
+    // computes it ONCE as a separate subquery stage and feeds the
+    // result into the main scan's filter as a literal — never a join,
+    // never per-row. Spark 4's MergeScalarSubqueries additionally
+    // collapses the COUNT(*) and SUM(...) subqueries into ONE shared
+    // aggregate over one orders scan ("mergedValue") — both
+    // thresholds from a single pass.
+    val p = plan("sub_scalar", SubqueryOps.queries)
+    assert(p.contains("Subquery subquery"), p)
+    assert(!p.contains("Join"),
+      s"uncorrelated scalar subqueries must not plan as a join: $p")
+    assert(p.contains("mergedValue"),
+      s"COUNT and SUM subqueries should merge into one aggregate: $p")
+  }
+
+  test("sub_correlated: Q17's correlated subquery decorrelates to one " +
+    "per-part aggregate + join") {
+    // RewriteCorrelatedScalarSubquery's contract: the per-part
+    // `0.2·avg(l_quantity)` threshold becomes ONE aggregate over
+    // lineitem grouped by the correlation key, joined back with the
+    // quantity comparison as the join residual. A surviving per-row
+    // subquery would be O(|lineitem|²) at scale; the part filter must
+    // still reach its parquet scan.
+    val p = plan("sub_correlated", SubqueryOps.queries)
+    assert(!p.contains("Subquery"),
+      s"correlated subquery must be rewritten into a join: $p")
+    assert(p.contains("partial_avg(l_quantity"),
+      s"expected the decorrelated per-part avg aggregate: $p")
+    assert(p.contains("LessThanOrEqual(p_size,5)"),
+      s"part filter must push into the part scan: $p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("macro_waiting: EXISTS / NOT EXISTS plan as LeftSemi / LeftAnti " +
+    "equi-joins on the fact key") {
+    // RewritePredicateSubquery's contract for the Q21 shape: both
+    // predicate subqueries become joins keyed on l_orderkey (shuffle-
+    // partitionable at any scale) with the supplier inequality as the
+    // residual — no nested loop, and the returnflag gate pushes into
+    // every lineitem scan that carries it.
+    val p = plan("macro_waiting", SubqueryOps.queries)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must push into the lineitem scans: $p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("rules_assoc: both item-support joins broadcast — the pair frame " +
+    "never shuffles for support lookup") {
+    // supportedPairs is the pre-checkpoint fragment of assocRules (the
+    // checkpoint hides it from the final executedPlan). isup is
+    // ITEM-sized, so both joins must be broadcast even with the
+    // auto-broadcast threshold off — i.e. via the explicit hint, not
+    // the size estimate (r12 verdict: these two sort-merge exchanges
+    // were rules_assoc's whole 2 s-budget risk).
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairs = Seq((1L, 2L, 3L), (1L, 3L, 2L)).toDF("u", "v", "sab")
+      val isup = Seq((1L, 5L), (2L, 4L), (3L, 3L)).toDF("p", "s")
+      val p = graft.llm.LlmGraph.supportedPairs(pairs, isup)
+        .queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("engine-wide sweep: no unlisted cartesian/nested-loop join in ANY key") {
     // The blanket version of the targeted checks above: every declared
     // query's physical plan, with an explicit allowlist naming exactly
