@@ -29,6 +29,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     them as one LeftSemi and one LeftAnti equi-join on
   *     l_orderkey. Both shuffle on the fact key — partitionable at
   *     any scale, no nested loop.
+  *   - `sub_correlated_eq`: TPC-H Q2's shape — equality to a
+  *     correlated MIN (each customer's cheapest order, ties kept);
+  *     decorrelates to a min-per-custkey aggregate joined back with
+  *     the equality as residual. MIN of doubles is
+  *     permutation-invariant and the comparison exact, so ties and
+  *     boundaries agree cross-engine bit-for-bit.
+  *   - `sub_in` / `sub_not_in`: IN → LeftSemi; NOT IN → the
+  *     NULL-AWARE anti join (three-valued NOT IN: one NULL in the
+  *     inner set empties the result — semantics pinned on a
+  *     NULL-bearing micro-fixture in OperatorSemanticsSpec, the
+  *     fixture keys themselves are null-free). SCALE CONTRACT: Spark
+  *     executes a null-aware anti join only as a BROADCAST hash join
+  *     (inner side must fit in memory; a non-broadcastable inner
+  *     falls back to BroadcastNestedLoopJoin). That is inherent to
+  *     NOT IN's 3VL semantics, not a plan bug — at 100 TB write NOT
+  *     EXISTS (plain shuffleable LeftAnti, see `join_anti` /
+  *     `macro_waiting`) unless you specifically need NULL
+  *     sensitivity; this key documents and pins the trade.
   *
   * Determinism (§7.5): every threshold comparison is exact —
   * `sub_scalar` cross-multiplies the exact DECIMAL(18,4) sum against
@@ -90,15 +108,43 @@ object SubqueryOps {
        |GROUP BY n_name, s_name
        |ORDER BY numwait DESC, n_name, s_name""".stripMargin
 
+  private def subInSql(t: String => String) =
+    s"""SELECT c_custkey, c_name
+       |FROM ${t("customer")}
+       |WHERE c_custkey IN (SELECT o_custkey FROM ${t("orders")}
+       |                    WHERE o_orderstatus = 'O')
+       |ORDER BY c_custkey""".stripMargin
+
+  private def subNotInSql(t: String => String) =
+    s"""SELECT c_custkey, c_name
+       |FROM ${t("customer")}
+       |WHERE c_custkey NOT IN (SELECT o_custkey FROM ${t("orders")}
+       |                        WHERE o_orderstatus = 'F')
+       |ORDER BY c_custkey""".stripMargin
+
+  private def subCorrelatedEqSql(t: String => String) =
+    s"""SELECT o_custkey, o_orderkey, o_totalprice
+       |FROM ${t("orders")} AS o
+       |WHERE o_totalprice = (SELECT MIN(o2.o_totalprice)
+       |                      FROM ${t("orders")} AS o2
+       |                      WHERE o2.o_custkey = o.o_custkey)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sub_scalar" -> ((s, d) => s.sql(subScalarSql(pq(d, _)))),
     "sub_correlated" -> ((s, d) => s.sql(subCorrelatedSql(pq(d, _)))),
+    "sub_correlated_eq" -> ((s, d) => s.sql(subCorrelatedEqSql(pq(d, _)))),
+    "sub_in" -> ((s, d) => s.sql(subInSql(pq(d, _)))),
+    "sub_not_in" -> ((s, d) => s.sql(subNotInSql(pq(d, _)))),
     "macro_waiting" -> ((s, d) => s.sql(macroWaitingSql(pq(d, _))))
   )
 
   val oracle: Map[String, String] = Map(
     "sub_scalar" -> subScalarSql(identity),
     "sub_correlated" -> subCorrelatedSql(identity),
+    "sub_correlated_eq" -> subCorrelatedEqSql(identity),
+    "sub_in" -> subInSql(identity),
+    "sub_not_in" -> subNotInSql(identity),
     "macro_waiting" -> macroWaitingSql(identity)
   )
 }

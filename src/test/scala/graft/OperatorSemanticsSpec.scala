@@ -959,5 +959,41 @@ class OperatorSemanticsSpec extends SparkSpec {
     val waiting = q("macro_waiting")(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(waiting == Seq(("ALPHA", "S1", 1L)), waiting.toString)
+
+    // sub_correlated_eq on the same fixture: per customer the cheapest
+    // order(s), ties kept — custkeys are distinct here so every order
+    // is its customer's min.
+    val eq = q("sub_correlated_eq")(spark, dir).collect().length
+    assert(eq == 5, s"distinct custkeys: every order is its own min: $eq")
+  }
+
+  test("sub_not_in: three-valued NOT IN — inner NULL empties, outer NULL drops") {
+    // The semantics that make NOT IN ≠ anti-join (and the reason Spark
+    // must plan it null-AWARE): c NOT IN (set) is NULL — not true —
+    // when the set contains a NULL or when c itself is NULL. Fixture A
+    // has a null-free inner set {1}: expect customers 2 and 3 (the
+    // NULL-keyed customer drops — NULL NOT IN {1} is NULL). Fixture B
+    // adds one NULL to the inner set: the whole result must collapse
+    // to empty, while IN still returns exactly the matching customer.
+    import spark.implicits._
+    val q = graft.operators.SubqueryOps.queries
+    def write(dir: String, orders: Seq[(Long, Option[Long], String, Double)]) = {
+      Seq((Option(1L), "A"), (Option(2L), "B"), (Option(3L), "C"),
+          (Option.empty[Long], "N"))
+        .toDF("c_custkey", "c_name").write.parquet(s"$dir/customer.parquet")
+      orders.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+    }
+    val a = java.nio.file.Files.createTempDirectory("graft_naaj_a").toString
+    write(a, Seq((10L, Some(1L), "F", 5.0), (11L, Some(2L), "O", 5.0)))
+    val gotA = q("sub_not_in")(spark, a).collect().map(_.getLong(0)).toSeq
+    assert(gotA == Seq(2L, 3L), s"null-free inner: $gotA")
+    val b = java.nio.file.Files.createTempDirectory("graft_naaj_b").toString
+    write(b, Seq((10L, Some(1L), "F", 5.0), (12L, None, "F", 5.0),
+      (11L, Some(2L), "O", 5.0)))
+    assert(q("sub_not_in")(spark, b).collect().isEmpty,
+      "one inner NULL must empty the NOT IN result")
+    val in = q("sub_in")(spark, b).collect().map(_.getLong(0)).toSeq
+    assert(in == Seq(2L), s"IN ignores inner NULLs and matches: $in")
   }
 }

@@ -421,6 +421,31 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sub_in plans as LeftSemi; sub_not_in as the NULL-AWARE anti join") {
+    val pi = plan("sub_in", SubqueryOps.queries)
+    assert(pi.contains("LeftSemi"), pi)
+    assert(!pi.contains("CartesianProduct") &&
+      !pi.contains("BroadcastNestedLoopJoin"), pi)
+    // The trailing `true` on the BroadcastHashJoin line is Spark's
+    // isNullAwareAntiJoin flag — NOT IN keeps its three-valued
+    // semantics (one inner NULL empties the result; semantics pinned
+    // on a NULL-bearing fixture in OperatorSemanticsSpec). The
+    // broadcast-only constraint this implies is the documented scale
+    // trade in SubqueryOps' scaladoc.
+    val pn = plan("sub_not_in", SubqueryOps.queries)
+    assert(pn.contains("LeftAnti, BuildRight, true"), pn)
+  }
+
+  test("sub_correlated_eq: Q2's equality-to-MIN decorrelates to a min " +
+    "aggregate + equi-join") {
+    val p = plan("sub_correlated_eq", SubqueryOps.queries)
+    assert(!p.contains("Subquery"),
+      s"correlated MIN subquery must be rewritten into a join: $p")
+    assert(p.contains("partial_min(o_totalprice"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("rules_assoc: both item-support joins broadcast — the pair frame " +
     "never shuffles for support lookup") {
     // supportedPairs is the pre-checkpoint fragment of assocRules (the
