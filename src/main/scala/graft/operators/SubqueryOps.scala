@@ -48,6 +48,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     `macro_waiting`) unless you specifically need NULL
   *     sensitivity; this key documents and pins the trade.
   *
+  *   - `sub_recursive`: WITH RECURSIVE (Spark 4's UnionLoop) —
+  *     bounded-hop reachability over a nation-level trade graph
+  *     DERIVED from the fact tables (distinct (supplier-nation →
+  *     customer-nation) pairs, kept to each source's top-3 partners
+  *     by line count so the graph is sparse and multi-hop at every
+  *     sf; the seed is the highest-volume source nation, so the
+  *     anchor is non-empty at every sf). The recursion carries
+  *     (nation, hops) with hops < 3; min-hop and bounded path counts
+  *     read out per nation. Scale shape: the heavy work (4-way fact
+  *     join + count) happens ONCE before the loop and collapses to a
+  *     ≤25²-row aggregated graph; each UnionLoop iteration joins the
+  *     frontier against that tiny edge table — the loop never touches
+  *     the fact table. Path growth is bounded by out-degree ≤ 3 and
+  *     depth 3. DuckDB replays the identical ANSI WITH RECURSIVE.
+  *
   * Determinism (§7.5): every threshold comparison is exact —
   * `sub_scalar` cross-multiplies the exact DECIMAL(18,4) sum against
   * COUNT(*) instead of comparing to a double mean (whose last-ulp
@@ -89,6 +104,38 @@ object SubqueryOps {
        |                    WHERE li.l_partkey = p_partkey)
        |GROUP BY p_brand
        |ORDER BY p_brand""".stripMargin
+
+  private def subRecursiveSql(t: String => String) =
+    s"""WITH RECURSIVE paircnt AS (
+       |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS cnt
+       |  FROM ${t("lineitem")} AS l
+       |  JOIN ${t("orders")} AS o ON o.o_orderkey = l.l_orderkey
+       |  JOIN ${t("customer")} AS c ON c.c_custkey = o.o_custkey
+       |  JOIN ${t("supplier")} AS s ON s.s_suppkey = l.l_suppkey
+       |  WHERE s.s_nationkey <> c.c_nationkey
+       |  GROUP BY src, dst
+       |),
+       |trade AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |           ROW_NUMBER() OVER (PARTITION BY src
+       |                              ORDER BY cnt DESC, dst) AS rk
+       |    FROM paircnt) t0 WHERE rk <= 3
+       |),
+       |seed AS (
+       |  SELECT src AS snk FROM paircnt
+       |  GROUP BY src ORDER BY SUM(cnt) DESC, src LIMIT 1
+       |),
+       |reach(nk, hops) AS (
+       |  SELECT t.dst, 1 FROM trade t JOIN seed s ON t.src = s.snk
+       |  UNION ALL
+       |  SELECT t.dst, r.hops + 1 FROM reach r JOIN trade t ON t.src = r.nk
+       |  WHERE r.hops < 3
+       |)
+       |SELECT n_name, CAST(MIN(hops) AS BIGINT) AS min_hops,
+       |       CAST(COUNT(*) AS BIGINT) AS n_paths
+       |FROM reach JOIN ${t("nation")} ON n_nationkey = nk
+       |GROUP BY n_name ORDER BY min_hops, n_name""".stripMargin
 
   private def macroWaitingSql(t: String => String) =
     s"""SELECT n_name, s_name, COUNT(*) AS numwait
@@ -136,6 +183,7 @@ object SubqueryOps {
     "sub_correlated_eq" -> ((s, d) => s.sql(subCorrelatedEqSql(pq(d, _)))),
     "sub_in" -> ((s, d) => s.sql(subInSql(pq(d, _)))),
     "sub_not_in" -> ((s, d) => s.sql(subNotInSql(pq(d, _)))),
+    "sub_recursive" -> ((s, d) => s.sql(subRecursiveSql(pq(d, _)))),
     "macro_waiting" -> ((s, d) => s.sql(macroWaitingSql(pq(d, _))))
   )
 
@@ -145,6 +193,7 @@ object SubqueryOps {
     "sub_correlated_eq" -> subCorrelatedEqSql(identity),
     "sub_in" -> subInSql(identity),
     "sub_not_in" -> subNotInSql(identity),
+    "sub_recursive" -> subRecursiveSql(identity),
     "macro_waiting" -> macroWaitingSql(identity)
   )
 }

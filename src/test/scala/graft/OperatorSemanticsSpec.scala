@@ -943,9 +943,12 @@ class OperatorSemanticsSpec extends SparkSpec {
     Seq((1L, "S1", 0), (2L, "S2", 0), (3L, "S3", 1))
       .toDF("s_suppkey", "s_name", "s_nationkey")
       .write.parquet(s"$dir/supplier.parquet")
-    Seq((0, "ALPHA"), (1, "BETA"))
+    Seq((0, "ALPHA"), (1, "BETA"), (2, "GAMMA"), (3, "DELTA"))
       .toDF("n_nationkey", "n_name")
       .write.parquet(s"$dir/nation.parquet")
+    Seq((10L, 1), (20L, 2), (30L, 2), (40L, 0), (50L, 3))
+      .toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
 
     val q = graft.operators.SubqueryOps.queries
     val scalar = q("sub_scalar")(spark, dir).collect()
@@ -965,6 +968,18 @@ class OperatorSemanticsSpec extends SparkSpec {
     // is its customer's min.
     val eq = q("sub_correlated_eq")(spark, dir).collect().length
     assert(eq == 5, s"distinct custkeys: every order is its own min: $eq")
+
+    // sub_recursive, hand-walked: supplier nations {s1,s2→0, s3→1},
+    // customer nations {10→1, 20→2, 30→2, 40→0, 50→3} give the trade
+    // edges (0→1)×2, (0→2)×3, (0→3)×2, (1→0)×1; seed = nation 0
+    // (volume 7 > 1). BFS: hop1 {1,2,3}; hop2 {0} (via 1→0); hop3
+    // re-reaches {1,2,3} through the cycle — so every non-seed nation
+    // counts 2 bounded paths and the seed's min_hops is the cycle
+    // length 2.
+    val rec = q("sub_recursive")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rec == Seq(("BETA", 1L, 2L), ("DELTA", 1L, 2L),
+      ("GAMMA", 1L, 2L), ("ALPHA", 2L, 1L)), rec.toString)
   }
 
   test("sub_not_in: three-valued NOT IN — inner NULL empties, outer NULL drops") {

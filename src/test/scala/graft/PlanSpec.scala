@@ -446,6 +446,20 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sub_recursive: WITH RECURSIVE compiles to UnionLoop over the " +
+    "aggregated edge table, fact joins stay equi") {
+    // The scale contract in SubqueryOps' scaladoc: the 4-way fact join
+    // + count runs ONCE (before the loop, collapsing to the ≤25²-row
+    // trade graph) and the UnionLoop iterations only ever join the
+    // frontier to that tiny table — no cartesian, no nested loop, and
+    // the recursion node itself must be present (a rewrite into a
+    // non-recursive plan would mean the surface silently degraded).
+    val p = plan("sub_recursive", SubqueryOps.queries)
+    assert(p.contains("UnionLoop"), s"expected the recursive loop node: $p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("rules_assoc: both item-support joins broadcast — the pair frame " +
     "never shuffles for support lookup") {
     // supportedPairs is the pre-checkpoint fragment of assocRules (the
