@@ -8,9 +8,15 @@ object Bench {
     // and java.io.File equality is path-string-based (r12 advice) —
     // "./BENCH_DETAIL_r12.json" and "/root/repo/BENCH_DETAIL_r12.json"
     // would both survive a plain .distinct.
+    // Canonicalization does filesystem I/O and can throw (r13 advice:
+    // one unreadable entry must not kill the whole lint) — fall back
+    // per-file to the absolute path, which dedupes the common
+    // "./X vs /root/repo/X" case just as well.
     dirs.flatMap(d => Option(d.listFiles()).toSeq.flatten)
       .filter(_.getName.matches(pattern))
-      .map(_.getCanonicalFile).distinct
+      .map(f => try f.getCanonicalFile
+        catch { case _: java.io.IOException => f.getAbsoluteFile })
+      .distinct
   }
 
   /** Numeric fields of the summary JSON line that are NOT query names.

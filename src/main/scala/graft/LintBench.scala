@@ -32,6 +32,32 @@ object LintBench {
   /** Drift slack over the older cross-round minimum (seconds). */
   val driftSlackSec = 0.3
 
+  /** Adjudicated floor re-pins (r13 advice: the drift trigger compared
+    * against the ALL-TIME older minimum with no override, so a key
+    * whose floor legitimately rises — data regen, methodology change,
+    * an accepted trade like the broadcast-only NOT IN — would fail
+    * every round forever). An entry lifts the drift BASELINE for that
+    * key to the given floor; it does NOT touch the hard 2 s budget.
+    * Each entry must cite the adjudication (SURVEY §6 or a verdict);
+    * remove it when the measured floor drops back under.
+    */
+  val acceptedFloors: Map[String, Double] = Map(
+    // corpus_curate: r12→r13 quiet floor rose 1.69 → ~1.9-2.05 s; r11
+    // adjudication (SURVEY §6: CacheManager planning tax + in-loop
+    // conf economics) re-pinned ~1.9 s as the honest post-fix floor.
+    // The pre-r11 1.69 s history would otherwise trip the two-round
+    // drift trigger forever.
+    "corpus_curate" -> 1.9,
+    // ts_anomaly: in-sweep spread has been 1.31/1.54/1.87/1.03/1.44/
+    // 1.40 across r9-r14 — the r12 1.03 is a single lucky round, not
+    // a floor, and it made the r13/r14 1.4 s readings read as drift.
+    // Adjudicated r14: solo quiet TimeKeys min is 0.93 (reference
+    // graph_triangles 1.24 in-session), no code touched
+    // TimeSeries.anomaly since r11 — the key's honest in-sweep floor
+    // is ~1.2 with ±0.2 spread.
+    "ts_anomaly" -> 1.2
+  )
+
   private val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
 
   /** Same minimal scrape as Bench.crossRoundMins: every "name":number
@@ -53,7 +79,8 @@ object LintBench {
   /** All failure messages for `details` (BENCH_DETAIL files, any
     * order) against the `declared` key set; empty = clean.
     */
-  def lint(details: Seq[java.io.File], declared: Set[String]): Seq[String] = {
+  def lint(details: Seq[java.io.File], declared: Set[String],
+      accepted: Map[String, Double] = acceptedFloors): Seq[String] = {
     if (details.isEmpty)
       return Seq("no BENCH_DETAIL_r*.json found")
     val byRound = details.map(f => roundOf(f) -> scrape(f)).sortBy(_._1)
@@ -73,7 +100,8 @@ object LintBench {
       }
       if (hist.size < 3) None
       else {
-        val base = hist.dropRight(2).map(_._2).min
+        val base = math.max(hist.dropRight(2).map(_._2).min,
+          accepted.getOrElse(k, 0.0))
         val last2 = hist.takeRight(2)
         if (last2.forall(_._2 > base + driftSlackSec))
           Some(f"$k: ${last2.map(t => f"r${t._1}=${t._2}%.2f").mkString(",")} " +

@@ -378,6 +378,12 @@ object LlmVector {
     var cents: Seq[(Long, Seq[Float])] = s0.orderBy("vec_id").limit(nSub)
       .select("vec_id", "sub")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    // r13 advice: a sample smaller than the codebook silently yields a
+    // SHRUNKEN code space (fewer seeds than codes) — refuse loudly; the
+    // caller must raise fitFraction or shrink the codebook.
+    require(cents.size == nSub,
+      s"pqCodebook: training sample has ${cents.size} rows < nSub=$nSub " +
+        s"centroids (fitFraction=$fitFraction too small for this corpus)")
     for (_ <- 1 to iters) {
       val cand = cents.sortBy(_._1).map { case (cid, ce) =>
         val cc = ce.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
@@ -393,9 +399,17 @@ object LlmVector {
           count(lit(1)).as("n"))
         .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2), r.getLong(3)))
-      cents = sums.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, ps) =>
+      // Carry the PREVIOUS centroid forward for a cell that attracted
+      // zero points this iteration (r13 advice: dropping it shrank the
+      // code space with no error — sampling raises the odds). With
+      // every cell populated (the fitFraction=1.0 oracle fixtures)
+      // this is byte-identical to the old rebuild-from-sums path.
+      val updated = sums.groupBy(_._1).map { case (cid, ps) =>
         cid -> ps.sortBy(_._2)
           .map(p => (p._3.doubleValue / p._4).toFloat).toSeq
+      }
+      cents = cents.sortBy(_._1).map { case (cid, old) =>
+        cid -> updated.getOrElse(cid, old)
       }
     }
     cents.sortBy(_._1).map(_._2)

@@ -73,4 +73,27 @@ class LintBenchSpec extends AnyFunSuite {
   test("no detail file at all fails") {
     assert(LintBench.lint(Seq.empty, Set("a")).nonEmpty)
   }
+
+  test("an accepted-floor re-pin clears an adjudicated regression; " +
+    "readings above the re-pinned floor + slack still drift") {
+    val d = fresh()
+    // a's floor legitimately rose 1.0 → ~1.45 (adjudicated): without a
+    // re-pin this history fails every round forever (r13 advice).
+    val files = Seq(
+      plant(d, 1, "a" -> 1.0),
+      plant(d, 2, "a" -> 1.4),
+      plant(d, 3, "a" -> 1.45))
+    assert(LintBench.lint(files, Set("a"), Map.empty).nonEmpty,
+      "control: without the re-pin this history must drift-fail")
+    assert(LintBench.lint(files, Set("a"), Map("a" -> 1.45)).isEmpty,
+      "re-pinned floor 1.45 clears readings within slack of it")
+    // But the re-pin is a floor, not a waiver: one round above
+    // floor + slack is a spike (clean); two consecutive fail again.
+    val spike = files :+ plant(d, 4, "a" -> 1.8)
+    assert(LintBench.lint(spike, Set("a"), Map("a" -> 1.45)).isEmpty,
+      "one round over the accepted floor + slack is still a spike")
+    val regressed = spike :+ plant(d, 5, "a" -> 1.82)
+    assert(LintBench.lint(regressed, Set("a"), Map("a" -> 1.45)).nonEmpty,
+      "two rounds > accepted floor + slack must still fail")
+  }
 }

@@ -1011,4 +1011,69 @@ class OperatorSemanticsSpec extends SparkSpec {
     val in = q("sub_in")(spark, b).collect().map(_.getLong(0)).toSeq
     assert(in == Seq(2L), s"IN ignores inner NULLs and matches: $in")
   }
+
+  test("sub_select_scalar: COUNT over an empty group is 0, MAX is NULL " +
+    "— the decorrelated outer join must coalesce the count") {
+    // The classic silent-wrongness trap: decorrelating a SELECT-list
+    // COUNT(*) to a left outer aggregate join turns "no matching inner
+    // rows" into a NULL join column — the rewrite must plan the
+    // NULL→0 coalesce (COUNT on an empty set is 0 per ANSI), while
+    // MAX legitimately stays NULL. Customer 3 is planted with zero
+    // orders (the shared fixtures have none at any sf).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_selscalar").toString
+    Seq((1L, "A"), (2L, "B"), (3L, "C"))
+      .toDF("c_custkey", "c_name").write.parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, 10.0), (11L, 1L, 20.0), (12L, 2L, 30.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = graft.operators.SubqueryOps.queries("sub_select_scalar")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == Seq((1L, 2L, Some(20.0)), (2L, 1L, Some(30.0)),
+      (3L, 0L, None)),
+      s"count-on-empty must be 0 (not NULL), max stays NULL: $got")
+  }
+
+  test("sub_all / sub_any: quantified-rewrite semantics hand-walked") {
+    // sub_all (>= ALL via MAX): nation-1 customers' orders are {10,20};
+    // the 20.0 order itself and the 30.0 order clear them ALL. sub_any (< ANY the same
+    // customer's orders via correlated MAX): cust 1 has {10,20} so the
+    // 10.0 order qualifies; cust 2's single 30.0 order does not (< its
+    // own max is strict) — the single-order group exercises the
+    // ANY-on-one-element boundary.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_quant").toString
+    Seq((1L, 1), (2L, 2))
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, 10.0), (11L, 1L, 20.0), (12L, 2L, 30.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val q = graft.operators.SubqueryOps.queries
+    val all = q("sub_all")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(all == Seq((11L, 20.0), (12L, 30.0)), s">= ALL {10,20}: $all")
+    val any = q("sub_any")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(any == Seq((10L, 10.0)), s"< ANY same-customer: $any")
+  }
+
+  test("sub_lateral: top-3 per customer — ties broken by orderkey, " +
+    "short groups emit what they have") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lateral").toString
+    Seq((1L, "A"), (2L, "B")).toDF("c_custkey", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    // cust 1: four orders with a 25.0 tie (keys 11 and 13) — top-3 by
+    // (price DESC, key) = 11, 13, 12; the 5.0 order is cut. cust 2:
+    // only two orders — both survive (LIMIT 3 over a short group).
+    Seq((10L, 1L, 5.0), (11L, 1L, 25.0), (12L, 1L, 15.0), (13L, 1L, 25.0),
+        (20L, 2L, 7.0), (21L, 2L, 3.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = graft.operators.SubqueryOps.queries("sub_lateral")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 11L, 25.0), (1L, 12L, 15.0), (1L, 13L, 25.0),
+      (2L, 20L, 7.0), (2L, 21L, 3.0)), s"lateral top-3: $got")
+  }
 }

@@ -458,6 +458,65 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("UnionLoop"), s"expected the recursive loop node: $p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
+    // r14 materialization: the fact pipeline must be hidden behind the
+    // localCheckpoint boundary — the ONLY FileScan left in the final
+    // plan is the nation dimension; trade/seed appear as LogicalRDDs.
+    // (ExecCountSpec pins the runtime once-only property; this pin
+    // catches a revert to the inline form at plan level.)
+    assert(!p.contains("lineitem.parquet"),
+      s"fact scan must not survive into the recursive query's plan: $p")
+    assert(p.contains("LogicalRDD"),
+      s"trade/seed must be checkpointed LogicalRDDs: $p")
+  }
+
+  test("sub_all: the > ALL rewrite plans as a once-computed scalar " +
+    "subquery filtering the scan — no join in the outer query") {
+    // Spark 4.1.2's parser rejects quantified ALL/ANY outright, so the
+    // key ships the documented MAX-threshold rewrite; the plan must
+    // show the inner as a separate Subquery stage (computed once,
+    // never per-row) feeding a plain Filter over the orders scan.
+    val p = plan("sub_all", SubqueryOps.queries)
+    assert(p.contains("Subquery subquery"), s"expected a scalar subquery stage: $p")
+    assert(p.contains("max(o_totalprice"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sub_any: the correlated < ANY rewrite decorrelates to a " +
+    "max-per-custkey aggregate + equi-join with the comparison as residual") {
+    val p = plan("sub_any", SubqueryOps.queries)
+    assert(!p.contains("Subquery"),
+      s"correlated MAX subquery must be rewritten into a join: $p")
+    assert(p.contains("partial_max(o_totalprice"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sub_select_scalar: SELECT-list correlated scalars decorrelate to " +
+    "left outer aggregate joins — no per-row subquery survives") {
+    // COUNT(*) and MAX over the same correlated inner: each becomes an
+    // aggregate grouped by the correlation key, LEFT OUTER joined back
+    // (outer join: a customer with no orders must still emit a row —
+    // the count 0-not-NULL trap is pinned in OperatorSemanticsSpec).
+    val p = plan("sub_select_scalar", SubqueryOps.queries)
+    assert(!p.contains("Subquery"),
+      s"SELECT-list scalars must be rewritten into joins: $p")
+    assert(p.contains("LeftOuter"), p)
+    assert(p.contains("partial_count(1)") && p.contains("partial_max(o_totalprice"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sub_lateral: LATERAL + ORDER BY LIMIT plans as WindowGroupLimit " +
+    "+ equi-join — the top-3-per-group shape, never a nested loop") {
+    // Spark decorrelates the lateral subquery's correlated LIMIT into
+    // the same rank-k plan topk_group reaches from the window spelling:
+    // WindowGroupLimit (partial + final) prunes to ≤3 rows per custkey
+    // BEFORE the join, so the per-group work is bounded at any scale.
+    val p = plan("sub_lateral", SubqueryOps.queries)
+    assert(p.contains("WindowGroupLimit"), s"expected rank-k group limit: $p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("rules_assoc: both item-support joins broadcast — the pair frame " +
