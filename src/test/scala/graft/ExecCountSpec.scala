@@ -52,6 +52,13 @@ class ExecCountSpec extends SparkSpec {
     val inlineTxt = SubqueryOps.oracle("sub_recursive")
       .replaceAll("\\b(lineitem|orders|customer|supplier|nation)\\b",
         s"parquet.`$sf/$$1.parquet`")
+    // Result parity first: the materialized fragment composition must
+    // produce byte-identical rows to Spark executing the oracle's
+    // single inline text (guards the view/fragment wiring, not just
+    // the execution counts).
+    val got = SubqueryOps.queries("sub_recursive")(spark, sf).collect().toSeq
+    val exp = spark.sql(inlineTxt).collect().toSeq
+    assert(got == exp, s"materialized != inline: $got vs $exp")
     val (sNew, bNew) =
       measure(() => noop(SubqueryOps.queries("sub_recursive")(spark, sf)))
     val (sOld, bOld) = measure(() => noop(spark.sql(inlineTxt)))

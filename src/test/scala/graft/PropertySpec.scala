@@ -2565,4 +2565,74 @@ class PropertySpec extends SparkSpec {
       assert(gotR == want, s"assortativity $gotR vs $want")
     }
   }
+
+  test("sub_recursive ≡ independent Scala fold on random fact tables") {
+    // The oracle blind spot (the r9 triangle lesson): the DuckDB
+    // replay composes the SAME SQL fragments, so a shared semantic bug
+    // in the trade-graph derivation or the bag-semantics path count
+    // would hash-match green. This fold recomputes everything —
+    // paircnt, top-3 trade edges, seed, bounded-hop reachability with
+    // UNION ALL multiplicities — in plain Scala collections over
+    // RANDOM fact tables, including graphs with cycles, empty
+    // paircnt (every supplier trades its own nation), and seed ties.
+    val gen = for {
+      nNat  <- Gen.choose(2, 5)
+      supN  <- Gen.listOfN(6, Gen.choose(0, nNat - 1))
+      cusN  <- Gen.listOfN(8, Gen.choose(0, nNat - 1))
+      ordC  <- Gen.listOfN(12, Gen.choose(1, 8))
+      lines <- Gen.listOfN(30, Gen.zip(Gen.choose(1, 12), Gen.choose(1, 6)))
+    } yield (nNat, supN, cusN, ordC, lines)
+    forAllSeeded(gen, n = 4) { case (nNat, supN, cusN, ordC, lines) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_recprop").toString
+      (0 until nNat).map(i => (i, s"NATION_$i")).toDF("n_nationkey", "n_name")
+        .write.parquet(s"$dir/nation.parquet")
+      supN.zipWithIndex.map { case (n, i) => ((i + 1).toLong, n) }
+        .toDF("s_suppkey", "s_nationkey").write.parquet(s"$dir/supplier.parquet")
+      cusN.zipWithIndex.map { case (n, i) => ((i + 1).toLong, n) }
+        .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir/customer.parquet")
+      ordC.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c.toLong) }
+        .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+      lines.map { case (o, s) => (o.toLong, s.toLong) }
+        .toDF("l_orderkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+
+      // Independent fold, no Spark.
+      val custNat = cusN.zipWithIndex.map { case (n, i) => (i + 1) -> n }.toMap
+      val ordCust = ordC.zipWithIndex.map { case (c, i) => (i + 1) -> c }.toMap
+      val supNat = supN.zipWithIndex.map { case (n, i) => (i + 1) -> n }.toMap
+      val paircnt = lines
+        .map { case (o, s) => (supNat(s), custNat(ordCust(o))) }
+        .filter { case (src, dst) => src != dst }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val trade: Seq[(Int, Int)] = paircnt.groupBy(_._1._1).toSeq
+        .flatMap { case (src, m) =>
+          m.toSeq.map { case ((_, d), c) => (d, c) }
+            .sortBy { case (d, c) => (-c, d) }.take(3)
+            .map { case (d, _) => (src, d) }
+        }
+      val seedOpt = paircnt.groupBy(_._1._1)
+        .map { case (s, m) => s -> m.values.sum }.toSeq
+        .sortBy { case (s, tot) => (-tot, s) }.headOption.map(_._1)
+      val adj = trade.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+      val rows = scala.collection.mutable.Buffer[(Int, Int, Long)]()
+      var frontier: Map[Int, Long] = seedOpt match {
+        case Some(sd) => adj.getOrElse(sd, Seq.empty)
+          .groupBy(identity).map { case (d, v) => d -> v.size.toLong }
+        case None => Map.empty
+      }
+      frontier.foreach { case (nk, c) => rows += ((nk, 1, c)) }
+      for (h <- 2 to 3) {
+        frontier = frontier.toSeq
+          .flatMap { case (nk, c) => adj.getOrElse(nk, Seq.empty).map(_ -> c) }
+          .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+        frontier.foreach { case (nk, c) => rows += ((nk, h, c)) }
+      }
+      val want = rows.groupBy(_._1).toSeq.map { case (nk, rs) =>
+        (s"NATION_$nk", rs.map(_._2).min.toLong, rs.map(_._3).sum)
+      }.sortBy { case (n, mh, _) => (mh, n) }
+
+      val got = graft.operators.SubqueryOps.queries("sub_recursive")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"recursive reachability:\n$got\nvs fold\n$want")
+    }
+  }
 }
