@@ -1056,6 +1056,20 @@ class OperatorSemanticsSpec extends SparkSpec {
     val any = q("sub_any")(spark, dir).collect()
       .map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(any == Seq((10L, 10.0)), s"< ANY same-customer: $any")
+
+    // The scaladoc'd EMPTY-inner contract: with no nation-1 orders the
+    // MAX rewrite yields NULL → comparison NULL → zero rows, where
+    // true `>= ALL (empty)` would keep EVERY row. The divergence is
+    // the documented reason the key's fixture guarantees a non-empty
+    // inner; this pins which side of it the shipped rewrite lands on.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_quant_e").toString
+    Seq((1L, 3), (2L, 2))
+      .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir2/customer.parquet")
+    Seq((10L, 1L, 10.0), (12L, 2L, 30.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.parquet(s"$dir2/orders.parquet")
+    assert(q("sub_all")(spark, dir2).collect().isEmpty,
+      "empty inner: the MAX rewrite must yield zero rows (NULL gate)")
   }
 
   test("sub_lateral: top-3 per customer — ties broken by orderkey, " +
