@@ -55,7 +55,17 @@ object LintBench {
     // graph_triangles 1.24 in-session), no code touched
     // TimeSeries.anomaly since r11 — the key's honest in-sweep floor
     // is ~1.2 with ±0.2 spread.
-    "ts_anomaly" -> 1.2
+    "ts_anomaly" -> 1.2,
+    // graph_components / knn_recall: the same one-lucky-round pattern,
+    // adjudicated r14. Components in-sweep history r9-r14 is
+    // 2.26/1.60/1.55/1.19/1.49/1.53 — every round but r12 sits at
+    // 1.5-2.3 and no code touched the component loop since its r11
+    // checkpoint-economics fix (judged done in r13). knn_recall reads
+    // 1.39/0.62/0.98/0.97 — the 0.62 is r12's anomalously quiet
+    // sweep; the key's cost is the brute-force ground-truth side and
+    // is stable at ~0.95-1.0.
+    "graph_components" -> 1.3,
+    "knn_recall" -> 0.75
   )
 
   private val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r

@@ -115,6 +115,58 @@ object FnOps {
           to_json(struct(col("event_id"), col("event_type"))).as("js"))
         .orderBy("event_id")),
 
+    // VARIANT (Spark 4's native semi-structured type, r17): parse once
+    // into the columnar variant encoding, then typed-path extraction —
+    // the shredded-JSON scan pattern that replaces per-row string
+    // re-parsing (fn_json's get_json_object walks the TEXT per call;
+    // variant parses once and every variant_get reads the binary).
+    // Typed gets (bigint + string casts of the same field), a missing
+    // path (NULL, not an error), and try_parse_json's NULL-on-malformed
+    // contract. Oracle: DuckDB's JSON type is its variant analogue —
+    // json_extract/json_valid replay the same semantics (dual dialect
+    // texts, same structure). schema_of_variant isn't portable; its
+    // constancy over this source is pinned in OperatorSemanticsSpec.
+    // COST NOTE: parse_json/variant_get are codegen-fallback in 4.1.2,
+    // so each projected get re-parses (no whole-stage CSE) — ~0.6 s
+    // per full-pass parse at sf0.1 × 4 calls. The key scans the
+    // pushdown-pruned 'error' slice: same surface, honest per-row
+    // cost, and the filter lands in the parquet scan (PushedFilters).
+    "fn_variant" -> ((s, d) => s.sql(
+      s"""SELECT event_id,
+         |  variant_get(parse_json(props), '$$.k', 'bigint') AS k_num,
+         |  variant_get(parse_json(props), '$$.k', 'string') AS k_str,
+         |  variant_get(parse_json(props), '$$.missing', 'bigint')
+         |    AS missing_num,
+         |  (try_parse_json(concat('{', props)) IS NULL) AS malformed_null
+         |FROM parquet.`$d/events.parquet`
+         |WHERE event_type = 'error'
+         |ORDER BY event_id""".stripMargin)),
+
+    // String collations (Spark 4, r17): UTF8_LCASE equality makes the
+    // GROUP BY key case-insensitive WITHOUT rewriting the data —
+    // collation is comparator metadata on the type, so the hash
+    // aggregate and any join on the collated key use case-folded
+    // hashing/equality natively (the engine-level answer to the
+    // lower()-wrapper idiom; at 100 TB it also keeps partition
+    // pruning/statistics on the ORIGINAL strings). The fixture plants
+    // a Title-cased twin of every (UPPER) p_type; each ci-group must
+    // collapse the two binary forms. Deterministic readout: lower(min)
+    // representative + binary-distinct case-form count — DuckDB
+    // replays with a lower() group key over the identical union.
+    "fn_collate" -> ((s, d) => s.sql(
+      s"""WITH v AS (
+         |  SELECT p_type AS t FROM parquet.`$d/part.parquet`
+         |  UNION ALL
+         |  SELECT concat(upper(substring(p_type, 1, 1)),
+         |                lower(substring(p_type, 2))) AS t
+         |  FROM parquet.`$d/part.parquet`
+         |)
+         |SELECT lower(min(t)) AS type_lc,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(COUNT(DISTINCT t) AS BIGINT) AS n_case_forms
+         |FROM v GROUP BY t COLLATE UTF8_LCASE
+         |ORDER BY type_lc""".stripMargin)),
+
     // Bitwise family: scalar shifts/masks/popcount + the bit-aggregate
     // trio — the ops sketch pipelines live on (simhash packs votes and
     // bands with exactly these; fingerprint intersections use the
@@ -254,6 +306,26 @@ object FnOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_num,
+        |  (NOT json_valid(concat('{', props))) AS malformed_null
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+    "fn_collate" ->
+      """WITH v AS (
+        |  SELECT p_type AS t FROM part
+        |  UNION ALL
+        |  SELECT concat(upper(substring(p_type, 1, 1)),
+        |                lower(substring(p_type, 2))) AS t FROM part
+        |)
+        |SELECT lower(min(t)) AS type_lc,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(DISTINCT t) AS BIGINT) AS n_case_forms
+        |FROM v GROUP BY lower(t)
+        |ORDER BY type_lc""".stripMargin,
     "fn_digest" ->
       """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
         |       substr(md5(text), 1, 8) AS md5_head,

@@ -1072,6 +1072,31 @@ class OperatorSemanticsSpec extends SparkSpec {
       "empty inner: the MAX rewrite must yield zero rows (NULL gate)")
   }
 
+  test("fn_variant / fn_collate: the non-oracle-able halves pinned") {
+    // schema_of_variant has no DuckDB replay, so the key's oracle
+    // drops it — pin here that the fixture's props column is uniformly
+    // OBJECT<k: BIGINT> (if the generator ever diversifies props, the
+    // variant key's typed gets need revisiting, and this fails first).
+    val vt = spark.sql(
+      s"""SELECT DISTINCT schema_of_variant(parse_json(props)) AS t
+         |FROM parquet.`$sf/events.parquet`""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(vt == Seq("OBJECT<k: BIGINT>"), s"props variant schema: $vt")
+    // Collation semantics the oracle's lower()-rewrite can't
+    // distinguish: UTF8_LCASE is comparator metadata, so ORDER BY a
+    // collated column case-folds the PRIMARY comparison while a
+    // binary tiebreak still sees the original strings.
+    val sorted = spark.sql(
+      """SELECT x FROM VALUES ('b'),('A'),('a'),('B') AS t(x)
+        |ORDER BY x COLLATE UTF8_LCASE, x""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(sorted == Seq("A", "a", "B", "b"), s"collated sort: $sorted")
+    // And collated equality is case-insensitive without rewriting data.
+    assert(spark.sql(
+      "SELECT 'ABC' COLLATE UTF8_LCASE = 'abc' COLLATE UTF8_LCASE AS e")
+      .head.getBoolean(0))
+  }
+
   test("sub_lateral: top-3 per customer — ties broken by orderkey, " +
     "short groups emit what they have") {
     import spark.implicits._

@@ -469,6 +469,14 @@ class PlanSpec extends SparkSpec {
       s"trade/seed must be checkpointed LogicalRDDs: $p")
   }
 
+  test("fn_variant: the event_type slice is a pushed parquet filter — " +
+    "the codegen-fallback variant battery only ever sees the slice") {
+    val p = plan("fn_variant", graft.functions.FnOps.queries)
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(event_type,error\\)".r
+      .findFirstIn(p).isDefined,
+      s"event_type filter must reach the scan: $p")
+  }
+
   test("sub_all: the > ALL rewrite plans as a once-computed scalar " +
     "subquery filtering the scan — no join in the outer query") {
     // Spark 4.1.2's parser rejects quantified ALL/ANY outright, so the
