@@ -231,22 +231,33 @@ object SubqueryOps {
 
   /** Quantified comparisons (`>= ALL` / `< ANY`): Spark 4.1.2's parser
     * REJECTS the quantified spelling outright (PARSE_SYNTAX_ERROR at
-    * `ALL (`/`ANY (` — probed this round), so these two keys pin the
+    * `ALL (`/`ANY (` — probed r14), so these two keys pin the
     * documented REWRITE the analyst must apply, cross-checked against
     * DuckDB evaluating the NATIVE quantified form on the same inner
     * text. That is a stronger oracle than a shared text: the two
     * engines compute the answer by different strategies and must
     * still hash-match.
     *
-    *   - `x >= ALL (S)` ≡ `x >= (SELECT MAX(s) FROM S)` when S is
-    *     non-empty and null-free (both hold here: o_totalprice is
-    *     non-null and every nation has customers with orders at every
-    *     sf). On an EMPTY S they diverge (ALL → true, MAX → NULL →
-    *     false) — the scaladoc'd contract; use NOT EXISTS if the
-    *     inner can be empty. `>=` (not `>`) keeps the key's result
-    *     non-empty at EVERY sf: the global-max order always clears
-    *     the bar, while strict `>` goes empty whenever nation 1
-    *     happens to hold the global max (it does at sf0.1).
+    *   - `x >= ALL (S)` ships as
+    *     `NOT EXISTS (SELECT 1 FROM (SELECT MAX(s) AS hi FROM S) WHERE hi > x)`
+    *     — correct for EMPTY and non-empty null-free S, unlike the r14
+    *     MAX-threshold form (`x >= (SELECT MAX(s))`), whose NULL gate
+    *     dropped every row on an empty S where ALL keeps them all
+    *     (OperatorSemanticsSpec now pins the agreeing side). The
+    *     textbook spelling puts NOT EXISTS over the RAW inner with
+    *     `s > x`, but that decorrelates to an anti-join with a pure
+    *     inequality condition — a nested-loop of |outer|·|S|
+    *     comparisons that melts at scale. Reducing the inner to its
+    *     MAX first is semantics-preserving for `>` (x clears ALL of S
+    *     iff it clears max(S); an empty S yields ONE all-NULL
+    *     aggregate row whose `NULL > x` never matches, so NOT EXISTS
+    *     correctly keeps every outer row) and shrinks the anti-join's
+    *     build side to ONE row: the plan is a broadcast nested-loop
+    *     LeftAnti over a constant side — O(|outer|) work at any scale,
+    *     the same constant-side shape as the corpus-totals crossJoins.
+    *     `>=`/`>` orientation: `x >= ALL(S)` fails iff some s > x,
+    *     and the global-max order always clears the bar, keeping the
+    *     key non-empty at every sf.
     *   - `x < ANY (S)` ≡ `x < (SELECT MAX(s) FROM S)` INCLUDING the
     *     empty-S case (ANY → false, NULL comparison → false), so the
     *     correlated form needs no non-empty caveat. The correlated
@@ -262,9 +273,11 @@ object SubqueryOps {
 
   private def subAllSparkSql(t: String => String) =
     s"""SELECT o_orderkey, o_custkey, o_totalprice
-       |FROM ${t("orders")}
-       |WHERE o_totalprice >= (SELECT MAX(o_totalprice) FROM (
-       |${subAllInner(t)}) AS q)
+       |FROM ${t("orders")} AS o1
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM (SELECT MAX(o_totalprice) AS hi FROM (
+       |${subAllInner(t)}) AS q) AS qm
+       |  WHERE qm.hi > o1.o_totalprice)
        |ORDER BY o_orderkey""".stripMargin
 
   private def subAllOracleSql(t: String => String) =

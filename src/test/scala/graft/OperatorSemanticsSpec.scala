@@ -1057,19 +1057,23 @@ class OperatorSemanticsSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(any == Seq((10L, 10.0)), s"< ANY same-customer: $any")
 
-    // The scaladoc'd EMPTY-inner contract: with no nation-1 orders the
-    // MAX rewrite yields NULL → comparison NULL → zero rows, where
-    // true `>= ALL (empty)` would keep EVERY row. The divergence is
-    // the documented reason the key's fixture guarantees a non-empty
-    // inner; this pins which side of it the shipped rewrite lands on.
+    // The EMPTY-inner contract, FLIPPED in r15: `>= ALL (empty)` is
+    // vacuously true, so with no nation-1 orders EVERY outer row must
+    // survive. The r14 MAX-threshold rewrite landed on the wrong side
+    // (NULL gate → zero rows); the shipped NOT-EXISTS-over-MAX form
+    // agrees with true ALL semantics — the empty inner's single
+    // all-NULL aggregate row never matches `hi > x`, so the anti join
+    // keeps all rows. This pins the agreement.
     val dir2 = java.nio.file.Files.createTempDirectory("graft_quant_e").toString
     Seq((1L, 3), (2L, 2))
       .toDF("c_custkey", "c_nationkey").write.parquet(s"$dir2/customer.parquet")
     Seq((10L, 1L, 10.0), (12L, 2L, 30.0))
       .toDF("o_orderkey", "o_custkey", "o_totalprice")
       .write.parquet(s"$dir2/orders.parquet")
-    assert(q("sub_all")(spark, dir2).collect().isEmpty,
-      "empty inner: the MAX rewrite must yield zero rows (NULL gate)")
+    val allEmpty = q("sub_all")(spark, dir2).collect()
+      .map(_.getLong(0)).toSeq
+    assert(allEmpty == Seq(10L, 12L),
+      s">= ALL (empty) is vacuously true — every row survives: $allEmpty")
   }
 
   test("fn_variant / fn_collate: the non-oracle-able halves pinned") {

@@ -477,17 +477,21 @@ class PlanSpec extends SparkSpec {
       s"event_type filter must reach the scan: $p")
   }
 
-  test("sub_all: the > ALL rewrite plans as a once-computed scalar " +
-    "subquery filtering the scan — no join in the outer query") {
+  test("sub_all: the >= ALL rewrite decorrelates to a LeftAnti join " +
+    "whose build side is the ONE-ROW max aggregate") {
     // Spark 4.1.2's parser rejects quantified ALL/ANY outright, so the
-    // key ships the documented MAX-threshold rewrite; the plan must
-    // show the inner as a separate Subquery stage (computed once,
-    // never per-row) feeding a plain Filter over the orders scan.
+    // key ships the empty-inner-correct NOT EXISTS rewrite over the
+    // max-reduced inner. The plan must show: the NOT EXISTS gone (no
+    // per-row subquery), a LeftAnti join carrying the `hi > price`
+    // inequality, and the build side collapsed to a global MAX — the
+    // constant-side nested-loop shape (one broadcast row), never a
+    // |outer|·|inner| loop over the raw inner set.
     val p = plan("sub_all", SubqueryOps.queries)
-    assert(p.contains("Subquery subquery"), s"expected a scalar subquery stage: $p")
+    assert(!p.contains("Subquery"),
+      s"NOT EXISTS must be decorrelated, not planned per-row: $p")
+    assert(p.contains("LeftAnti"), s"expected an anti join: $p")
     assert(p.contains("max(o_totalprice"), p)
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("sub_any: the correlated < ANY rewrite decorrelates to a " +
@@ -567,9 +571,11 @@ class PlanSpec extends SparkSpec {
     // corpus_select_budget its ONE-ROW token-total frame — the same
     // constant-side corpus-totals shape.
     val allowCartesian = Set("join_cross")
+    // sub_all's NOT-EXISTS-over-MAX rewrite anti-joins against a
+    // broadcast ONE-ROW aggregate — the same constant-side shape.
     val allowBnlj = Set("join_cross", "join_theta", "text_tfidf", "text_vocab",
       "zorder_key", "text_perplexity", "sample_pps", "rules_assoc",
-      "corpus_select_budget", "agg_decay", "text_collocations")
+      "corpus_select_budget", "agg_decay", "text_collocations", "sub_all")
     val bad = scala.collection.mutable.ListBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
