@@ -94,7 +94,7 @@ object ScanOps {
       T.documents(s, d).write.mode("overwrite").orc(tmp)
     }
 
-  private def dirTag(d: String): String = d.replaceAll("[^A-Za-z0-9.]+", "_")
+  private[graft] def dirTag(d: String): String = d.replaceAll("[^A-Za-z0-9.]+", "_")
 
   /** The write-once staging protocol, shared by every directory
     * fixture: build into a fresh temp dir, atomically rename into
@@ -103,7 +103,7 @@ object ScanOps {
     * A half-written dest (no _SUCCESS: a crashed writer) is cleared
     * so the rename can land.
     */
-  private def stageOnce(destName: String)(write: String => Unit): String = {
+  private[graft] def stageOnce(destName: String)(write: String => Unit): String = {
     val dest = new java.io.File(s"/tmp/$destName")
     def ready = new java.io.File(dest, "_SUCCESS").exists()
     if (!ready) ScanOps.synchronized {
