@@ -61,6 +61,14 @@ object CorpusPipeline {
     def mark(label: String, t0: Long): Unit = if (dbg)
       println(f"CURATE $label ${(System.nanoTime() - t0) / 1e9}%.3fs")
     val tEx = System.nanoTime()
+    // NOT coalesced before the checkpoint (r15, measured): narrowing
+    // the slice to 8 partitions here reads as pure scheduling savings,
+    // but the checkpoint materializes inside the component loop's
+    // round-0 probe — whose job EXECUTES this whole upstream pipeline,
+    // including the corpus-sized shingle/minhash battery DOWNSTREAM of
+    // this boundary. Coalescing cost that work 4× its parallelism
+    // (solo min 1.76 → 2.47 s); the r10 round-0-needs-full-parallelism
+    // lesson applies to the boundary's consumers, not just the loop.
     val exact = scored
       .withColumn("digest", md5(lower(trim(col("text")))))
       .withColumn("rn", row_number().over(w))
@@ -77,7 +85,9 @@ object CorpusPipeline {
     val reps = LlmDedup.connectedComponents(exact, pairs)
       .filter(col("doc_id") === col("cluster")).select("doc_id")
     mark("components", tCc)
-    val kept = exact.join(reps, Seq("doc_id"))
+    // reps is component-representative-sized (≤ docs, typically ≪) —
+    // broadcast it so the keep-join never exchanges the kept slice.
+    val kept = exact.join(broadcast(reps), Seq("doc_id"))
     // 4. accounting columns
     kept
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
