@@ -12,26 +12,49 @@ import graft.operators.SubqueryOps
 class ExecCountSpec extends SparkSpec {
 
   /** Stages submitted + parquet input bytes read for one execution.
-    * The listener bus is async: poll until both counters are stable.
+    * The listener bus is async (no public waitUntilEmpty): poll until
+    * both counters are stable across TWO consecutive samples (r15 — a
+    * slow bus on a loaded box could look momentarily stable after one).
     */
-  private def measure(run: () => Unit): (Int, Long) = {
+  private def measure(run: () => Unit): (Int, Long) =
+    measure3(run) match { case (s, b, _) => (s, b) }
+
+  /** Adds INPUT RECORDS and the FILE-SCAN stage count. Records, not
+    * bytes, are the volume observable on this box: local-file parquet
+    * reads barely register in inputMetrics.bytesRead (probed: a full
+    * scan of a 3.67 MB file reports 7 KB — the file:// scheme's
+    * statistics miss the vectorized reader's I/O), while recordsRead
+    * counts every row the reader PRODUCES, file and block-manager
+    * sources alike. The file-scan stage count (stages whose rddInfos
+    * contain a FileScanRDD) is lineage-based — a narrow checkpoint
+    * keeps the scan in every consumer's lineage even when blocks come
+    * from the block manager — so it is only meaningful where an
+    * exchange or persist boundary truncates lineage (the knn_ivf pin).
+    */
+  private def measure3(run: () => Unit): (Int, Long, Int) = {
     @volatile var stages = 0
-    @volatile var bytes = 0L
+    @volatile var records = 0L
+    @volatile var fsStages = 0
     val l = new SparkListener {
-      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
         stages += 1
+        if (s.stageInfo.rddInfos.exists(_.name.contains("FileScanRDD")))
+          fsStages += 1
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        bytes += s.stageInfo.taskMetrics.inputMetrics.bytesRead
+        records += s.stageInfo.taskMetrics.inputMetrics.recordsRead
     }
     spark.sparkContext.addSparkListener(l)
     try {
       run()
-      var prev = (-1, -1L); var waited = 0
-      while ((stages, bytes) != prev && waited < 15000) {
-        prev = (stages, bytes); Thread.sleep(300); waited += 300
+      var prev = (-1, -1L, -1); var stable = 0; var waited = 0
+      while (stable < 2 && waited < 20000) {
+        val cur = (stages, records, fsStages)
+        if (cur == prev) stable += 1 else stable = 0
+        prev = cur; Thread.sleep(300); waited += 300
       }
     } finally spark.sparkContext.removeSparkListener(l)
-    (stages, bytes)
+    (stages, records, fsStages)
   }
 
   private def noop(df: org.apache.spark.sql.DataFrame): Unit =
@@ -62,12 +85,201 @@ class ExecCountSpec extends SparkSpec {
     val (sNew, bNew) =
       measure(() => noop(SubqueryOps.queries("sub_recursive")(spark, sf)))
     val (sOld, bOld) = measure(() => noop(spark.sql(inlineTxt)))
-    assert(sNew <= 40, s"materialized sub_recursive submitted $sNew stages " +
-      s"(> 40): the loop is re-executing pre-loop work again")
+    // Absolute cap widened 40 → 48 (r15 advice: AQE/scheduling variance
+    // can shift counts on a loaded box); the relative stage and bytes
+    // bounds below are the self-calibrating teeth.
+    assert(sNew <= 48, s"materialized sub_recursive submitted $sNew stages " +
+      s"(> 48): the loop is re-executing pre-loop work again")
     assert(sNew < sOld,
       s"materialized ($sNew stages) must beat inline ($sOld stages)")
     assert(bNew <= (bOld * 0.75).toLong,
       s"materialized read $bNew bytes vs inline $bOld — the fact join is " +
         s"being re-executed (one pass should be ~55% of the inline cost)")
+  }
+
+  // ------------------------------------------------------------------
+  // Once-per-round pins for EVERY iterative operator (r15, verdict #2:
+  // the r13 lesson — plan strings cannot see re-execution — was
+  // enforced for sub_recursive only). The pins are RELATIVE and
+  // self-calibrating (r15 advice: absolute stage caps are environment-
+  // sensitive): run the same operator at increasing round counts and
+  // assert
+  //   (a) INPUT RECORDS stay FLAT in the round count, against a
+  //       fixture whose SOURCE dwarfs the derived state (the
+  //       supportEdges shape: a 100k-row scan filtered down to a
+  //       49-edge path). Rounds iterate over checkpointed state —
+  //       node-sized block reads — so records ≈ one source pass
+  //       regardless of round count; a planted boundary removal
+  //       re-reads the source per round and records go ∝ rounds. The
+  //       source/state size GAP is what makes the metric
+  //       discriminating: on a state-sized fixture, legitimate
+  //       per-round block-manager reads of pinned state are
+  //       indistinguishable from file re-reads (both count as input).
+  //   (b) STAGE growth is LINEAR — the second difference of stages(k)
+  //       is bounded: each extra round schedules the same constant
+  //       slice of work. Exponential re-execution compounds it.
+  //   (c) OPTIMIZED-PLAN node counts grow at most linearly — see
+  //       [[pinOncePerRound]]; exchange reuse can hide re-execution
+  //       from (a)/(b) at small depths, the logical tree cannot hide.
+  // Confirmed red on planted bugs (checkpoint/persist removed —
+  // each re-planted and re-run while writing this spec):
+  // seedDistance without its per-round dc checkpoint fails (c) at
+  // 22/52/112 nodes; labelPropagation (401k/602k/802k records) and
+  // pagerank (401k/602k) without the edge pin fail (a); knn_ivf
+  // without the prepared-frame persist fails its file-scan-stage pin
+  // (3/4/5); components without the per-round state checkpoint fails
+  // the first-difference node cap (33/310/1) and the tightened
+  // stage-slack line (19/41/69).
+  // ------------------------------------------------------------------
+
+  /** Source-dominated path-graph fixture: 100k rows of (id, payload)
+    * where the payload is an incompressible 32-char digest (~3 MB on
+    * disk), from which the DERIVED edge set is the 49-edge path
+    * 0→1→…→49 (one edge per 2048-id stripe). Models the real
+    * supportEdges shape — a corpus-sized scan reduced to a tiny edge
+    * state — so a source re-read per round is visible in bytes while
+    * legitimate per-round reads of the node-sized state are noise.
+    */
+  private lazy val bigSource: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_exec_src").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    (0L until 100352L).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def edges() = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(bigSource)
+      // the payload filter forces the wide column through the scan —
+      // the derivation must COST a source pass, like a real basket
+      // build
+      .filter(col("id") % 2048 === 0 && length(col("payload")) === 32)
+      .select(expr("id div 2048").as("src"),
+        expr("id div 2048 + 1").as("dst"))
+  }
+  private def mirrored() = {
+    val e = edges()
+    e.unionByName(e.select(
+      org.apache.spark.sql.functions.col("dst").as("src"),
+      org.apache.spark.sql.functions.col("src").as("dst")))
+  }
+
+  /** (a)+(b)+(c) over round counts 1/2/3 for one operator. byteFactor
+    * covers footer/statistics re-reads; stageSlack covers AQE variance.
+    *
+    * (c) is the OPTIMIZED-PLAN-SIZE second difference: a loop state
+    * referenced twice per round without a per-round checkpoint embeds
+    * every prior round's subtree 2×/round — 2^rounds logical-plan
+    * copies. Runtime exchange reuse can HIDE that from stage and byte
+    * counts at small depths (measured with the planted seedDistance
+    * bug: stages 10/13/17, bytes flat — both pins green while the
+    * plan tree grew 2/4/8×), but the logical tree has no sharing, so
+    * node counts expose it unconditionally; the exponential tree is
+    * also itself the regression (planning time blows up first — the
+    * r11 corpus_curate incident). Checkpointed loops show FLAT node
+    * counts (the plan is the last round's slice over a LogicalRDD
+    * leaf); linear chains (labelPropagation) show constant first
+    * differences. Both pass; only compounding fails.
+    */
+  private def pinOncePerRound(name: String,
+      run: Int => org.apache.spark.sql.DataFrame,
+      recordFactor: Double = 1.30, stageSlack: Int = 6): Unit = {
+    def once(k: Int): (Int, Long, Int) = {
+      graft.Pins.clearAll()
+      var df: org.apache.spark.sql.DataFrame = null
+      val (s, b, _) = measure3(() => { df = run(k); noop(df) })
+      val nodes = df.queryExecution.optimizedPlan
+        .collect { case _ => 1 }.sum
+      (s, b, nodes)
+    }
+    val (s1, b1, n1) = once(1)
+    val (s2, b2, n2) = once(2)
+    val (s3, b3, n3) = once(3)
+    println(s"EXECPIN $name stages=$s1/$s2/$s3 records=$b1/$b2/$b3 nodes=$n1/$n2/$n3")
+    assert(b3 <= (b1 * recordFactor).toLong,
+      s"$name: input records grew with round count ($b1/$b2/$b3) — the " +
+        s"SOURCE is being re-read per round instead of iterating over " +
+        s"the materialized edge state")
+    assert((s3 - s2) <= (s2 - s1) + stageSlack,
+      s"$name: stage growth is super-linear ($s1/$s2/$s3) — per-round " +
+        s"work is compounding (a missing iteration checkpoint)")
+    assert((n3 - n2) <= (n2 - n1) + 8,
+      s"$name: optimized-plan size is compounding ($n1/$n2/$n3 nodes) — " +
+        s"a twice-referenced round state is embedding prior rounds' " +
+        s"subtrees exponentially (missing per-round checkpoint)")
+    // First-difference cap: one extra round may add at most one more
+    // round's worth of plan (≤ the whole 1-round plan + slack). Guards
+    // the case where a periodic stats reset TRUNCATES the k=3 plan and
+    // hides the compounding from the second difference (the planted
+    // components bug measured 33/310/1 nodes — n3 reset to a leaf).
+    assert((n2 - n1) <= n1 + 8,
+      s"$name: one extra round more than doubled the plan " +
+        s"($n1/$n2/$n3 nodes) — round state is embedding prior " +
+        s"subtrees (missing per-round checkpoint)")
+  }
+
+  test("labelPropagation: rounds iterate over the pinned edge list — " +
+    "records flat, stage growth linear") {
+    pinOncePerRound("labelPropagation",
+      k => graft.llm.LlmGraph.labelPropagation(mirrored(), rounds = k))
+  }
+
+  test("seedDistance: per-round state checkpoint keeps the " +
+    "referenced-twice frame from embedding 2^depth subtrees") {
+    import org.apache.spark.sql.functions.col
+    pinOncePerRound("seedDistance",
+      k => graft.llm.LlmGraph.seedDistance(mirrored(),
+        col("node") === 0L, depth = k))
+  }
+
+  test("pagerank: iterations run over the one pinned degree frame") {
+    pinOncePerRound("pagerank",
+      k => graft.llm.LlmGraph.pagerank(mirrored(), iterations = k))
+  }
+
+  test("components: each probe round executes once over the " +
+    "checkpointed labels (maxRounds-capped on a long path)") {
+    // Diameter-48 path: pointer-jumped min-label propagation needs ~5+
+    // probe rounds, so maxRounds 1/2/3 caps are all binding and the
+    // round count equals the cap.
+    // stageSlack 4, not the default 6: the real loop's second stage
+    // difference is 0 (9/9 per extra probe round), while the planted
+    // uncheckpointed form re-executes every prior round inside each
+    // probe — measured 19/41/69 stages, second difference 28 vs first
+    // 22, which the default slack would let through exactly at the
+    // boundary.
+    pinOncePerRound("components",
+      k => graft.llm.LlmGraph.components(mirrored(), maxRounds = k),
+      stageSlack = 4)
+  }
+
+  test("knn_ivf Lloyd: every k-means iteration re-assigns over the " +
+    "PERSISTED prepared frame, never back to the parquet") {
+    // clearCache between measurements: prepared() persists by design
+    // (the shared index cache); without clearing, measurement 2 would
+    // read measurement 1's cache and the bytes comparison would be
+    // vacuous.
+    def run(iters: Int): Unit = {
+      spark.catalog.clearCache()
+      noop(graft.llm.LlmVector.knnIvf(
+        graft.T.embeddings(spark, sf), k = 3, nCells = 4,
+        kmeansIters = iters))
+    }
+    graft.Pins.clearAll()
+    val (s1, _, f1) = measure3(() => run(1))
+    graft.Pins.clearAll()
+    val (s2, _, f2) = measure3(() => run(2))
+    graft.Pins.clearAll()
+    val (s3, _, f3) = measure3(() => run(3))
+    println(s"EXECPIN knn_ivf stages=$s1/$s2/$s3 fsStages=$f1/$f2/$f3")
+    assert(f3 <= f1 + 1,
+      s"knn_ivf: file-scan stage count grew with Lloyd iterations " +
+        s"($f1/$f2/$f3) — an iteration is re-reading the embeddings scan")
+    assert((s3 - s2) <= (s2 - s1) + 6,
+      s"knn_ivf: stage growth is super-linear ($s1/$s2/$s3)")
   }
 }
