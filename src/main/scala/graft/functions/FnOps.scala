@@ -115,32 +115,36 @@ object FnOps {
           to_json(struct(col("event_id"), col("event_type"))).as("js"))
         .orderBy("event_id")),
 
-    // VARIANT (Spark 4's native semi-structured type, r17): parse once
-    // into the columnar variant encoding, then typed-path extraction —
-    // the shredded-JSON scan pattern that replaces per-row string
-    // re-parsing (fn_json's get_json_object walks the TEXT per call;
-    // variant parses once and every variant_get reads the binary).
-    // Typed gets (bigint + string casts of the same field), a missing
-    // path (NULL, not an error), and try_parse_json's NULL-on-malformed
-    // contract. Oracle: DuckDB's JSON type is its variant analogue —
-    // json_extract/json_valid replay the same semantics (dual dialect
-    // texts, same structure). schema_of_variant isn't portable; its
-    // constancy over this source is pinned in OperatorSemanticsSpec.
-    // COST NOTE: parse_json/variant_get are codegen-fallback in 4.1.2,
-    // so each projected get re-parses (no whole-stage CSE) — ~0.6 s
-    // per full-pass parse at sf0.1 × 4 calls. The key scans the
-    // pushdown-pruned 'error' slice: same surface, honest per-row
-    // cost, and the filter lands in the parquet scan (PushedFilters).
-    "fn_variant" -> ((s, d) => s.sql(
-      s"""SELECT event_id,
-         |  variant_get(parse_json(props), '$$.k', 'bigint') AS k_num,
-         |  variant_get(parse_json(props), '$$.k', 'string') AS k_str,
-         |  variant_get(parse_json(props), '$$.missing', 'bigint')
-         |    AS missing_num,
-         |  (try_parse_json(concat('{', props)) IS NULL) AS malformed_null
-         |FROM parquet.`$d/events.parquet`
-         |WHERE event_type = 'error'
-         |ORDER BY event_id""".stripMargin)),
+    // VARIANT semantics over the FULL table via the single-parse
+    // native battery (r15 — closes r14's cost note): Spark 4.1.2's
+    // parse_json/variant_get are codegen-fallback, so each projected
+    // get re-parsed the text (~0.6 s per full-pass parse at sf0.1 ×
+    // 4 calls — the r14 key had to hide behind a pushdown-pruned
+    // 'error' slice). graft_variant_gets ([[VariantGets]], the
+    // PairsOf/Shingles native-Expression recipe) is ONE streaming
+    // Jackson pass per row emitting every requested typed get, and
+    // graft_json_valid replaces the try_parse_json validity probe —
+    // both codegen'd, so the key now affords the UNSLICED table.
+    // Typed-get semantics parity with the variant battery (bigint +
+    // string casts of the same field, missing path → NULL, malformed
+    // → NULL flag) is pinned row-for-row in OperatorSemanticsSpec
+    // against variant_get/parse_json on the 'error' slice; the
+    // schema_of_variant constancy pin lives there too. Oracle:
+    // DuckDB's JSON type replays json_extract/json_valid over the
+    // same rows.
+    "fn_variant" -> ((s, d) => {
+      VectorExpressions.register(s)
+      s.sql(
+        s"""SELECT event_id,
+           |  vg.k_num, vg.k_str, vg.missing_num,
+           |  (NOT graft_json_valid(concat('{', props))) AS malformed_null
+           |FROM (
+           |  SELECT event_id, props,
+           |    graft_variant_gets(props, 'k:bigint:k_num',
+           |      'k:string:k_str', 'missing:bigint:missing_num') AS vg
+           |  FROM parquet.`$d/events.parquet`)
+           |ORDER BY event_id""".stripMargin)
+    }),
 
     // String collations (Spark 4, r17): UTF8_LCASE equality makes the
     // GROUP BY key case-insensitive WITHOUT rewriting the data —
@@ -312,7 +316,7 @@ object FnOps {
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_num,
         |  (NOT json_valid(concat('{', props))) AS malformed_null
-        |FROM events WHERE event_type = 'error'
+        |FROM events
         |ORDER BY event_id""".stripMargin,
     "fn_collate" ->
       """WITH v AS (

@@ -75,6 +75,8 @@ object VectorExpressions {
   private val mh48Ident = FunctionIdentifier("graft_minhash48")
   private val s128Ident = FunctionIdentifier("graft_sum128")
   private val pairsIdent = FunctionIdentifier("graft_pairs")
+  private val vgIdent = FunctionIdentifier("graft_variant_gets")
+  private val jvIdent = FunctionIdentifier("graft_json_valid")
 
   /** Register once per session; safe to call repeatedly. */
   def register(spark: SparkSession): Unit = {
@@ -114,6 +116,16 @@ object VectorExpressions {
       pairsIdent,
       new ExpressionInfo(classOf[PairsOf].getName, "graft_pairs"),
       (children: Seq[Expression]) => PairsOf(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      vgIdent,
+      new ExpressionInfo(classOf[VariantGets].getName, "graft_variant_gets"),
+      (children: Seq[Expression]) => VariantGets(children.head,
+        children.tail.map(c => VariantGets.parseSpec(
+          stringLiteral("graft_variant_gets", c)))))
+    spark.sessionState.functionRegistry.registerFunction(
+      jvIdent,
+      new ExpressionInfo(classOf[JsonValid].getName, "graft_json_valid"),
+      (children: Seq[Expression]) => JsonValid(children.head))
   }
 
   /** Second arguments of the custom functions must be integral literals
@@ -135,6 +147,13 @@ object VectorExpressions {
       case other => throw new IllegalArgumentException(
         s"$fn expects a foldable array<string> second argument, got: $other")
     }
+
+  private def stringLiteral(fn: String, e: Expression): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, org.apache.spark.sql.types.StringType) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects string literal spec arguments, got: $other")
+  }
 
   private def intLiteral(fn: String, e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

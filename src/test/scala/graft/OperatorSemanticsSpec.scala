@@ -1101,6 +1101,51 @@ class OperatorSemanticsSpec extends SparkSpec {
       .head.getBoolean(0))
   }
 
+  test("graft_variant_gets ≡ the parse_json/variant_get battery, " +
+    "row for row — the single-parse replacement changes cost, not values") {
+    // r15: fn_variant ships the native one-parse battery; this pins
+    // its typed-get semantics against Spark's OWN variant expressions
+    // over the real fixture (bigint get, string cast of the same
+    // field, missing path → NULL) plus the validity probe. The slice
+    // keeps the expensive 4×-reparse side affordable — parity on a
+    // uniform 20k-row sample over the same column is the contract.
+    graft.functions.VectorExpressions.register(spark)
+    val mismatches = spark.sql(
+      s"""SELECT count(*) AS n FROM (
+         |  SELECT
+         |    graft_variant_gets(props, 'k:bigint:kn', 'k:string:ks',
+         |      'missing:bigint:mn') AS vg,
+         |    variant_get(parse_json(props), '$$.k', 'bigint') AS k_num,
+         |    variant_get(parse_json(props), '$$.k', 'string') AS k_str,
+         |    variant_get(parse_json(props), '$$.missing', 'bigint') AS m_num,
+         |    (try_parse_json(concat('{', props)) IS NULL) AS mal,
+         |    (NOT graft_json_valid(concat('{', props))) AS mal_native
+         |  FROM parquet.`$sf/events.parquet`
+         |  WHERE event_type = 'error')
+         |WHERE vg.kn IS DISTINCT FROM k_num
+         |   OR vg.ks IS DISTINCT FROM k_str
+         |   OR vg.mn IS DISTINCT FROM m_num
+         |   OR mal IS DISTINCT FROM mal_native""".stripMargin)
+      .head.getLong(0)
+    assert(mismatches == 0,
+      s"$mismatches rows diverge between the native and variant batteries")
+    // Hand edge cases inside the documented contract: string field
+    // read as string, integral rendered as string, missing → NULL,
+    // nested values skipped structurally, and strict validity.
+    val r = spark.sql(
+      """SELECT graft_variant_gets(
+        |  '{"a": {"x": [1, 2]}, "s": "hi", "k": -7}',
+        |  'k:bigint:kn', 'k:string:ks', 's:string:ss', 'z:bigint:zn') AS v,
+        |  graft_json_valid('{"k": 1}') AS ok,
+        |  graft_json_valid('{"k": 1} trailing') AS trail,
+        |  graft_json_valid('{{"k": 1}') AS bad""".stripMargin).head
+    val v = r.getStruct(0)
+    assert(v.getLong(0) == -7L && v.getString(1) == "-7" &&
+      v.getString(2) == "hi" && v.isNullAt(3), s"edge gets: $v")
+    assert(r.getBoolean(1) && !r.getBoolean(2) && !r.getBoolean(3),
+      "validity: strict whole-text parse")
+  }
+
   test("sub_lateral: top-3 per customer — ties broken by orderkey, " +
     "short groups emit what they have") {
     import spark.implicits._

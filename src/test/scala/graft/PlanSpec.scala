@@ -499,12 +499,19 @@ class PlanSpec extends SparkSpec {
       s"trade/seed must be checkpointed LogicalRDDs: $p")
   }
 
-  test("fn_variant: the event_type slice is a pushed parquet filter — " +
-    "the codegen-fallback variant battery only ever sees the slice") {
+  test("fn_variant: the single-parse native battery replaced the " +
+    "codegen-fallback variant calls — and with it, the slice") {
+    // r15: the r14 key hid the 4×-reparse variant battery behind a
+    // pushed event_type filter; the native expressions afford the full
+    // table, so the plan must show graft_variant_gets/graft_json_valid
+    // and NO parse_json/variant_get (which would re-introduce the
+    // per-projection reparse) and no event_type filter.
     val p = plan("fn_variant", graft.functions.FnOps.queries)
-    assert("PushedFilters: \\[[^\\]]*EqualTo\\(event_type,error\\)".r
-      .findFirstIn(p).isDefined,
-      s"event_type filter must reach the scan: $p")
+    assert(p.contains("graft_variant_gets") && p.contains("graft_json_valid"), p)
+    assert(!p.contains("parse_json") && !p.contains("variant_get("),
+      s"the codegen-fallback variant battery must not be in the plan: $p")
+    assert(!p.contains("event_type"),
+      s"the key scans the full table now — no slice: $p")
   }
 
   test("sub_all: the >= ALL rewrite decorrelates to a LeftAnti join " +

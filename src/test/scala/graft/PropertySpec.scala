@@ -2635,4 +2635,158 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"recursive reachability:\n$got\nvs fold\n$want")
     }
   }
+
+  test("graft_json_valid ≡ an independent Jackson validity walk over " +
+    "randomized JSON and mutations of it") {
+    // The scanner is hand-rolled (exceptions-as-control-flow made the
+    // Jackson probe 2.5× the whole key — see JsonValid's scaladoc), so
+    // its grammar needs an INDEPENDENT reference: Jackson streaming
+    // validation, the implementation the scanner replaced. Generator:
+    // structurally random JSON documents plus byte-level mutations
+    // (truncations, brace injections, quote drops) — the mutation
+    // space is where a scanner bug would hide. ASCII-only strings: the
+    // reference goes through String (lossy for invalid UTF-8), the
+    // scanner reads raw bytes; the keys only probe ASCII shapes.
+    val jsonGen: Gen[String] = {
+      def value(depth: Int): Gen[String] =
+        if (depth <= 0) scalar
+        else Gen.frequency(
+          3 -> scalar,
+          1 -> Gen.listOfN(2, value(depth - 1)).map(_.mkString("[", ",", "]")),
+          1 -> Gen.listOfN(2, Gen.zip(Gen.alphaStr.map(k => "\"" + k + "\""),
+            value(depth - 1))).map(_.map { case (k, v) => s"$k:$v" }
+            .mkString("{", ",", "}")))
+      lazy val scalar: Gen[String] = Gen.oneOf(
+        Gen.choose(-1000000L, 1000000L).map(_.toString),
+        Gen.choose(-999.0, 999.0).map(d => f"$d%.3f"),
+        Gen.alphaStr.map(t => "\"" + t + "\""),
+        Gen.oneOf("true", "false", "null"),
+        Gen.const("1e5"), Gen.const("-0.5E-2"),
+        Gen.const("\"esc\\n\\u0041\""))
+      value(3)
+    }
+    val mutated: Gen[String] = for {
+      j <- jsonGen
+      m <- Gen.oneOf[String => String](
+        identity[String] _,
+        (x: String) => "{" + x,
+        (x: String) => x + "}",
+        (x: String) => x.take(math.max(0, x.length - 1)),
+        (x: String) => x.replaceFirst("\\{", ""),
+        (x: String) => x.replace("\"", ""),
+        (x: String) => x + " ",
+        (x: String) => " \t" + x,
+        (x: String) => x + "garbage",
+        (x: String) => x.replaceFirst(",", ",,"))
+    } yield m(j)
+    val factory = new com.fasterxml.jackson.core.JsonFactory()
+    def jacksonValid(t: String): Boolean =
+      try {
+        val p = factory.createParser(t)
+        try {
+          if (p.nextToken() == null) false
+          else { p.skipChildren(); p.nextToken() == null }
+        } finally p.close()
+      } catch { case _: Exception => false }
+    forAllSeeded(Gen.listOfN(200, mutated)) { texts =>
+      texts.foreach { t =>
+        val got = graft.functions.JsonValid.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        val want = jacksonValid(t)
+        assert(got == want, s"json_valid('$t'): scanner=$got jackson=$want")
+      }
+    }
+  }
+
+  test("graft_variant_gets ≡ an independent Jackson tree walk over " +
+    "randomized flat objects") {
+    // The streaming battery's typed-get semantics vs jackson-databind's
+    // TREE API — a different code path through a different parser
+    // surface (the r9 triangle lesson: only an independent fold
+    // catches a bug shared between an implementation and its oracle).
+    val fieldGen: Gen[(String, String)] = for {
+      name <- Gen.oneOf("k", "s", "z", "big", "neg", "obj", "arr", "dbl")
+      v <- Gen.oneOf(
+        Gen.choose(Long.MinValue, Long.MaxValue).map(_.toString),
+        Gen.const("99999999999999999999999999"), // BigInteger → NULL
+        Gen.alphaStr.map(t => "\"" + t + "\""),
+        Gen.const("{\"nested\": [1, 2]}"),
+        Gen.const("[3, {\"d\": 4}]"),
+        Gen.choose(-99.0, 99.0).map(d => f"$d%.4f"),
+        Gen.oneOf("true", "false", "null"))
+    } yield (name, v)
+    val objGen: Gen[String] = Gen.listOfN(5, fieldGen).map(fs =>
+      fs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val specs = Array(
+      graft.functions.VariantGets.parseSpec("k:bigint:kn"),
+      graft.functions.VariantGets.parseSpec("k:string:ks"),
+      graft.functions.VariantGets.parseSpec("s:string:ss"),
+      graft.functions.VariantGets.parseSpec("big:bigint:bn"),
+      graft.functions.VariantGets.parseSpec("missing:bigint:mn"))
+    forAllSeeded(Gen.listOfN(100, objGen)) { texts =>
+      texts.foreach { t =>
+        val row = graft.functions.VariantGets.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), specs)
+        val tree = mapper.readTree(t)
+        // Jackson tree keeps the LAST duplicate; the streaming battery
+        // keeps the last matching field too (each match overwrites).
+        def refLong(f: String): Any = {
+          val nd = tree.get(f)
+          if (nd != null && nd.isIntegralNumber && nd.canConvertToLong)
+            nd.asLong() else null
+        }
+        def refStr(f: String): Any = {
+          val nd = tree.get(f)
+          if (nd == null) null
+          else if (nd.isTextual) nd.asText()
+          else if (nd.isIntegralNumber && nd.canConvertToLong)
+            java.lang.Long.toString(nd.asLong())
+          else null
+        }
+        def got(i: Int): Any =
+          if (row.isNullAt(i)) null
+          else if (specs(i).asString) row.getUTF8String(i).toString
+          else row.getLong(i)
+        val want = Seq(refLong("k"), refStr("k"), refStr("s"),
+          refLong("big"), refLong("missing"))
+        val gotAll = (0 until 5).map(got)
+        assert(gotAll == want, s"variant_gets('$t'): $gotAll vs $want")
+      }
+    }
+  }
+
+  test("fn_collate's collated GROUP BY ≡ a plain-Scala case-fold over " +
+    "randomized mixed-case strings incl. non-ASCII") {
+    // UTF8_LCASE grouping vs an independent Scala groupBy(toLowerCase):
+    // the oracle replays lower(t) in SQL, so only a JVM-side fold can
+    // catch a shared folding bug. Alphabet: Latin, Latin-1 accents,
+    // Greek and Cyrillic — scripts with clean 1:1 case mappings where
+    // UTF8_LCASE and java.lang.String.toLowerCase(ROOT) agree (the
+    // locale-sensitive outliers — Turkish dotless i, ß→ss full folds —
+    // are exactly what a collation comparison must NOT silently decide,
+    // so they stay out of the generator and out of the key's claims).
+    val letter = Gen.oneOf(
+      ('a' to 'z') ++ ('A' to 'Z') ++ "àÀéÉöÖüÜñÑ" ++
+        "αΑβΒγΓ" ++ "бБвВгГ")
+    val word = Gen.listOfN(4, letter).map(_.mkString)
+    forAllSeeded(Gen.listOfN(60, word), n = 3) { words =>
+      import spark.implicits._
+      val df = words.toDF("t")
+      df.createOrReplaceTempView("collate_prop")
+      val got = spark.sql(
+        """SELECT lower(min(t)) AS lc, CAST(COUNT(*) AS BIGINT) AS n,
+          |CAST(COUNT(DISTINCT t) AS BIGINT) AS forms
+          |FROM collate_prop GROUP BY t COLLATE UTF8_LCASE
+          |ORDER BY lc""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = words.groupBy(_.toLowerCase(java.util.Locale.ROOT)).toSeq
+        .map { case (_, ws) =>
+          (ws.min.toLowerCase(java.util.Locale.ROOT), ws.size.toLong,
+            ws.distinct.size.toLong)
+        }.sortBy(_._1)
+      spark.catalog.dropTempView("collate_prop")
+      assert(got == want, s"collated grouping:\n$got\nvs fold\n$want")
+    }
+  }
 }

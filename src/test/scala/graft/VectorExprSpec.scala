@@ -201,6 +201,18 @@ class VectorExprSpec extends SparkSpec {
         .filter(col("pr.u") < col("pr.v"))
         .count()
       assert(np > 0)
+      // graft_variant_gets + graft_json_valid (r15): the single-parse
+      // battery over a real events scan, results referenced by a
+      // filter so the projection can't be pruned away.
+      val nv = T.events(spark, sf)
+        .select(call_function("graft_variant_gets", col("props"),
+            lit("k:bigint:k_num"), lit("k:string:k_str"),
+            lit("missing:bigint:m")).as("vg"),
+          call_function("graft_json_valid", col("props")).as("jv"))
+        .filter(col("vg.k_num") >= 0 &&
+          col("vg.k_str").isNotNull && col("vg.m").isNull && col("jv"))
+        .count()
+      assert(nv > 0)
     } finally prevFb match {
       case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
       case None => spark.conf.unset("spark.sql.codegen.fallback")
