@@ -439,6 +439,28 @@ object DomainOps {
           T.nation(s, d), "n_nationkey")))
         .orderBy("fk_name")),
 
+    // Keyed batch MERGE/upsert (r15, SCD Type-1 — closes the last
+    // write-path gap): apply a delta batch onto a STAGED warehouse
+    // table — inserts for new keys, latest-value overwrites for
+    // changed keys, carried rows for untouched keys, and an audit op
+    // tag per row (the MERGE ... WHEN MATCHED/NOT MATCHED readout).
+    // On plain parquet there is no transactional MERGE target, so the
+    // upsert is the compute + rewrite pattern: full-outer equi-join on
+    // the key, coalesce per column — ONE key shuffle at any scale,
+    // broadcast-able when the delta is small (the steady-state case;
+    // cdc_apply holds that pin). The staged target models the real
+    // shape (yesterday's snapshot on disk: every third key missing =
+    // today's inserts, every fifth price halved = stale values);
+    // UpsertSpec proves the WRITE-read-back cycle and idempotency
+    // (re-applying the same delta → zero inserted/updated).
+    "scd1_upsert" -> ((s, d) =>
+      scd1Upsert(stagedScd1Target(s, d),
+        T.orders(s, d)
+          .filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        key = "o_orderkey")
+        .orderBy("o_orderkey")),
+
     // Fact-to-summary reconciliation (r15): does the header total
     // agree with the sum of its detail lines — o_totalprice vs
     // Σ l_extendedprice·(1−disc) per order — the audit every
@@ -506,7 +528,87 @@ object DomainOps {
     }.reduce(_ unionByName _)
   }
 
+  /** SCD Type-1 upsert: apply `delta` onto `target` by `key` — delta
+    * wins per column, new keys insert, untouched target rows carry.
+    * Returns every resulting row plus an `op` audit tag
+    * (inserted / updated / unchanged / carried). Column-generic:
+    * target and delta must share a schema; "updated" means ANY
+    * non-key column differs (null-safe).
+    *
+    * Scale shape: one full-outer equi-join on the key — a single key
+    * shuffle over |target| + |delta|, broadcast-able when the delta
+    * is batch-small. The lakehouse MERGE statement compiles to exactly
+    * this plan plus a transactional commit; on plain parquet the
+    * commit is the staged atomic-rename rewrite (UpsertSpec drives
+    * the full write-read-back cycle).
+    */
+  def scd1Upsert(target: DataFrame, delta: DataFrame, key: String): DataFrame = {
+    require(target.columns.toSeq == delta.columns.toSeq,
+      s"scd1Upsert: schemas must match — target ${target.columns.mkString(",")}" +
+        s" vs delta ${delta.columns.mkString(",")}")
+    require(target.columns.contains(key), s"scd1Upsert: no key column $key")
+    val cols = target.columns.toSeq.filterNot(_ == key)
+    val t = target.withColumn("__t", lit(true))
+      .select((key +: cols).map(c =>
+        col(c).as(if (c == key) c else s"t_$c")) :+ col("__t"): _*)
+    val u = delta.withColumn("__u", lit(true))
+      .select((key +: cols).map(c =>
+        col(c).as(if (c == key) c else s"u_$c")) :+ col("__u"): _*)
+    val changed = cols
+      .map(c => !(col(s"u_$c") <=> col(s"t_$c")))
+      .reduce(_ || _)
+    t.join(u, Seq(key), "full_outer")
+      .select(
+        (col(key) +:
+          cols.map(c => coalesce(col(s"u_$c"), col(s"t_$c")).as(c))) :+
+          when(col("__u").isNull, "carried")
+            .when(col("__t").isNull, "inserted")
+            .when(changed, "updated")
+            .otherwise("unchanged").as("op"): _*)
+  }
+
+  /** Write-once staged "yesterday's orders snapshot" — the upsert
+    * TARGET table: every third key absent (today's inserts), every
+    * fifth price halved (stale values a delta overwrites). Staged
+    * parquet per the ScanOps discipline; the derivation is
+    * deterministic SQL the DuckDB oracle replays from `orders`.
+    */
+  private[graft] def stagedScd1Target(s: SparkSession, d: String): DataFrame = {
+    val mt = new java.io.File(d, "orders.parquet").lastModified()
+    val path = ScanOps.stageOnce(
+      s"graft_scd1_target_${ScanOps.dirTag(d)}_$mt") { tmp =>
+      T.orders(s, d)
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") / 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
   val oracle: Map[String, String] = Map(
+    "scd1_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice / 2
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |delta AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(d.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |       COALESCE(d.o_custkey, t.o_custkey) AS o_custkey,
+        |       COALESCE(d.o_totalprice, t.o_totalprice) AS o_totalprice,
+        |       CASE WHEN d.o_orderkey IS NULL THEN 'carried'
+        |            WHEN t.o_orderkey IS NULL THEN 'inserted'
+        |            WHEN d.o_custkey IS DISTINCT FROM t.o_custkey
+        |              OR d.o_totalprice IS DISTINCT FROM t.o_totalprice
+        |              THEN 'updated'
+        |            ELSE 'unchanged' END AS op
+        |FROM target t FULL OUTER JOIN delta d
+        |  ON t.o_orderkey = d.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "cdc_apply" ->
       """WITH log AS (
         |  SELECT CASE WHEN event_type = 'signup' THEN user_id + 2000000
