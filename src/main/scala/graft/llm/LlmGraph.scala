@@ -242,8 +242,24 @@ object LlmGraph {
       // jump compresses already-claimed label paths geometrically —
       // O(log diameter) probe rounds at a plan depth the per-round
       // checkpoint keeps constant.
-      val hooked = (1 to 2).foldLeft(
-        labels.withColumn("prev", col("comp")))((l, _) => hook(l))
+      //
+      // `prev` is (re)pinned BETWEEN the hooks, not at round start
+      // (r15): the probe then tests "did the LAST hook change
+      // anything" — a sound fixpoint test, because a hook fixpoint IS
+      // the global fixpoint (if any node still sat above its
+      // component min, a boundary neighbor of the min-labeled set
+      // would lower under one more hook), and labels are pointwise
+      // monotone non-increasing through hook and jump alike, so
+      // jumped == h1 sandwiches h2 == h1. Against the old round-start
+      // prev this detects convergence ONE ROUND EARLIER for every
+      // caller — the old probe needed a full extra confirm round
+      // after the labels stopped moving, and a scheduled round is the
+      // cost unit here (~0.35 s of driver planning + probe
+      // scheduling at near-dup label sizes; corpus_curate's shallow
+      // clique graph converges hook-1, so its loop drops 2 → 1
+      // scheduled rounds).
+      val h1 = hook(labels.withColumn("prev", col("comp")))
+      val hooked = hook(h1.withColumn("prev", col("comp")))
       // No jump at round 0: from identity labels two hooks already
       // cover the 2-hop neighborhood and there are no long label
       // chains to compress yet — shallow graphs (the near-dup path's
@@ -304,25 +320,31 @@ object LlmGraph {
     try {
       sess.conf.set("spark.sql.codegen.wholeStage", "false")
       while (!converged && rounds < maxRounds) {
-        // AQE off + few shuffle partitions from ROUND 1 ON: the label
-        // tables are node-sized, so AQE's per-stage replanning (a
-        // driver round-trip at every exchange) costs more than it
-        // saves, and 32-partition shuffles schedule ~10× more empty
-        // tasks than rows warrant. NOT at round 0: its probe also
-        // executes the caller's whole edge-building pipeline (for the
-        // near-dup path that's corpus-sized shingling + the inverted-
-        // index pair join), which needs the session's full parallelism
-        // and AQE — applying the label-sized tuning there measured
-        // corpus_curate 1.6 → 3.1 s in r10, and r11 re-measured the
-        // AQE-off-only variant (full round-0 parallelism kept) at
-        // corpus_curate 2.1 → 3.2 s / dedup_cluster 1.7 → 2.9 s:
-        // the static plans' non-broadcast joins cost more than every
-        // AQE round-trip combined. At cluster scale with billion-node
-        // label tables, keep AQE on past round 0 too — there its
-        // runtime broadcast and skew handling earn their latency.
+        // Label-sized loop tuning, staged (re-measured r15): the label
+        // tables are node-sized, so 32-partition shuffles schedule
+        // ~10× more empty tasks than rows warrant — partitions drop
+        // to 8 from ROUND 0 (the r10 "round 0 needs full parallelism"
+        // rule no longer binds: under AQE every lazy localCheckpoint's
+        // .rdd call at construction time already EXECUTED the caller's
+        // corpus-sized upstream exchanges with the session's full
+        // parallelism, so round 0's probe only materializes final
+        // stages + label-sized hooks; r10/r11's 1.6→3.1 / 2.1→3.2
+        // regressions reproduced only with AQE ALSO off at round 0 —
+        // the static 8-partition plans lost the runtime broadcasts).
+        // AQE stays ON for round 0 (its runtime broadcast covers
+        // whatever upstream final stages land in the probe) and off
+        // from round 1 where pure label-sized rounds pay a driver
+        // round-trip per exchange for nothing. Measured (sf0.1,
+        // loaded box): corpus_curate 1.98 → 1.48-1.76 solo min,
+        // graph_components 1.95 → 1.68, dedup_cluster ~1.3. At
+        // cluster scale with billion-node label tables, keep AQE on
+        // past round 0 too — there its runtime broadcast and skew
+        // handling earn their latency.
+        if (rounds == 0) {
+          sess.conf.set("spark.sql.shuffle.partitions", "8")
+        }
         if (rounds == 1) {
           sess.conf.set("spark.sql.adaptive.enabled", "false")
-          sess.conf.set("spark.sql.shuffle.partitions", "8")
         }
         round()
       }

@@ -229,6 +229,42 @@ object SubqueryOps {
        |                        WHERE o_orderstatus = 'F')
        |ORDER BY c_custkey""".stripMargin
 
+  /** The AT-SCALE spelling of `sub_not_in`'s NOT IN (r15): Spark can
+    * only execute a null-aware anti join as a broadcast (the `sub_not_in`
+    * scale contract above), so a NOT IN whose inner side outgrows
+    * executor memory needs the decomposed 3VL-EXACT equivalent —
+    *
+    *   x NOT IN S  ⟺  NOT EXISTS (s = x)            — plain LeftAnti,
+    *                                                   shuffle-able
+    *               AND count(s IS NULL in S) = 0     — one-row scalar
+    *               AND (x IS NOT NULL OR |S| = 0)    — one-row scalar
+    *
+    * The correlated piece is a null-REJECTING equality, so
+    * RewritePredicateSubquery plans a plain LeftAnti equi-join that
+    * shuffles on the key at any scale (never the nullAware flag, never
+    * a BroadcastNestedLoopJoin); the two uncorrelated scalar counts
+    * compute once each. Every 3VL corner is preserved exactly — inner
+    * NULL empties the result, an outer NULL key drops against a
+    * non-empty inner but survives an EMPTY inner (the vacuous-truth
+    * corner the common `x IS NOT NULL AND NOT EXISTS` shorthand gets
+    * wrong) — pinned against Spark's NATIVE NOT IN on a four-corner
+    * NULL fixture in OperatorSemanticsSpec. The oracle runs DuckDB's
+    * native NOT IN on the same inner text, so the two engines must
+    * agree via different strategies (the `sub_all` precedent).
+    */
+  private def subNotInScalableSql(t: String => String) =
+    s"""SELECT c_custkey, c_name
+       |FROM ${t("customer")} AS c
+       |WHERE NOT EXISTS (SELECT 1 FROM ${t("orders")} AS o
+       |                  WHERE o.o_orderstatus = 'F'
+       |                    AND o.o_custkey = c.c_custkey)
+       |  AND (SELECT COUNT(*) FROM ${t("orders")} AS o
+       |       WHERE o.o_orderstatus = 'F' AND o.o_custkey IS NULL) = 0
+       |  AND (c.c_custkey IS NOT NULL
+       |       OR (SELECT COUNT(*) FROM ${t("orders")} AS o
+       |           WHERE o.o_orderstatus = 'F') = 0)
+       |ORDER BY c_custkey""".stripMargin
+
   /** Quantified comparisons (`>= ALL` / `< ANY`): Spark 4.1.2's parser
     * REJECTS the quantified spelling outright (PARSE_SYNTAX_ERROR at
     * `ALL (`/`ANY (` — probed r14), so these two keys pin the
@@ -352,6 +388,7 @@ object SubqueryOps {
     "sub_correlated_eq" -> ((s, d) => s.sql(subCorrelatedEqSql(pq(d, _)))),
     "sub_in" -> ((s, d) => s.sql(subInSql(pq(d, _)))),
     "sub_not_in" -> ((s, d) => s.sql(subNotInSql(pq(d, _)))),
+    "sub_not_in_scalable" -> ((s, d) => s.sql(subNotInScalableSql(pq(d, _)))),
     "sub_all" -> ((s, d) => s.sql(subAllSparkSql(pq(d, _)))),
     "sub_any" -> ((s, d) => s.sql(subAnySparkSql(pq(d, _)))),
     "sub_select_scalar" -> ((s, d) => s.sql(subSelectScalarSql(pq(d, _)))),
@@ -366,6 +403,9 @@ object SubqueryOps {
     "sub_correlated_eq" -> subCorrelatedEqSql(identity),
     "sub_in" -> subInSql(identity),
     "sub_not_in" -> subNotInSql(identity),
+    // DuckDB evaluates the NATIVE NOT IN where Spark runs the
+    // decomposed anti-join form — different strategies must agree.
+    "sub_not_in_scalable" -> subNotInSql(identity),
     "sub_all" -> subAllOracleSql(identity),
     "sub_any" -> subAnyOracleSql(identity),
     "sub_select_scalar" -> subSelectScalarSql(identity),

@@ -1012,6 +1012,48 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(in == Seq(2L), s"IN ignores inner NULLs and matches: $in")
   }
 
+  test("sub_not_in_scalable: the decomposed anti-join form ≡ native " +
+    "NOT IN on every 3VL corner") {
+    // The at-scale spelling must agree with Spark's own null-aware
+    // NOT IN corner for corner: (a) null-free inner — plain anti-join
+    // rows, outer NULL drops; (b) inner NULL — empty; (c) EMPTY inner
+    // (after the status filter) — ALL rows survive INCLUDING the
+    // outer-NULL one (NOT IN over an empty set is vacuously true even
+    // for a NULL probe — the corner the common `x IS NOT NULL AND NOT
+    // EXISTS` shorthand gets wrong and this key's third conjunct
+    // exists for).
+    import spark.implicits._
+    val q = graft.operators.SubqueryOps.queries
+    def write(dir: String, orders: Seq[(Long, Option[Long], String, Double)]) = {
+      Seq((Option(1L), "A"), (Option(2L), "B"), (Option(3L), "C"),
+          (Option.empty[Long], "N"))
+        .toDF("c_custkey", "c_name").write.parquet(s"$dir/customer.parquet")
+      orders.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+    }
+    def both(dir: String): (Seq[Option[Long]], Seq[Option[Long]]) = {
+      def keys(k: String) = q(k)(spark, dir).collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+      (keys("sub_not_in"), keys("sub_not_in_scalable"))
+    }
+    val a = java.nio.file.Files.createTempDirectory("graft_nis_a").toString
+    write(a, Seq((10L, Some(1L), "F", 5.0), (11L, Some(2L), "O", 5.0)))
+    val (na, sa) = both(a)
+    assert(na == sa && sa == Seq(Some(2L), Some(3L)),
+      s"null-free inner: native=$na scalable=$sa")
+    val b = java.nio.file.Files.createTempDirectory("graft_nis_b").toString
+    write(b, Seq((10L, Some(1L), "F", 5.0), (12L, None, "F", 5.0)))
+    val (nb, sb) = both(b)
+    assert(nb == sb && sb.isEmpty, s"inner NULL: native=$nb scalable=$sb")
+    val c = java.nio.file.Files.createTempDirectory("graft_nis_c").toString
+    write(c, Seq((11L, Some(2L), "O", 5.0))) // no 'F' rows: empty inner
+    val (nc, sc) = both(c)
+    // Spark's ASC sort is NULLS FIRST, hence None leads.
+    assert(nc == sc &&
+      sc == Seq(None, Some(1L), Some(2L), Some(3L)),
+      s"empty inner keeps ALL rows incl. the NULL key: native=$nc scalable=$sc")
+  }
+
   test("sub_select_scalar: COUNT over an empty group is 0, MAX is NULL " +
     "— the decorrelated outer join must coalesce the count") {
     // The classic silent-wrongness trap: decorrelating a SELECT-list

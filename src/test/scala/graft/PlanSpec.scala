@@ -466,6 +466,21 @@ class PlanSpec extends SparkSpec {
     assert(pn.contains("LeftAnti, BuildRight, true"), pn)
   }
 
+  test("sub_not_in_scalable: a PLAIN LeftAnti equi-join — never the " +
+    "null-aware flag, never a nested loop") {
+    // The key's whole point: the decomposed 3VL spelling must plan as
+    // a shuffle-able anti join (the null-rejecting equality is the
+    // join condition), with the NULL bookkeeping as one-shot scalar
+    // subqueries — not as the broadcast-only null-aware anti join the
+    // native NOT IN forces.
+    val p = plan("sub_not_in_scalable", SubqueryOps.queries)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("LeftAnti, BuildRight, true"),
+      s"decomposed NOT IN must not need the null-aware flag: $p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sub_correlated_eq: Q2's equality-to-MIN decorrelates to a min " +
     "aggregate + equi-join") {
     val p = plan("sub_correlated_eq", SubqueryOps.queries)
