@@ -70,7 +70,33 @@ object UdfOps {
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos0", "token")))
         .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("token"))
-        .orderBy("doc_id", "pos"))
+        .orderBy("doc_id", "pos")),
+
+    // SQL UDF (r15, Spark 4 surface): CREATE TEMPORARY FUNCTION with a
+    // RETURN expression body — the declarative alternative to
+    // udf_scalar's JVM closure, and the form that does NOT pay the UDF
+    // tax: the body INLINES into the calling plan at analysis time, so
+    // whole-stage codegen and optimizer rewrites survive where a
+    // ScalaUDF is an opaque black box (PlanSpec pins no ScalaUDF node
+    // and the inlined CASE in both the projection and the filter).
+    // Same tier semantics as udf_scalar ON PURPOSE — the pair
+    // demonstrates the two rungs of the reuse ladder; the filter on
+    // the UDF output is the part a JVM UDF would force to evaluate
+    // opaquely twice.
+    "udf_sql" -> ((s, d) => {
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_price_tier(p DOUBLE)
+          |RETURNS STRING
+          |RETURN CASE WHEN p < 50000 THEN 'bronze'
+          |            WHEN p < 150000 THEN 'silver'
+          |            WHEN p < 300000 THEN 'gold'
+          |            ELSE 'platinum' END""".stripMargin)
+      s.sql(
+        s"""SELECT o_orderkey, graft_price_tier(o_totalprice) AS tier
+           |FROM parquet.`$d/orders.parquet`
+           |WHERE graft_price_tier(o_totalprice) <> 'platinum'
+           |ORDER BY o_orderkey""".stripMargin)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -92,6 +118,20 @@ object UdfOps {
       """SELECT doc_id,
         |  generate_subscripts(string_split(text, ' '), 1) AS pos,
         |  unnest(string_split(text, ' ')) AS token
-        |FROM documents ORDER BY doc_id, pos""".stripMargin
+        |FROM documents ORDER BY doc_id, pos""".stripMargin,
+    // The oracle replays the INLINED body — which is exactly the SQL
+    // UDF's semantics (analysis-time macro expansion).
+    "udf_sql" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 50000 THEN 'bronze'
+        |       WHEN o_totalprice < 150000 THEN 'silver'
+        |       WHEN o_totalprice < 300000 THEN 'gold'
+        |       ELSE 'platinum' END AS tier
+        |FROM orders
+        |WHERE CASE WHEN o_totalprice < 50000 THEN 'bronze'
+        |           WHEN o_totalprice < 150000 THEN 'silver'
+        |           WHEN o_totalprice < 300000 THEN 'gold'
+        |           ELSE 'platinum' END <> 'platinum'
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

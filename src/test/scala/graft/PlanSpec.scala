@@ -466,6 +466,23 @@ class PlanSpec extends SparkSpec {
     assert(pn.contains("LeftAnti, BuildRight, true"), pn)
   }
 
+  test("udf_sql: the SQL UDF body INLINES — no ScalaUDF node, the CASE " +
+    "tree lands in the plan like hand-written SQL") {
+    // The whole point of the declarative UDF rung: udf_scalar's JVM
+    // closure plans as an opaque ScalaUDF (pushdown- and
+    // codegen-hostile); the SQL UDF is an analysis-time macro, so the
+    // physical plan is indistinguishable from inlining the expression
+    // by hand — both the projection and the filter carry the expanded
+    // CASE, and no UDF node of any kind survives.
+    // Physical plan strings render a ScalaUDF call as `UDF(...)`.
+    val p = plan("udf_sql", graft.functions.UdfOps.queries)
+    assert(!p.contains("UDF("), p)
+    assert(p.contains("CASE WHEN"), p)
+    val ps = plan("udf_scalar", graft.functions.UdfOps.queries)
+    assert(ps.contains("UDF("),
+      s"contrast pin: the JVM-closure key should stay opaque: $ps")
+  }
+
   test("sub_not_in_scalable: a PLAIN LeftAnti equi-join — never the " +
     "null-aware flag, never a nested loop") {
     // The key's whole point: the decomposed 3VL spelling must plan as
