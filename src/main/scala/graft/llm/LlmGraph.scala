@@ -266,6 +266,12 @@ object LlmGraph {
       // common case) converge right there, and the jump would be a
       // wasted join in their probe plan. From round 1 on, chains
       // exist and the jump's geometric compression pays.
+      // NOT jump(jump(hooked)) (r15, measured): a second jump per
+      // round compresses label paths 4× instead of 2×, but on the
+      // graph_components fixture the binding constraint is HOOK HOPS
+      // (the min label still travels one edge per hook), so rounds
+      // stayed at 4 while the extra node-sized join added ~0.2 s —
+      // strictly worse. The single jump is the balance point.
       val stepped = if (rounds == 0) hooked else jump(hooked)
       // LAZY localCheckpoint, not statsReset, as the per-round
       // boundary: statsReset's createDataFrame(df.rdd) forces a full

@@ -15,22 +15,40 @@ import org.apache.spark.sql.functions._
   * `keepUnmatched = true` keeps left rows with no qualifying right row
   * (right columns NULL) — the LEFT form; `false` drops them (inner).
   *
-  * Shape (the 100 TB argument): equi-join on the key with the time
-  * bound as residual, then a `max(struct(time, tieBreak, payload))`
-  * aggregate — NOT a ranked window over the join output. The max
-  * combines MAP-SIDE, so the post-join shuffle carries one candidate
-  * row per (left row, partition) instead of the whole join output
-  * (measured 11.9 s → 1.2 s at sf0.1 in round 2; the gap widens with
-  * scale). The payload struct rides inside the max and is only
-  * compared when (time, tieBreak) ties — callers should make
-  * `rightTieBreak` unique per (key, time), which every sane revision/
-  * order key is.
+  * Shape (the 100 TB argument, re-derived r15): UNION the two sides
+  * into one (key, time)-tagged stream and take a running
+  * `last(payload, ignoreNulls)` over a key-partitioned window — ONE
+  * shuffle of |left| + |right| rows and a LINEAR per-key merge scan.
+  * The previous shape (r2–r14) was the equi-join on the key with the
+  * time bound as residual + a map-side-combining `max(struct(time,
+  * tieBreak, payload))` — already far better than a ranked window
+  * over the join output (11.9 s → 1.2 s at sf0.1, round 2), but its
+  * per-key CPU is the JOIN FANOUT, |left_k|·|right_k| struct builds
+  * and compares, which goes QUADRATIC on a hub key (one user with
+  * 10k events × 10k orders = 100M candidate rows where the union
+  * form sorts 20k). The union form's worst key costs
+  * (|left_k|+|right_k|)·log — skew-robust by construction, the same
+  * reason merge-based as-of beats binary-search-per-probe in every
+  * columnar engine. Measured at sf0.1: join_asof 1.53 → ~0.7 s. The
+  * join-agg form survives as [[asofJoinViaJoinAgg]], the reference
+  * implementation the equivalence specs replay (and the better pick
+  * only when the right side is tiny enough to broadcast AND the left
+  * is pre-partitioned — no sort, no exchange of the left).
+  *
+  * Ordering inside a key: rows sort by (time, side-tag, tieBreak)
+  * with right rows (tag 0) before left rows (tag 1) at equal time —
+  * at-or-before is inclusive; among right rows at equal time the
+  * largest `rightTieBreak` sorts last and wins, matching the old
+  * max(struct) exactly. NULL right keys/times are filtered (they can
+  * never match in the join form either); a NULL left time sorts
+  * before every right row and correctly matches nothing.
   *
   * Contract: left and right column names must be disjoint (the output
-  * carries both sides verbatim), and the left frame's columns must
-  * functionally determine a unique left row (the group-by key is ALL
-  * left columns; byte-identical duplicate left rows would collapse —
-  * give rows an id if that matters).
+  * carries both sides verbatim), and `rightTieBreak` should be unique
+  * per (key, time) — every sane revision/order key is; with duplicate
+  * (key, time, tieBreak) right rows the survivor among the duplicates
+  * is unspecified (the old form compared payload bytes, equally
+  * arbitrary).
   */
 object AsOf {
 
@@ -44,6 +62,58 @@ object AsOf {
         overlap.mkString(", "))
     require(right.columns.contains(rightTieBreak),
       s"tie-break column $rightTieBreak not in right side")
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    val rowType = right.schema
+    val tbType = right.schema(rightTieBreak).dataType
+    // Both times ride ONE sort column as timestamp — the same
+    // coercion Spark applies to a date-vs-timestamp `<=` (dates
+    // become midnight), so the union form orders exactly like the
+    // join form compared.
+    val rPart = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(Seq(
+        col(rightKey).as("__k"),
+        col(rightTime).cast("timestamp").as("__t"),
+        lit(0).as("__tag"),
+        col(rightTieBreak).as("__tb"),
+        struct(rCols.map(col): _*).as("__row")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lPart = left.select(Seq(
+        col(leftKey).as("__k"),
+        col(leftTime).cast("timestamp").as("__t"),
+        lit(1).as("__tag"),
+        lit(null).cast(tbType).as("__tb"),
+        lit(null).cast(rowType).as("__row")) ++ lCols.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k")
+      .orderBy(col("__t").asc_nulls_first, col("__tag"), col("__tb"))
+      .rowsBetween(Long.MinValue, 0)
+    val scanned = lPart.unionByName(rPart)
+      .withColumn("__best", last(col("__row"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    val kept =
+      if (keepUnmatched) scanned else scanned.filter(col("__best").isNotNull)
+    kept.select(lCols.map(col) ++
+      rCols.map(c => col(s"__best.$c").as(c)): _*)
+  }
+
+  /** The r2–r14 join-then-aggregate as-of — kept as the REFERENCE
+    * implementation for the equivalence specs and as the documented
+    * alternative shape: equi-join on the key with the time bound as
+    * residual, then a map-side-combining `max(struct(time, tieBreak,
+    * payload))` per left row. Prefer [[asofJoin]]: this form's per-key
+    * CPU is the join fanout |left_k|·|right_k| (quadratic on hub
+    * keys); it wins only when the right side broadcasts AND the left
+    * side's existing partitioning must be preserved (no sort/exchange
+    * of the left). The group-by key is ALL left columns, so
+    * byte-identical duplicate left rows collapse here — the window
+    * form keeps them.
+    */
+  private[graft] def asofJoinViaJoinAgg(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: String, keepUnmatched: Boolean = false): DataFrame = {
     val payload = struct(right.columns.map(col): _*).alias("row")
     val joined = left.join(right,
       col(leftKey) === col(rightKey) && col(rightTime) <= col(leftTime),

@@ -204,6 +204,37 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("AsOf.asofJoin (union-window) ≡ the join-agg reference on a " +
+    "hub-key fixture, inner AND left forms") {
+    // The r15 rewrite's contract: the skew-robust union+last(ignore
+    // nulls) form must agree row-for-row with the r2-r14
+    // join+max(struct) reference — on exactly the shape the rewrite
+    // exists for (one hub key carrying most of both sides), plus
+    // sparse keys, an unmatched-left key, and a right-only key.
+    import graft.operators.AsOf
+    import spark.implicits._
+    def ts(t: Long) = new java.sql.Timestamp(1700000000000L + t * 60000L)
+    val hub = (0L until 200L).map(i => (i, 1L, ts(i % 50)))     // key 1: 200 events over 50 ts
+    val sparse = Seq((900L, 2L, ts(10)), (901L, 3L, ts(0)))     // key 3's event precedes all orders
+    val left = (hub ++ sparse).toDF("event_id", "eu", "ets")
+    val hubOrders = (0L until 150L).map(j => (j, 1L, ts(j % 60)))  // incl. ts ties
+    val rest = Seq((500L, 2L, ts(5)), (501L, 3L, ts(7)), (502L, 4L, ts(1)))
+    val right = (hubOrders ++ rest).toDF("okey", "ou", "odate")
+    for (keep <- Seq(false, true)) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_id", "okey").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      val win = rows(AsOf.asofJoin(left, right, "eu", "ou", "ets",
+        "odate", "okey", keepUnmatched = keep))
+      val ref = rows(AsOf.asofJoinViaJoinAgg(left, right, "eu", "ou",
+        "ets", "odate", "okey", keepUnmatched = keep))
+      assert(win == ref,
+        s"keep=$keep: window form diverges from join-agg reference: " +
+          s"only-win=${win -- ref} only-ref=${ref -- win}")
+    }
+  }
+
   test("AsOf.asofJoin equals the ranked-window emulation on real data") {
     import graft.operators.AsOf
     val e = T.events(spark, sf).select("event_id", "ts", "user_id")
