@@ -150,6 +150,77 @@ object AsOf {
         overlap.mkString(", "))
     require(right.columns.contains(rightTieBreak),
       s"tie-break column $rightTieBreak not in right side")
+    // r15: same union-merge rewrite as [[asofJoin]], run as TWO window
+    // scans over ONE union — a backward pass (latest at-or-before) and
+    // a forward pass (earliest strictly-after), then a column-math
+    // pick of the closer candidate. One key exchange, two linear
+    // per-key sort scans — the join-fanout form (kept below as
+    // [[nearestJoinViaJoinAgg]]) paid |L_k|·|R_k| per key. Tie rules
+    // preserved exactly: equidistant candidates break to the EARLIER
+    // time — always the backward one, since back.t ≤ T < fwd.t — and
+    // same-time candidates to the SMALLEST tieBreak, which is why
+    // both scans order `__tb` DESCENDING (the running `last` then
+    // lands on the minimum). The forward scan runs time-descending
+    // with LEFT rows first at equal time, so an exactly-at-T right
+    // row is credited only to the backward pass (distance 0), never
+    // double-counted. NULL right keys/times are filtered (a row with
+    // no time is never "nearest"); a NULL left time matches nothing.
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    val rowType = right.schema
+    val tbType = right.schema(rightTieBreak).dataType
+    val rPart = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(Seq(
+        col(rightKey).as("__k"),
+        col(rightTime).cast("long").as("__t"),
+        lit(0).as("__tag"),
+        col(rightTieBreak).as("__tb"),
+        struct(rCols.map(col): _*).as("__row")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lPart = left.select(Seq(
+        col(leftKey).as("__k"),
+        col(leftTime).cast("long").as("__t"),
+        lit(1).as("__tag"),
+        lit(null).cast(tbType).as("__tb"),
+        lit(null).cast(rowType).as("__row")) ++ lCols.map(col): _*)
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("__k")
+    val wBack = win
+      .orderBy(col("__t").asc_nulls_first, col("__tag").asc, col("__tb").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val wFwd = win
+      .orderBy(col("__t").desc_nulls_first, col("__tag").desc, col("__tb").desc)
+      .rowsBetween(Long.MinValue, 0)
+    // Right-only candidate (NULL on left rows, so ignoreNulls skips
+    // them); carries the pieces the final pick compares.
+    val cand = when(col("__tag") === 0,
+      struct(col("__t").as("t"), col("__row").as("row")))
+    val scanned = lPart.unionByName(rPart)
+      .withColumn("__b", last(cand, ignoreNulls = true).over(wBack))
+      .withColumn("__f", last(cand, ignoreNulls = true).over(wFwd))
+      .filter(col("__tag") === 1)
+    val dBack = col("__t") - col("__b.t")
+    val dFwd = col("__f.t") - col("__t")
+    val best = when(col("__b").isNotNull &&
+        (col("__f").isNull || dBack <= dFwd), col("__b"))
+      .otherwise(col("__f"))
+    val withBest = scanned.withColumn("__best", best)
+    val kept =
+      if (keepUnmatched) withBest
+      else withBest.filter(col("__best").isNotNull)
+    kept.select(lCols.map(col) ++
+      rCols.map(c => col(s"__best.row.$c").as(c)): _*)
+  }
+
+  /** The r8–r14 join-then-aggregate nearest join — the reference
+    * implementation for the equivalence spec ([[nearestJoin]]'s
+    * rationale): plain key equi-join + map-side `min(struct(|Δt|,
+    * time, tieBreak, payload))`, per-key CPU = the join fanout.
+    */
+  private[graft] def nearestJoinViaJoinAgg(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: String, keepUnmatched: Boolean = false): DataFrame = {
     val payload = struct(right.columns.map(col): _*).alias("row")
     val dist = abs(col(rightTime).cast("long") - col(leftTime).cast("long"))
     left.join(right, col(leftKey) === col(rightKey),

@@ -235,6 +235,37 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("AsOf.nearestJoin (two-scan window) ≡ the join-agg reference on " +
+    "a hub-key fixture, inner AND left forms") {
+    // Same rationale as the asofJoin pair: the r15 two-window rewrite
+    // must agree row-for-row with the r8-r14 join+min(struct)
+    // reference on a hub key with time ties (several orders at the
+    // same timestamp exercise the min-tieBreak rule), equidistant
+    // pairs (exercise the earlier-time rule), an exactly-at-T order
+    // (distance 0, must not double-count), and an unmatched key.
+    import graft.operators.AsOf
+    import spark.implicits._
+    val hub = (0L until 120L).map(i => (i, 1L, (i * 7 % 97)))
+    val sparse = Seq((900L, 2L, 50L), (901L, 3L, 11L))
+    val left = (hub ++ sparse).toDF("event_id", "eu", "ets")
+    val hubOrders = (0L until 90L).map(j => (j, 1L, (j * 11 % 89)))
+    val rest = Seq((500L, 2L, 50L), (501L, 2L, 50L), (502L, 4L, 1L))
+    val right = (hubOrders ++ rest).toDF("okey", "ou", "ot")
+    for (keep <- Seq(false, true)) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_id", "okey").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      val win = rows(AsOf.nearestJoin(left, right, "eu", "ou", "ets",
+        "ot", "okey", keepUnmatched = keep))
+      val ref = rows(AsOf.nearestJoinViaJoinAgg(left, right, "eu", "ou",
+        "ets", "ot", "okey", keepUnmatched = keep))
+      assert(win == ref,
+        s"keep=$keep: two-scan form diverges from join-agg reference: " +
+          s"only-win=${win -- ref} only-ref=${ref -- win}")
+    }
+  }
+
   test("AsOf.asofJoin equals the ranked-window emulation on real data") {
     import graft.operators.AsOf
     val e = T.events(spark, sf).select("event_id", "ts", "user_id")

@@ -113,6 +113,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "interval join must not be cartesian")
   }
 
+  test("as-of family plans as union + key window — NO join node " +
+    "anywhere (the r15 merge-scan rewrite)") {
+    // The rewrite's structural promise: one hash exchange on the key
+    // feeds a window merge scan; the old shape's equi-join (and its
+    // per-key fanout CPU) is gone. Any Join operator reappearing here
+    // means the quadratic form crept back.
+    for (k <- Seq("join_asof", "join_asof_left", "join_asof_tol",
+        "join_nearest")) {
+      val p = plan(k, JoinOps.queries)
+      assert(p.contains("Window"), s"$k: $p")
+      assert(!p.contains("Join"), s"$k must not join at all: $p")
+      val keyExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(keyExchanges == 1,
+        s"$k: expected exactly one key exchange, got $keyExchanges: $p")
+    }
+  }
+
   test("no accidental cartesian products in equi-join queries") {
     for (k <- Seq("join_inner", "join_left", "join_semi", "join_anti", "join_asof")) {
       val p = plan(k, JoinOps.queries)

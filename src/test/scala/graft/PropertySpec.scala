@@ -409,6 +409,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("nearestJoin ≡ naive closest-in-time fold for ANY series") {
+    // The r15 two-scan window rewrite against the brute-force
+    // definition: per left row, min over all same-key right rows of
+    // (|Δt|, t, tieBreak) — equidistant breaks to the earlier time,
+    // same-time to the smaller key. Longs as times (the API's
+    // epoch-second contract).
+    import graft.operators.AsOf
+    val inputs = for {
+      evs <- Gen.nonEmptyListOf(for {
+        u <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 60L)
+      } yield (u, t))
+      ors <- Gen.nonEmptyListOf(for {
+        u <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 60L)
+      } yield (u, t))
+    } yield (evs.distinct, ors.distinct)
+    forAllSeeded(inputs) { case (evs, ors) =>
+      val left = evs.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, u, t) }.toDF("event_id", "eu", "ets")
+      val right = ors.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, u, t) }.toDF("okey", "ou", "ot")
+      val got = AsOf.nearestJoin(left, right, "eu", "ou", "ets", "ot",
+          "okey", keepUnmatched = false)
+        .select("event_id", "okey").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = evs.zipWithIndex.flatMap { case ((u, t), i) =>
+        val cands = ors.zipWithIndex.filter { case ((ou, _), _) => ou == u }
+        if (cands.isEmpty) None
+        else Some(i.toLong -> cands.minBy { case ((_, ot), j) =>
+          (math.abs(ot - t), ot, j.toLong) }._2.toLong)
+      }.toMap
+      assert(got == want, s"evs=$evs ors=$ors")
+    }
+  }
+
   test("funnelTimes ≡ sequential reference fold for ANY event stream") {
     import graft.operators.WindowOps
     val steps = Seq("a", "b", "c")
