@@ -205,8 +205,16 @@ object LlmGraph {
     // the hang regime.
     def statsReset(df: DataFrame): DataFrame =
       df.sparkSession.createDataFrame(df.rdd, df.schema)
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    // Label init = the FIRST hook for free (r15): comp₀(v) =
+    // min(v, min neighbor) is exactly one min-label hop from identity
+    // labels, and it falls out of the SAME src-shuffle the plain
+    // `distinct()` init already paid — one aggregate over the edge
+    // list, no label join. Every probe round then starts one graph
+    // hop further along; pair/clique graphs (the near-dup path) are
+    // CONVERGED at init and round 0 just confirms.
+    var labels = e.groupBy("src").agg(min(col("dst")).as("__md"))
+      .select(col("src").as("node"),
+        least(col("src"), col("__md")).as("comp"))
     var converged = false
     var rounds = 0
     // One min-label step in UNION form: comp'(v) = min over the closed
