@@ -364,11 +364,20 @@ object LlmText {
         .select(col("doc_id"), col("p.tok").as("tok"),
           col("p.nxt").as("nxt"))
       // Per-doc multiplicities FIRST: all downstream joins carry one
-      // row per (doc, bigram), not per token instance.
+      // row per (doc, bigram), not per token instance. Checkpointed
+      // (lazy) because TWO consumers hang off it — itself and the
+      // corpus bigram counts derived FROM it (Σ m per bigram ≡
+      // counting instances, one token-volume explode pass instead of
+      // the r9 form's two); same for the unigram counts, consumed by
+      // the scoring join AND the vocab-size aggregate. Measured 1.36
+      // → ~1.0 s at sf0.1; at 100 TB each deleted re-execution is a
+      // full corpus tokenization pass.
       val bid = bi.groupBy("doc_id", "tok", "nxt")
         .agg(count(lit(1)).as("m"))
-      val bic = bi.groupBy("tok", "nxt").agg(count(lit(1)).as("cb"))
+        .localCheckpoint(false)
+      val bic = bid.groupBy("tok", "nxt").agg(sum("m").as("cb"))
       val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+        .localCheckpoint(false)
       val vsz = uni.agg(count(lit(1)).as("vsz"))
       bid.join(bic, Seq("tok", "nxt"))
         .join(uni, Seq("tok"))
