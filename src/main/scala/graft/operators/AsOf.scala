@@ -98,6 +98,82 @@ object AsOf {
       rCols.map(c => col(s"__best.$c").as(c)): _*)
   }
 
+  /** FORWARD as-of join (r15): for every left row, the right row with
+    * the SMALLEST `rightTime >= leftTime` among rows sharing the key —
+    * pandas `merge_asof(direction="forward")`, the "next event at-or-
+    * after" lookup (next delivery after the order, next error after
+    * the deploy). Ties at equal time break to the SMALLEST
+    * `rightTieBreak` (the first in order — the natural dual of the
+    * backward join's latest-revision-wins largest-tieBreak rule).
+    * Same union-merge shape and cost as [[asofJoin]], scanned
+    * time-DESCENDING with right rows first at equal time so
+    * at-or-after is inclusive; `__tb` descending makes the running
+    * `last` land on the minimum tieBreak. NULL handling mirrors
+    * [[asofJoin]].
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: String, keepUnmatched: Boolean = false): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both have: " +
+        overlap.mkString(", "))
+    require(right.columns.contains(rightTieBreak),
+      s"tie-break column $rightTieBreak not in right side")
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    val rowType = right.schema
+    val tbType = right.schema(rightTieBreak).dataType
+    val rPart = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(Seq(
+        col(rightKey).as("__k"),
+        col(rightTime).cast("timestamp").as("__t"),
+        lit(0).as("__tag"),
+        col(rightTieBreak).as("__tb"),
+        struct(rCols.map(col): _*).as("__row")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lPart = left.select(Seq(
+        col(leftKey).as("__k"),
+        col(leftTime).cast("timestamp").as("__t"),
+        lit(1).as("__tag"),
+        lit(null).cast(tbType).as("__tb"),
+        lit(null).cast(rowType).as("__row")) ++ lCols.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k")
+      .orderBy(col("__t").desc_nulls_first, col("__tag").asc,
+        col("__tb").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val scanned = lPart.unionByName(rPart)
+      .withColumn("__best", last(col("__row"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    val kept =
+      if (keepUnmatched) scanned else scanned.filter(col("__best").isNotNull)
+    kept.select(lCols.map(col) ++
+      rCols.map(c => col(s"__best.$c").as(c)): _*)
+  }
+
+  /** Join-agg reference for [[asofJoinForward]] (equivalence specs
+    * only): key equi-join with `rightTime >= leftTime` residual +
+    * map-side `min(struct(time, tieBreak, payload))`.
+    */
+  private[graft] def asofJoinForwardViaJoinAgg(left: DataFrame,
+      right: DataFrame, leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: String, keepUnmatched: Boolean = false): DataFrame = {
+    val payload = struct(right.columns.map(col): _*).alias("row")
+    val joined = left.join(right,
+      col(leftKey) === col(rightKey) && col(rightTime) >= col(leftTime),
+      if (keepUnmatched) "left" else "inner")
+    joined
+      .groupBy(left.columns.map(col): _*)
+      .agg(min(struct(col(rightTime), col(rightTieBreak), payload))
+        .as("__best"))
+      .select(left.columns.map(col) ++
+        right.columns.map(c => col(s"__best.row.$c").as(c)): _*)
+  }
+
   /** The r2–r14 join-then-aggregate as-of — kept as the REFERENCE
     * implementation for the equivalence specs and as the documented
     * alternative shape: equi-join on the key with the time bound as

@@ -193,6 +193,24 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // FORWARD as-of ([[AsOf.asofJoinForward]], r15): each event's
+    // NEXT order at-or-after — pandas merge_asof(direction="forward"),
+    // the "what happened next" attribution lookup (next delivery after
+    // the order, next error after the deploy). Ties at equal date pin
+    // to the SMALLEST order key (first in order, the dual of the
+    // backward join's latest-revision-wins rule); inner form — late
+    // events with no later order drop, genuinely exercised here.
+    "join_asof_fwd" -> ((s, d) => {
+      val e = T.events(s, d).select("event_id", "ts", "user_id")
+      val o = T.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+      AsOf.asofJoinForward(e, o, "user_id", "o_custkey", "ts",
+          "o_orderdate", "o_orderkey")
+        .select(col("event_id"), T.tstr(col("ts")).as("event_ts"),
+                col("o_orderkey"),
+                T.dstr(col("o_orderdate")).as("order_date"))
+        .orderBy("event_id")
+    }),
+
     // Nearest-in-time join ([[AsOf.nearestJoin]], r8): each event's
     // closest URGENT order of the same user in EITHER direction — the
     // bidirectional as-of ("order nearest the session"). Epoch-second
@@ -417,6 +435,20 @@ object JoinOps {
         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM events JOIN orders
         |    ON user_id = o_custkey AND o_orderdate <= ts)
+        |SELECT event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        |       o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // FORWARD replay: ranked ASCENDING over the at-or-after join —
+    // earliest order date, then smallest key.
+    "join_asof_fwd" ->
+      """WITH j AS (
+        |  SELECT event_id, ts, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        |  FROM events JOIN orders
+        |    ON user_id = o_custkey AND o_orderdate >= ts)
         |SELECT event_id,
         |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
         |       o_orderkey,

@@ -235,6 +235,36 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("AsOf.asofJoinForward ≡ the join-agg reference on a hub-key " +
+    "fixture, inner AND left forms") {
+    // The forward direction's tie rule is the DUAL of backward's:
+    // earliest at-or-after time, then the SMALLEST tieBreak. Same
+    // hub-key + sparse + unmatched shape as the backward pair; the
+    // reference is min(struct) over the >= join.
+    import graft.operators.AsOf
+    import spark.implicits._
+    def ts(t: Long) = new java.sql.Timestamp(1700000000000L + t * 60000L)
+    val hub = (0L until 200L).map(i => (i, 1L, ts(i % 50)))
+    val sparse = Seq((900L, 2L, ts(10)), (901L, 3L, ts(99)))  // 3: after all orders
+    val left = (hub ++ sparse).toDF("event_id", "eu", "ets")
+    val hubOrders = (0L until 150L).map(j => (j, 1L, ts(j % 60)))
+    val rest = Seq((500L, 2L, ts(15)), (501L, 3L, ts(7)), (502L, 4L, ts(1)))
+    val right = (hubOrders ++ rest).toDF("okey", "ou", "odate")
+    for (keep <- Seq(false, true)) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_id", "okey").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      val win = rows(AsOf.asofJoinForward(left, right, "eu", "ou", "ets",
+        "odate", "okey", keepUnmatched = keep))
+      val ref = rows(AsOf.asofJoinForwardViaJoinAgg(left, right, "eu",
+        "ou", "ets", "odate", "okey", keepUnmatched = keep))
+      assert(win == ref,
+        s"keep=$keep: forward window form diverges from reference: " +
+          s"only-win=${win -- ref} only-ref=${ref -- win}")
+    }
+  }
+
   test("AsOf.nearestJoin (two-scan window) ≡ the join-agg reference on " +
     "a hub-key fixture, inner AND left forms") {
     // Same rationale as the asofJoin pair: the r15 two-window rewrite

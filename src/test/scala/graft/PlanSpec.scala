@@ -120,7 +120,7 @@ class PlanSpec extends SparkSpec {
     // per-key fanout CPU) is gone. Any Join operator reappearing here
     // means the quadratic form crept back.
     for (k <- Seq("join_asof", "join_asof_left", "join_asof_tol",
-        "join_nearest")) {
+        "join_asof_fwd", "join_nearest")) {
       val p = plan(k, JoinOps.queries)
       assert(p.contains("Window"), s"$k: $p")
       assert(!p.contains("Join"), s"$k must not join at all: $p")
