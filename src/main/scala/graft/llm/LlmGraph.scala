@@ -418,10 +418,14 @@ object LlmGraph {
     "graph_components" -> ((s, d) => {
       val p = col("l_partkey") * 2
       val su = col("l_suppkey") * 2 + 1
+      // Checkpointed BEFORE the mirror (r15, the supportEdges lesson):
+      // both union branches otherwise execute the lineitem filter +
+      // distinct once each.
       val fwd = T.lineitem(s, d)
         .filter(col("l_quantity") === 50 && col("l_partkey") % 10 === 0 &&
           col("l_suppkey") % 2 === 0)
         .select(p.as("src"), su.as("dst")).distinct()
+        .localCheckpoint(false)
       val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       components(edges)
@@ -588,6 +592,12 @@ object LlmGraph {
     // integer/string ops, no transcendental log to drift
     // cross-engine. One mirrored-degree count + one |buckets|-row
     // aggregate.
+    // Deliberately the RAW supportEdges derivation (not the staged
+    // fixture) so the substrate-build path stays covered — and stays
+    // VISIBLE in the plan (the staged-fixture PlanSpec pin reads the
+    // lineitem lineage; a checkpoint would hide it, which is why
+    // degreeHistogram mirrors endpoints via explode instead of a
+    // union — one execution of this build either way).
     "graph_degree_dist" -> ((s, d) =>
       degreeHistogram(supportEdges(s, d))
         .orderBy("bucket")),
@@ -1082,8 +1092,14 @@ object LlmGraph {
   def degreeHistogram(e: DataFrame): DataFrame = {
     require(e.columns.toSeq == Seq("u", "v"),
       s"edges must be exactly (u, v), got: ${e.columns.mkString(",")}")
-    e.select(col("u").as("node")).unionByName(
-        e.select(col("v").as("node")))
+    // Endpoints via explode(array(u, v)), NOT the mirror union (r15):
+    // a union's two branches each execute the edge frame's whole
+    // upstream per run — for graph_degree_dist that upstream is the
+    // deliberately-raw basket build, paid TWICE. The explode
+    // duplicates endpoints inside ONE pass (and keeps the lineage
+    // visible in the plan, which the staged-fixture pin reads —
+    // a checkpoint boundary would hide it).
+    e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_nodes"),
