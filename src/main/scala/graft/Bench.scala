@@ -31,6 +31,86 @@ object Bench {
   val summaryNumericFields: Set[String] =
     Set("value", "nqueries", "timed", "loadavg_before", "loadavg_after")
 
+  /** Per-key plan fingerprint: hash of the key's OPTIMIZED logical
+    * plan text with the run-variant token classes normalized away —
+    * `#id` expression-id suffixes, synthetic lambda class names
+    * (`$$Lambda$3510/0x7f37...` — JDK counter + address, new every
+    * JVM), and JVM identity hashes (`@hex`, printed by objects with
+    * no toString). Deliberately NOT `.canonicalized`: canonicalization
+    * orders commutative operands and comparison sides by expression
+    * hashCode, and any subtree holding an identity-hashed object (a
+    * `Class` operand in MultiCommutativeOp, a lambda in a Dataset
+    * node) makes that ORDER differ per JVM — measured on 30/240 keys.
+    * The raw optimized text's order comes from the query code itself,
+    * which is exactly the stability contract a fingerprint needs.
+    * Written into BENCH_DETAIL next to the timings; the same-round
+    * min-merge keeps a PRIOR run's reading only when that run's
+    * fingerprint matches this run's (r15 verdict #3: a mid-round
+    * implementation change used to let the old code's faster reading
+    * survive the merge and seed drift floors for code that no longer
+    * exists). Cross-ROUND minima stay fingerprint-free on purpose:
+    * they feed the retry and drift heuristics, where a stale-but-
+    * tight floor is conservative, and LintBench.acceptedFloors is
+    * their adjudication mechanism.
+    */
+  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    val txt = df.queryExecution.optimizedPlan.toString
+      .replaceAll("#\\d+", "#x")
+      .replaceAll("\\$\\$Lambda\\$?[0-9]*/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+      .replaceAll("@[0-9a-fA-F]{4,}", "@x")
+      // plan_id: a session-global physical-plan counter — keys whose
+      // logical plan embeds executed fragments (cached/checkpointed
+      // subtrees print their Exchange with [plan_id=N]) would
+      // otherwise fingerprint differently per run position.
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(txt.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** Scrape a BENCH_DETAIL file's `"plans"` section (key → fingerprint
+    * hex). Older-format files have no such section → empty map, which
+    * makes every prior reading unverifiable and therefore dropped by
+    * [[mergeDetail]] — strict by design: a reading that cannot prove
+    * it measured the current plan is not evidence for it.
+    */
+  private[graft] def scrapePlans(txt: String): Map[String, String] = {
+    val section = txt.split("\"plans\"", 2)
+    if (section.length < 2) Map.empty
+    else """"([A-Za-z0-9_]+)":"([0-9a-f]+)"""".r
+      .findAllMatchIn(section(1).split("\"summary\"").head)
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** Same-round min-merge with fingerprint invalidation. A prior
+    * reading survives only when (a) THIS run produced a real time for
+    * the key (current error sentinel always wins — broken ≠ fast),
+    * and (b) the prior file carries a fingerprint for the key equal
+    * to this run's (same plan text ⇒ same code measured). Exposed for
+    * LintBenchSpec: a mid-round implementation change must invalidate
+    * that key's prior minima while everything else still min-merges.
+    */
+  private[graft] def mergeDetail(
+      current: Seq[(String, Double)],
+      currentPlans: Map[String, String],
+      priorTxt: String,
+      declared: Set[String]): Seq[(String, Double)] = {
+    val qline = priorTxt.split("\"plans\"").head.split("\"summary\"").head
+    val priorTimes = """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
+      .findAllMatchIn(qline)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter { case (k, v) => v >= 0 && declared.contains(k) }
+      .toMap
+    val priorPlans = scrapePlans(priorTxt)
+    current.map { case (k, v) =>
+      val usable = priorTimes.get(k).filter { _ =>
+        priorPlans.get(k).exists(h => currentPlans.get(k).contains(h))
+      }
+      k -> (if (v < 0) -1.0
+            else math.min(v, usable.getOrElse(Double.MaxValue)))
+    }
+  }
+
   /** Per-query minima across committed bench history — the noise floor
     * each new measurement is sanity-checked against. Sources, in trust
     * order (r8): BENCH_DETAIL_r*.json (complete per-query maps written
@@ -101,20 +181,31 @@ object Bench {
     // earlier key (or the warm-up pass) taxes every subsequent plan
     // compilation via the CacheManager canonicalization walk — each
     // key's timing must be its own cost, fresh-session honest.
-    def run(fn: (org.apache.spark.sql.SparkSession, String) =>
+    // Plan fingerprints are captured on the UNTIMED warm-up pass (the
+    // optimized plan is computed during execution anyway; stringify +
+    // hash is ~ms and must not land inside a timed run). Keys that
+    // error before producing a plan simply have no fingerprint — their
+    // reading is the -1 sentinel, which never merges.
+    var plans = Map.empty[String, String]
+    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      finally Pins.clearAll()
+      try {
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        if (!plans.contains(name))
+          plans += name -> (try planFingerprint(df)
+            catch { case _: Throwable => "" })
+      } finally Pins.clearAll()
     // Untimed warm-up pass: JVM/codegen/session init otherwise lands on
     // whichever query happens to run first (~10 s of noise in round 1).
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { run(fn) } catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try { run(name, fn) } catch { case _: Throwable => () }
     }
     var errors = List.empty[String]
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { run(fn) } catch {
+      try { run(name, fn) } catch {
         case _: Throwable =>
           if (!errors.contains(name)) errors ::= name
           return -1.0 // broken ≠ fast: never report time-to-throw
@@ -277,43 +368,33 @@ object Bench {
     // removed mid-round cannot linger as a stale lint hit).
     try {
       val path = s"/root/repo/BENCH_DETAIL_r${currentRound()}.json"
-      val prior: Map[String, Double] = {
+      val priorTxt = {
         val f = new java.io.File(path)
-        if (!f.exists()) Map.empty
-        else {
-          val txt = try scala.io.Source.fromFile(f).mkString
-            catch { case _: Throwable => "" }
-          val qline = txt.split("\"summary\"").head
-          """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
-            .findAllMatchIn(qline)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter { case (k, v) => v >= 0 && SparkEntry.queries.contains(k) }
-            .toMap
-        }
+        if (!f.exists()) ""
+        else try scala.io.Source.fromFile(f).mkString
+          catch { case _: Throwable => "" }
       }
       // An ERROR in the current run always wins the merge (r15 advice):
       // letting a prior run's positive time survive when THIS run's
       // reading is the -1 sentinel would show a key broken by a
       // mid-round change as green in the committed map — inverting the
-      // "broken ≠ fast" rule the error sentinel exists for. Only when
-      // the current reading is a real time does the per-key min apply.
-      // Known residual tradeoff (documented, accepted): if an
-      // implementation change mid-round legitimately SLOWS a key, the
-      // earlier run's faster reading survives the merge and seeds
-      // drift floors for code that no longer exists; the round-close
-      // LintBench drift trigger catches it the following round and
-      // acceptedFloors is the re-pin mechanism. Plan-hash-invalidating
-      // prior entries would close it but couples the artifact to the
-      // build, so it stays a documented tradeoff.
-      val merged = results.map { case (k, v) =>
-        val best =
-          if (v < 0) -1.0
-          else math.min(v, prior.getOrElse(k, Double.MaxValue))
-        s"\"" + k + "\":" + fmt(best)
+      // "broken ≠ fast" rule the error sentinel exists for. And a prior
+      // reading merges ONLY when its committed plan fingerprint equals
+      // this run's (r15 verdict #3): a mid-round implementation change
+      // invalidates that key's prior minima, so the round's evidence
+      // can never be a faster reading of code that no longer exists.
+      // The fingerprints written below are THIS run's, so the artifact
+      // always describes the newest code.
+      val merged = mergeDetail(results, plans, priorTxt,
+          SparkEntry.queries.keySet)
+        .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val planJson = results.map { case (k, _) =>
+        s"\"" + k + "\":\"" + plans.getOrElse(k, "") + "\""
       }.mkString("{", ",", "}")
       val out = new java.io.PrintWriter(path)
       try out.println(
-        s"""{"queries":$merged,"summary":$summary}""")
+        s"""{"queries":$merged,"plans":$planJson,"summary":$summary}""")
       finally out.close()
     } catch { case _: Throwable => () } // artifact write must never fail the bench
     spark.stop()

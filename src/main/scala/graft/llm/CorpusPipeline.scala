@@ -232,6 +232,7 @@ object CorpusPipeline {
       weights: Map[String, Long], seed: Long): DataFrame = {
     require(weights.values.forall(_ > 0), "weights must be positive")
     val wsum = weights.values.sum
+    // bounded-collect: per-stratum counts — |strata| post-agg rows.
     val counts = docs.groupBy(stratumCol).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weights.filter { case (k, _) => counts.contains(k) }

@@ -130,9 +130,18 @@ object LlmGraph {
   /** Connected components over `edges(src, dst)` — probed min-label
     * propagation ACCELERATED BY POINTER JUMPING: each scheduled round
     * is two hook hops (min over the closed neighborhood) followed by
-    * one jump `comp'(v) = comp(comp(v))`. Callers pass both
+    * one jump `comp'(v) = comp(comp(v))`. Callers MUST pass both
     * directions of an undirected edge (the [[pagerank]] convention);
-    * nodes are the edge endpoints. Returns (node, component) where
+    * nodes are the edge endpoints. The mirrored-edges contract is
+    * LOAD-BEARING, not a convention (r15 advice): the label init
+    * takes `min(node, min neighbor)` with neighbor ids drawn from
+    * `dst`, and the jump's inner join is lossless only because every
+    * label is a node id present in the label table — whose node set
+    * is `distinct(src)`. A dst-only node id (non-mirrored input)
+    * becomes a label with no label-table row and the jump SILENTLY
+    * DROPS the rows holding it. Column-name checks can't see this;
+    * run with `-Dgraft.cc.debug` to assert `dst ⊆ src` (one debug-
+    * only anti-join) on entry. Returns (node, component) where
     * `component` is the smallest node id reachable from `node` — the
     * unique fixpoint, so the result is round-count-independent and
     * oracle-able as a recursive transitive closure.
@@ -189,6 +198,17 @@ object LlmGraph {
     val e = edges.localCheckpoint(false)
     if (dbg) println(
       f"CC edges-ckpt-plan ${(System.nanoTime() - tE) / 1e9}%.3fs")
+    if (dbg) {
+      // Debug-mode mirrored-edges assertion (see Scaladoc): a dst-only
+      // node id would seed a label the jump join can't resolve. One
+      // anti-join over the checkpointed edge frame — debug-only cost.
+      val orphans = e.select(col("dst").as("n"))
+        .join(e.select(col("src").as("n")), Seq("n"), "left_anti")
+        .limit(1).count()
+      require(orphans == 0,
+        "components(): edges are not mirrored — some dst node id " +
+          "never appears as src; pass both directions of every edge")
+    }
     // STATS RESET — load-bearing, not style. localCheckpoint truncates
     // LINEAGE but the LogicalRDD it leaves behind INHERITS the origin
     // plan's size ESTIMATE, and Catalyst's size-only stats multiply
@@ -353,8 +373,16 @@ object LlmGraph {
         // graph_components 1.95 → 1.68, dedup_cluster ~1.3. At
         // cluster scale with billion-node label tables, keep AQE on
         // past round 0 too — there its runtime broadcast and skew
-        // handling earn their latency.
-        if (rounds == 0) {
+        // handling earn their latency. The round-0 drop is GATED on
+        // AQE actually having been on (r15 advice): the whole "round 0
+        // is safe at 8 partitions" argument rests on AQE's lazy-
+        // localCheckpoint pre-execution of the upstream exchanges —
+        // with adaptive.enabled=false in the caller's session, .rdd
+        // construction does NOT pre-run stages and round 0's probe
+        // would run the corpus-sized upstream at 8 partitions (the
+        // exact r10 regression). In that configuration the drop waits
+        // for round 1 like the pre-r15 staging did.
+        if (rounds == (if (aqeBefore.forall(_.toBoolean)) 0 else 1)) {
           sess.conf.set("spark.sql.shuffle.partitions", "8")
         }
         if (rounds == 1) {

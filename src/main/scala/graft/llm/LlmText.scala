@@ -58,6 +58,7 @@ object LlmText {
       trigrams(docs).groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 50)
         .select(col("lang"), col("g"), col("cnt"))
+        // bounded-collect: lang-ID model — ≤50 trigrams per language.
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         .toSeq
     })
@@ -420,6 +421,7 @@ object LlmText {
     // into a lone surrogate the code-point symbols can never match.
     "text_bpe_encode" -> ((s, d) => {
       val docs = T.documents(s, d)
+      // bounded-collect: the BPE merge table — nMerges rows by design.
       val merges = bpeMergeTable(docs).orderBy("rank").collect()
         .map(_.getString(1)).map { p =>
           val k = p.offsetByCodePoints(0, 1)

@@ -283,6 +283,7 @@ object LlmVector {
       if (fitFraction >= 1.0) e0
       else e0.filter(pmod(xxhash64(col("vec_id")), lit(1000000L))
         .cast("double") / 1000000.0 < fitFraction)
+    // bounded-collect: IVF centroid seeds — exactly nCells rows (limit).
     var cents: Seq[(Long, Seq[Float])] = e.orderBy("vec_id").limit(nCells)
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
@@ -292,6 +293,7 @@ object LlmVector {
         .groupBy("cell", "pos")
         // explicit float→double→decimal ladder: both engines take the
         // identical widening path, so the rounded decimal agrees.
+        // bounded-collect: centroid sums — nCells × dims post-agg rows.
         .agg(sum(col("x").cast("double")
           .cast(org.apache.spark.sql.types.DecimalType(28, 10))).as("sx"))
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2)))
@@ -375,6 +377,7 @@ object LlmVector {
       if (fitFraction >= 1.0) sub
       else sub.filter(pmod(xxhash64(col("vec_id")), lit(1000000L))
         .cast("double") / 1000000.0 < fitFraction)
+    // bounded-collect: PQ codebook seeds — exactly nSub rows (limit).
     var cents: Seq[(Long, Seq[Float])] = s0.orderBy("vec_id").limit(nSub)
       .select("vec_id", "sub")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
@@ -397,6 +400,7 @@ object LlmVector {
         .agg(sum(col("x").cast("double")
             .cast(org.apache.spark.sql.types.DecimalType(28, 10))).as("sx"),
           count(lit(1)).as("n"))
+        // bounded-collect: codebook sums — nSub × sub-dims post-agg rows.
         .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2), r.getLong(3)))
       // Carry the PREVIOUS centroid forward for a cell that attracted

@@ -69,12 +69,18 @@ object AsOf {
     // Both times ride ONE sort column as timestamp — the same
     // coercion Spark applies to a date-vs-timestamp `<=` (dates
     // become midnight), so the union form orders exactly like the
-    // join form compared.
+    // join form compared. The null filter runs on the CAST value
+    // (r15 advice): a non-null time that casts to NULL (an
+    // unparseable string under try-cast semantics) would otherwise
+    // survive, sort nulls-first ahead of the left rows, and become a
+    // spurious match the join form (whose `<=` is NULL there) never
+    // produced.
+    val rT = col(rightTime).cast("timestamp")
     val rPart = right
-      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .filter(col(rightKey).isNotNull && rT.isNotNull)
       .select(Seq(
         col(rightKey).as("__k"),
-        col(rightTime).cast("timestamp").as("__t"),
+        rT.as("__t"),
         lit(0).as("__tag"),
         col(rightTieBreak).as("__tb"),
         struct(rCols.map(col): _*).as("__row")) ++
@@ -125,11 +131,13 @@ object AsOf {
     val rCols = right.columns.toSeq
     val rowType = right.schema
     val tbType = right.schema(rightTieBreak).dataType
+    // Null filter on the CAST time, same rationale as [[asofJoin]].
+    val rT = col(rightTime).cast("timestamp")
     val rPart = right
-      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .filter(col(rightKey).isNotNull && rT.isNotNull)
       .select(Seq(
         col(rightKey).as("__k"),
-        col(rightTime).cast("timestamp").as("__t"),
+        rT.as("__t"),
         lit(0).as("__tag"),
         col(rightTieBreak).as("__tb"),
         struct(rCols.map(col): _*).as("__row")) ++
@@ -212,9 +220,13 @@ object AsOf {
     * Same shape as [[asofJoin]] and the same 100 TB argument: equi-
     * join on the key, then a map-side-combining `min(struct(dist,
     * time, tieBreak, payload))` — never a ranked window over the join
-    * output. Time columns must cast losslessly to long (pass epoch
-    * seconds; a raw µs timestamp cast truncates, so second-truncate
-    * first if sub-second distances matter).
+    * output. Times order and measure at MICROSECOND precision (r15
+    * advice: the old epoch-seconds cast truncated sub-second
+    * timestamps BEFORE ordering, so a tie that was not a true tie
+    * fell to the tieBreak): both sides go through
+    * `unix_micros(cast(t as timestamp))` — exact integer math, full
+    * timestamp resolution, and epoch-seconds longs / dates coerce the
+    * same way they did before (×1e6 is order-preserving).
     */
   def nearestJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -245,18 +257,20 @@ object AsOf {
     val rCols = right.columns.toSeq
     val rowType = right.schema
     val tbType = right.schema(rightTieBreak).dataType
+    // Null filter on the CAST time (r15 advice, same as [[asofJoin]]).
+    val rT = unix_micros(col(rightTime).cast("timestamp"))
     val rPart = right
-      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .filter(col(rightKey).isNotNull && rT.isNotNull)
       .select(Seq(
         col(rightKey).as("__k"),
-        col(rightTime).cast("long").as("__t"),
+        rT.as("__t"),
         lit(0).as("__tag"),
         col(rightTieBreak).as("__tb"),
         struct(rCols.map(col): _*).as("__row")) ++
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val lPart = left.select(Seq(
         col(leftKey).as("__k"),
-        col(leftTime).cast("long").as("__t"),
+        unix_micros(col(leftTime).cast("timestamp")).as("__t"),
         lit(1).as("__tag"),
         lit(null).cast(tbType).as("__tb"),
         lit(null).cast(rowType).as("__row")) ++ lCols.map(col): _*)
@@ -292,17 +306,19 @@ object AsOf {
     * implementation for the equivalence spec ([[nearestJoin]]'s
     * rationale): plain key equi-join + map-side `min(struct(|Δt|,
     * time, tieBreak, payload))`, per-key CPU = the join fanout.
+    * Times in µs, matching [[nearestJoin]]'s precision contract.
     */
   private[graft] def nearestJoinViaJoinAgg(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightTieBreak: String, keepUnmatched: Boolean = false): DataFrame = {
     val payload = struct(right.columns.map(col): _*).alias("row")
-    val dist = abs(col(rightTime).cast("long") - col(leftTime).cast("long"))
+    val rT = unix_micros(col(rightTime).cast("timestamp"))
+    val lT = unix_micros(col(leftTime).cast("timestamp"))
     left.join(right, col(leftKey) === col(rightKey),
         if (keepUnmatched) "left" else "inner")
       .groupBy(left.columns.map(col): _*)
-      .agg(min(struct(dist.as("d"), col(rightTime).cast("long").as("t"),
+      .agg(min(struct(abs(rT - lT).as("d"), rT.as("t"),
           col(rightTieBreak).as("tb"), payload)).as("__best"))
       .select(left.columns.map(col) ++
         right.columns.map(c => col(s"__best.row.$c").as(c)): _*)

@@ -58,6 +58,7 @@ object BloomJoin {
         call_function("shiftleft", lit(1L),
           col("pos").bitwiseAND(63L).cast("int")).as("b"))
       .groupBy("w").agg(call_function("bit_or", col("b")).as("bits"))
+      // bounded-collect: bloom bitset words — ≤ numBits/64 post-agg rows.
       .collect()
     val words = new Array[Long](nWords)
     rows.foreach(r => words(r.getInt(0)) = r.getLong(1))

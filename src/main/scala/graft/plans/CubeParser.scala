@@ -54,6 +54,7 @@ object CubeParser {
     // if the file is huge.
     val hdr = spark.read.text(path)
       .filter(col("value").rlike(headerRecordRe))
+      // bounded-collect: K;/D; header records — O(10) lines per cube.
       .collect().map(_.getString(0).split(";", -1).toSeq)
     layoutFromHeader(hdr, path, cubeName)
   }
@@ -79,6 +80,7 @@ object CubeParser {
     val rows = spark.read.textFile(paths.distinct: _*)
       .select(input_file_name().as("f"), col("value"))
       .filter(col("value").rlike(headerRecordRe))
+      // bounded-collect: header records — tens of lines per cube file.
       .collect()
     rows.toSeq
       .map(r => normalize(r.getString(0)) -> r.getString(1))

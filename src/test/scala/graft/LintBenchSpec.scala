@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * rounds above older-min + 0.3 s", with negative controls for a
   * single spike and for a key too new to have a baseline.
   */
-class LintBenchSpec extends AnyFunSuite {
+class LintBenchSpec extends AnyFunSuite with SparkSpec {
 
   private def plant(dir: java.nio.file.Path, round: Int,
       entries: (String, Double)*): java.io.File = {
@@ -72,6 +72,49 @@ class LintBenchSpec extends AnyFunSuite {
 
   test("no detail file at all fails") {
     assert(LintBench.lint(Seq.empty, Set("a")).nonEmpty)
+  }
+
+  test("min-merge: a prior reading survives only under a matching plan " +
+    "fingerprint (r15 verdict #3 — stale-prior invalidation)") {
+    // Prior file: both keys timed fast, fingerprints committed.
+    val priorTxt =
+      """{"queries":{"a":0.40,"b":0.50,"c":0.30},""" +
+        """"plans":{"a":"aaaa11","b":"bbbb22","c":"cccc33"},""" +
+        """"summary":{"metric":"total","value":1.2}}"""
+    // This run: a unchanged (same fingerprint) but slower — prior min
+    // survives; b re-implemented mid-round (fingerprint changed) —
+    // prior reading is evidence for dead code and must be dropped;
+    // c errored this run — the -1 sentinel always wins the merge.
+    val current = Seq("a" -> 0.55, "b" -> 0.80, "c" -> -1.0)
+    val plans = Map("a" -> "aaaa11", "b" -> "ffff99", "c" -> "cccc33")
+    val merged = Bench.mergeDetail(current, plans, priorTxt,
+      Set("a", "b", "c")).toMap
+    assert(merged("a") == 0.40, "matching fingerprint: min-merge applies")
+    assert(merged("b") == 0.80, "changed fingerprint: prior invalidated")
+    assert(merged("c") == -1.0, "current error sentinel always wins")
+  }
+
+  test("min-merge: an old-format prior file (no plans section) cannot " +
+    "prove what it measured — all prior readings are dropped") {
+    val priorTxt = """{"queries":{"a":0.40},""" +
+      """"summary":{"metric":"total","value":0.4}}"""
+    val merged = Bench.mergeDetail(Seq("a" -> 0.55),
+      Map("a" -> "aaaa11"), priorTxt, Set("a")).toMap
+    assert(merged("a") == 0.55)
+  }
+
+  test("plan fingerprints are stable across plan rebuilds for the same " +
+    "code and differ across plans") {
+    import spark.implicits._
+    def build() = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .filter(org.apache.spark.sql.functions.col("id") > 0)
+      .groupBy("v").count()
+    val a1 = Bench.planFingerprint(build())
+    val a2 = Bench.planFingerprint(build()) // rebuild → fresh exprIds
+    assert(a1 == a2, "exprId churn must not change the fingerprint")
+    val other = Bench.planFingerprint(
+      Seq((1L, "x")).toDF("id", "v").groupBy("id").count())
+    assert(other != a1, "a different plan must fingerprint differently")
   }
 
   test("an accepted-floor re-pin clears an adjudicated regression; " +

@@ -75,6 +75,63 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(left == Seq(1L -> Some(11L), 2L -> Some(21L), 3L -> None))
   }
 
+  test("as-of family: a right time that CASTS to null never matches " +
+    "(r15 advice — the null filter runs on the cast value)") {
+    import graft.operators.AsOf
+    // Unparseable string times cast to NULL only under non-ANSI
+    // semantics (ANSI cast throws); the fixture runs with ansi off,
+    // the configuration where the pre-fix bug was reachable: the
+    // garbage row passed the pre-cast isNotNull filter, its NULL __t
+    // sorted nulls-first ahead of every left row, and the running
+    // `last` credited it to any left row with no real match.
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val events = Seq((1L, "2020-01-01")).toDF("event_id", "ets")
+      val orders = Seq(
+        (10L, 1L, "not-a-time"), // casts to NULL: must never match
+        (11L, 1L, "2020-06-01")) // after the event: no backward match
+        .toDF("okey", "ouser", "odate")
+      val back = AsOf.asofJoin(events, orders, "event_id", "ouser",
+        "ets", "odate", "okey").count()
+      assert(back == 0, "backward as-of matched a null-cast time")
+      // Forward dual: garbage row must not shadow or precede the real
+      // 2020-06-01 match.
+      val fwd = AsOf.asofJoinForward(events, orders, "event_id", "ouser",
+          "ets", "odate", "okey")
+        .select("okey").collect().map(_.getLong(0)).toSeq
+      assert(fwd == Seq(11L), s"forward as-of drifted: $fwd")
+      val near = AsOf.nearestJoin(events, orders, "event_id", "ouser",
+          "ets", "odate", "okey")
+        .select("okey").collect().map(_.getLong(0)).toSeq
+      assert(near == Seq(11L), s"nearest drifted: $near")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
+  test("AsOf.nearestJoin orders sub-second timestamps untruncated " +
+    "(r15 advice — µs precision, not epoch-seconds)") {
+    import graft.operators.AsOf
+    // Event at 10.0 s; candidates at 9.9 s (d = 0.1 s) and 10.9 s
+    // (d = 0.9 s). Epoch-second truncation turned these into d=1 vs
+    // d=0 and picked the WRONG side; µs math picks 9.9.
+    val events = Seq((1L, "2020-01-01 00:00:10"))
+      .toDF("event_id", "ets")
+      .withColumn("ets", col("ets").cast("timestamp"))
+    val orders = Seq(
+      (10L, 1L, "2020-01-01 00:00:09.9"),
+      (11L, 1L, "2020-01-01 00:00:10.9"))
+      .toDF("okey", "ouser", "odate")
+      .withColumn("odate", col("odate").cast("timestamp"))
+    val got = AsOf.nearestJoin(events, orders, "event_id", "ouser",
+        "ets", "odate", "okey")
+      .select("okey").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L), s"sub-second nearest drifted: $got")
+    val ref = AsOf.nearestJoinViaJoinAgg(events, orders, "event_id",
+        "ouser", "ets", "odate", "okey")
+      .select("okey").collect().map(_.getLong(0)).toSeq
+    assert(ref == Seq(10L), "join-agg reference must agree at µs precision")
+  }
+
   test("agg_outlier: only rows beyond the Tukey fences flag") {
     import spark.implicits._
     // one group, values 1..8 plus 100: q1=3, q3=7 (exact indices),
