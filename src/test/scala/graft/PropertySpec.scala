@@ -1205,6 +1205,102 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("selectBudget: a budget landing EXACTLY on a bucket edge keeps " +
+    "the whole bucket (inclusive gate); one token less drops its last doc") {
+    // r16 (r15 verdict #6): the two-level decomposition's riskiest
+    // input is a budget boundary coinciding with a BUCKET boundary —
+    // the within-bucket window's last row and the next bucket's
+    // pre-sum both sit exactly at the gate. Two quality tiers, 11
+    // buckets apart: tier A = 3 × 4 distinct non-stop tokens
+    // (q=1.6094, bkt 12), tier B = 2 × 5 stopword-heavy tokens
+    // (q=0.1433, bkt 1). Budget = tier A's exact token mass.
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "wolf iron moss tide"), (1L, "fern gale peat dune"),
+      (2L, "loam reef mist crag"),
+      (10L, "the the the the x"), (11L, "the the the the y"))
+      .toDF("doc_id", "text")
+    val tokensA = 12 // 3 docs × 4 tokens
+    val total = 22   // + 2 docs × 5 tokens
+    val exact = graft.llm.CorpusPipeline
+      .selectBudget(docs, num = tokensA, den = total)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(0L, 1L, 2L),
+      s"inclusive gate at the bucket edge must keep ALL of tier A and " +
+        s"NONE of tier B: $exact")
+    val oneLess = graft.llm.CorpusPipeline
+      .selectBudget(docs, num = tokensA - 1, den = total)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(oneLess == Set(0L, 1L),
+      s"one token under the edge must drop exactly the bucket's LAST " +
+        s"doc (equal quality → doc_id asc): $oneLess")
+  }
+
+  test("asofJoinForward tie corners: equal-time rights break to the " +
+    "SMALLEST tie-break, at-time match is inclusive, and (t, tb) " +
+    "collisions / duplicate left rows never fan out") {
+    // r16 (r15 verdict #6): the forward dual's tie rules beyond the
+    // hub fixture. Rights at t=100 with tb 5 and 3 (plus an exact
+    // (t=100, tb=3) duplicate) and one at t=200.
+    import graft.operators.AsOf
+    import spark.implicits._
+    val events = Seq((1L, 1L, 100L), (2L, 1L, 100L), (3L, 1L, 101L),
+        (4L, 1L, 201L))
+      .toDF("eid", "egrp", "ets")
+    val orders = Seq((5L, 1L, 100L), (3L, 1L, 100L), (3L, 1L, 100L),
+        (9L, 1L, 200L))
+      .toDF("okey", "ogrp", "ot")
+    val got = AsOf.asofJoinForward(events, orders, "egrp", "ogrp",
+        "ets", "ot", "okey", keepUnmatched = true)
+      .select("eid", "okey").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(got.length == 4,
+      s"one output row per left row — a (t,tb) collision or duplicate " +
+        s"left row must never fan out: $got")
+    val byEid = got.toMap
+    assert(byEid(1L) == Some(3L) && byEid(2L) == Some(3L),
+      s"at-time rights are INCLUSIVE and equal-time ties take the " +
+        s"smallest tie-break: $byEid")
+    assert(byEid(3L) == Some(9L), s"strictly-after next: $byEid")
+    assert(byEid(4L) == None, s"no later right → NULL (left form): $byEid")
+    // The join-agg reference must agree on the same degenerate fixture.
+    val ref = AsOf.asofJoinForwardViaJoinAgg(events, orders, "egrp",
+        "ogrp", "ets", "ot", "okey", keepUnmatched = true)
+      .select("eid", "okey").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(ref == byEid, s"window/join-agg drift on ties: $ref vs $byEid")
+  }
+
+  test("scd1Upsert null-vs-absent VALUE corners: a NULL delta cell " +
+    "keeps the target value; a value over target NULL wins; inserted " +
+    "rows keep their NULLs") {
+    // r16 (r15 verdict #6): UpsertSpec pins the op TAGS; this pins the
+    // merged VALUES on the null corners the coalesce patch-semantics
+    // create.
+    import graft.operators.DomainOps
+    import spark.implicits._
+    val target = Seq((1L, Some(5.0)), (2L, None: Option[Double]))
+      .toDF("k", "bal")
+    val delta = Seq((1L, None: Option[Double]), (2L, Some(7.0)),
+        (3L, None: Option[Double]))
+      .toDF("k", "bal")
+    val got = DomainOps.scd1Upsert(target, delta, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+        r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, Some(5.0), "updated"),  // NULL delta cell: target value
+                                   // survives, tag still updated
+                                   // (null-safe differ) — the
+                                   // documented patch semantics
+      (2L, Some(7.0), "updated"),  // value over NULL target wins
+      (3L, None, "inserted")),     // absent key: NULL rides in intact
+      s"null-corner values drifted: $got")
+  }
+
   test("pqCodebook/pqCode ≡ local mean-Lloyd fold for ANY sub-vectors") {
     // Independent reference for the PQ sub-quantizer — seed selection,
     // (dot(c,c) − 2·dot(x,c), cid) argmin assignment, exact-decimal

@@ -514,6 +514,196 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  // ---- stream_asof ([[StreamOps.AsofEnrichProcessor]]) ----
+
+  /** Tagged as-of input stream: (k, tag, tb, eid, ts); t derives from
+    * ts so the watermark column and the processor's µs time agree. */
+  private def asofStream(in: MemoryStream[(Long, Int, Long, Long, Timestamp)],
+      wmDelay: String) = {
+    val tagged = in.toDF().toDF("k", "tag", "tb", "eid", "ts")
+      .withWatermark("ts", wmDelay)
+      .withColumn("t", unix_micros(col("ts")))
+    StreamOps.asofEnrichState(tagged, eventTime = true)
+  }
+
+  private def withRocksDb[A](body: => A): A = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("stream_asof: the version MAP bridges micro-batches — a batch-2 " +
+    "event between two carried versions picks the older one") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Int, Long, Long, Timestamp)]
+      val q = asofStream(in, "2 hours").writeStream.format("memory")
+        .queryName("asof_sink").outputMode(OutputMode.Append()).start()
+      try {
+        // Batch 1: two same-time versions (tie → larger tb) + event.
+        in.addData(
+          (1L, 0, 1L, 0L, ts("2024-01-01 10:00:00")),
+          (1L, 0, 5L, 0L, ts("2024-01-01 10:00:00")),
+          (1L, 1, 0L, 101L, ts("2024-01-01 10:30:00")))
+        q.processAllAvailable()
+        // Batch 2: a newer version; an event at its exact time
+        // (inclusive at-or-before); an event BETWEEN the carried
+        // version and the new one — must get the OLD version, which
+        // only works if the whole version map carried, not a
+        // latest-only scalar.
+        in.addData(
+          (1L, 0, 7L, 0L, ts("2024-01-01 11:00:00")),
+          (1L, 1, 0L, 102L, ts("2024-01-01 11:00:00")),
+          (1L, 1, 0L, 103L, ts("2024-01-01 10:45:00")))
+        q.processAllAvailable()
+        val got = spark.table("asof_sink").collect()
+          .map(r => r.getLong(1) ->
+            (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+        assert(got == Map(101L -> Some(5L), 102L -> Some(7L),
+          103L -> Some(5L)), s"version-map carry drifted: $got")
+      } finally q.stop()
+    }
+  }
+
+  test("stream_asof: watermark eviction drops versions below the anchor " +
+    "and keeps the anchor itself") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Int, Long, Long, Timestamp)]
+      val q = asofStream(in, "0 seconds").writeStream.format("memory")
+        .queryName("asof_evict_sink").outputMode(OutputMode.Append()).start()
+      try {
+        // Versions at 09:00 (tb=9) and 10:00 (tb=2); event at 09:30
+        // floors to the 09:00 version. Watermark after the batch =
+        // max event time = 10:00.
+        in.addData(
+          (1L, 0, 9L, 0L, ts("2024-01-01 09:00:00")),
+          (1L, 0, 2L, 0L, ts("2024-01-01 10:00:00")),
+          (1L, 1, 0L, 201L, ts("2024-01-01 09:30:00")))
+        q.processAllAvailable()
+        // Batch 2 processes with wm=10:00 → anchor = the 10:00
+        // version; the 09:00 version must be GONE. Observable without
+        // metrics: re-inserting a 09:00 version with a SMALLER tb is
+        // accepted only if the old one was evicted (the keep-max rule
+        // would otherwise retain tb=9), so the same 09:30 event now
+        // reads tb=1 — and an event after the anchor still reads the
+        // surviving 10:00 version.
+        in.addData(
+          (1L, 0, 1L, 0L, ts("2024-01-01 09:00:00")),
+          (1L, 1, 0L, 202L, ts("2024-01-01 09:30:00")),
+          (1L, 1, 0L, 203L, ts("2024-01-01 10:30:00")))
+        q.processAllAvailable()
+        val got = spark.table("asof_evict_sink").collect()
+          .map(r => r.getLong(1) ->
+            (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+        assert(got(201L) == Some(9L), s"pre-eviction floor drifted: $got")
+        assert(got(202L) == Some(1L),
+          s"the 09:00 version must have been evicted at wm=10:00: $got")
+        assert(got(203L) == Some(2L),
+          s"the anchor version must survive eviction: $got")
+      } finally q.stop()
+    }
+  }
+
+  test("stream_asof: dimension versions survive a query RESTART from " +
+    "checkpoint") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Int, Long, Long, Timestamp)]
+      val out = java.nio.file.Files.createTempDirectory("asof_restart_out")
+      val chk = java.nio.file.Files.createTempDirectory("asof_restart_chk")
+      def start() = asofStream(in, "2 hours").writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", chk.toString)
+        .outputMode(OutputMode.Append()).start()
+      val q1 = start()
+      try {
+        in.addData(
+          (1L, 0, 7L, 0L, ts("2024-01-01 10:00:00")),
+          (1L, 1, 0L, 301L, ts("2024-01-01 10:15:00")))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // An event arriving while the query is down: the restarted query
+      // must enrich it from the RECOVERED version map — a silently
+      // empty recovery would emit NULL.
+      in.addData((1L, 1, 0L, 302L, ts("2024-01-01 10:45:00")))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val got = spark.read.parquet(out.toString).collect()
+        .map(r => r.getLong(1) ->
+          (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+      assert(got == Map(301L -> Some(7L), 302L -> Some(7L)),
+        s"restart recovery drifted: $got")
+    }
+  }
+
+  test("stream_asof: a time-ordered chunked replay over the real fixture " +
+    "equals the batch asofJoin (left form)") {
+    // The stream_neardup recall-spec pattern: the batch as-of join is
+    // the correctness reference; with arrivals in event-time order the
+    // at-arrival enrichment IS the as-of result for every event, so a
+    // 3-chunk replay must agree exactly — including unmatched events
+    // (NULL) and the 0-second watermark's anchor-preserving eviction
+    // running between chunks.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val e = T.events(spark, sf)
+        .select(col("event_id"), date_trunc("second", col("ts")).as("tss"),
+          col("user_id"))
+      val o = T.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("odate"))
+      val ref = graft.operators.AsOf.asofJoin(e, o, "user_id", "o_custkey",
+          "tss", "odate", "o_orderkey", keepUnmatched = true)
+        .select("event_id", "o_orderkey").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      // bounded-collect-free zone is main-source only; tests may pull
+      // the sf0.001 fixture to the driver.
+      val rows = (o.select(col("o_custkey").as("k"), lit(0).as("tag"),
+          col("o_orderkey").as("tb"), lit(0L).as("eid"),
+          col("odate").as("ts"))
+        .unionByName(e.select(col("user_id").as("k"), lit(1).as("tag"),
+          lit(0L).as("tb"), col("event_id").as("eid"),
+          col("tss").as("ts"))))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getTimestamp(4)))
+        .sortBy(r => (r._5.getTime, r._2, r._3))
+      // Cut into 3 chunks at timestamp boundaries (equal-time rows
+      // never straddle a cut, so in-order replay semantics hold).
+      val n = rows.length
+      def cutAt(target: Int): Int = {
+        var i = target
+        while (i < n && rows(i)._5 == rows(i - 1)._5) i += 1
+        i
+      }
+      val c1 = cutAt(n / 3); val c2 = cutAt(math.max(c1 + 1, 2 * n / 3))
+      val chunks = Seq(rows.slice(0, c1), rows.slice(c1, c2),
+        rows.slice(c2, n)).filter(_.nonEmpty)
+      val in = MemoryStream[(Long, Int, Long, Long, Timestamp)]
+      val q = asofStream(in, "0 seconds").writeStream.format("memory")
+        .queryName("asof_replay_sink").outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+        val got = spark.table("asof_replay_sink").collect()
+          .map(r => r.getLong(1) ->
+            (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+        assert(got.size == ref.size,
+          s"row count drift: stream ${got.size} vs batch ${ref.size}")
+        val diff = ref.keys.filter(k => got.get(k) != ref.get(k)).take(5)
+        assert(diff.isEmpty,
+          s"stream/batch as-of drift on events $diff: " +
+            diff.map(k => s"$k: ${got.get(k)} vs ${ref.get(k)}").mkString("; "))
+      } finally q.stop()
+    }
+  }
+
   test("batch transformWithState equals the flatMapGroupsWithState fallback") {
     // stream_stateful's key runs the TWS form in batch (each group seen
     // once, empty initial state) — it must agree row-for-row with the
