@@ -13,6 +13,28 @@ class PlanSpec extends SparkSpec {
   private def plan(key: String, ops: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]): String =
     ops(key)(spark, sf).queryExecution.executedPlan.toString
 
+  test("stream_asof: the tagged union shuffles ONCE on the dimension " +
+    "key into the stateful enrichment — no join anywhere") {
+    // The 100 TB shape (r16): dims ∪ events → ONE hashpartitioning
+    // exchange on the grouping key → TransformWithState — the same
+    // single-exchange discipline as the batch as-of family's
+    // union-window form, with per-key state instead of a window sort.
+    // The terminal orderBy adds a rangepartitioning exchange, which is
+    // presentation, not the operator.
+    val p = plan("stream_asof", graft.streaming.StreamOps.queries)
+    assert(p.contains("TransformWithState"),
+      s"stateful enrichment node missing: $p")
+    val keyExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyExchanges == 1,
+      s"stream_asof must shuffle exactly once on the key, got " +
+        s"$keyExchanges: $p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"the enrichment is join-free by design: $p")
+  }
+
   test("corpus_decontaminate: both joins broadcast the small side") {
     // The 100 TB shape: the benchmark's distinct shingle set is
     // eval-corpus-sized (tiny), so the overlap join must broadcast it

@@ -1301,6 +1301,54 @@ class PropertySpec extends SparkSpec {
       s"null-corner values drifted: $got")
   }
 
+  test("asofEnrichState (one-batch replay) ≡ asofJoin LEFT form for ANY " +
+    "interleaving of dims and events") {
+    // stream_asof's correctness contract: the stateful processor's
+    // within-call (t, tag, tb) replay must reproduce the batch as-of
+    // join exactly on arbitrary inputs — hub keys, equal-time ties,
+    // equal (t, tb) collisions, keys with no dims, dims with no
+    // events. Times are small epoch-second longs (µs via the cast).
+    import graft.operators.AsOf
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 20L)
+      isDim <- Gen.oneOf(true, false)
+      tb <- Gen.choose(1L, 6L)
+    } yield (k, t, isDim, tb)
+    forAllSeeded(Gen.nonEmptyListOf(rowGen)) { raw =>
+      val dims = raw.filter(_._3).map(r => (r._1, r._2, r._4)).distinct
+      val events = raw.filterNot(_._3).zipWithIndex
+        .map { case (r, i) => (i.toLong, r._1, r._2) }
+      if (dims.nonEmpty && events.nonEmpty) {
+        val dimsDf = dims.toDF("dk", "dt", "dkey")
+          .withColumn("dts", col("dt").cast("timestamp"))
+        val evDf = events.toDF("eid", "ek", "et")
+          .withColumn("ets", col("et").cast("timestamp"))
+        val ref = AsOf.asofJoin(evDf.select("eid", "ek", "ets"),
+            dimsDf.select("dk", "dkey", "dts"),
+            "ek", "dk", "ets", "dts", "dkey", keepUnmatched = true)
+          .select("eid", "dkey").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        val tagged = dimsDf.select(col("dk").as("k"),
+            unix_micros(col("dts")).as("t"), lit(0).as("tag"),
+            col("dkey").as("tb"), lit(0L).as("eid"))
+          .unionByName(evDf.select(col("ek").as("k"),
+            unix_micros(col("ets")).as("t"), lit(1).as("tag"),
+            lit(0L).as("tb"), col("eid")))
+        val got = graft.streaming.StreamOps
+          .asofEnrichState(tagged, eventTime = false)
+          .select("event_id", "dim_key").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        assert(got == ref,
+          s"processor/join drift on dims=$dims events=$events: " +
+            s"got ${got.toSeq.sorted}, want ${ref.toSeq.sorted}")
+      }
+    }
+  }
+
   test("pqCodebook/pqCode ≡ local mean-Lloyd fold for ANY sub-vectors") {
     // Independent reference for the PQ sub-quantizer — seed selection,
     // (dot(c,c) − 2·dot(x,c), cid) argmin assignment, exact-decimal
