@@ -38,6 +38,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Forked JVMs on this POSIX-locale box default file.encoding to
+  // US-ASCII (r16 advice: LintCollect's Source.fromFile threw on every
+  // em-dash and the gate went vacuously green). Sources are UTF-8;
+  // make every forked main/test locale-independent.
+  "-Dfile.encoding=UTF-8",
   // 24g default: at 8g the 74-query bench GC-thrashes in its second
   // half (measured 84s total vs 36s; single-query times 7x inflated).
   // The machine has 125 GiB; SPARK_DRIVER_MEM still overrides.

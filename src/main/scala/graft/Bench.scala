@@ -53,8 +53,8 @@ object Bench {
     * tight floor is conservative, and LintBench.acceptedFloors is
     * their adjudication mechanism.
     */
-  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
-    val txt = df.queryExecution.optimizedPlan.toString
+  private[graft] def normalizedPlanText(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
       .replaceAll("#\\d+", "#x")
       .replaceAll("\\$\\$Lambda\\$?[0-9]*/0x[0-9a-fA-F]+", "\\$\\$Lambda")
       .replaceAll("@[0-9a-fA-F]{4,}", "@x")
@@ -63,6 +63,72 @@ object Bench {
       // subtrees print their Exchange with [plan_id=N]) would
       // otherwise fingerprint differently per run position.
       .replaceAll("plan_id=\\d+", "plan_id=x")
+      // ENVIRONMENT-derived partition counts (r16 verdict #1): the
+      // per-row-expensive spreads repartition to defaultParallelism,
+      // so the CORE COUNT enters the plan text — `Repartition N, true`
+      // in the logical tree and `RoundRobinPartitioning(N)` inside
+      // cached InMemoryRelation physical fragments. The builder's
+      // sweep JVM and the driver's bench JVM run different local[N],
+      // so exactly the 20 spread-carrying keys fingerprint-mismatched
+      // and the driver's loaded re-run discarded their quiet committed
+      // minima (+4.5 s on the official r16 artifact). Measured: with
+      // these two classes normalized, 8-core and 32-core sessions in
+      // different CWDs/tmpdirs produce byte-identical normalized text
+      // for all affected keys. A CODE change to a repartition count
+      // no longer invalidates priors — acceptable: the drift lint
+      // still catches a timing shift, and an env knob must never
+      // poison the merge.
+      .replaceAll("Repartition \\d+", "Repartition n")
+      .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(n)")
+
+  /** Shape lint for the normalized plan text: token classes that vary
+    * per JVM or per ENVIRONMENT and would silently poison the
+    * fingerprint min-merge if a new plan shape smuggled one past the
+    * normalizer. Checked for EVERY key by PlanSpec's engine-wide sweep
+    * and by FpDump, so the contract is "no env-variant residue in any
+    * key's normalized text", not just "two runs happened to agree"
+    * (r16 verdict #1: the two-JVM diff passed because both JVMs shared
+    * the builder's environment).
+    */
+  private[graft] def planTextShapeViolations(txt: String): Seq[String] = {
+    val classes: Seq[(String, scala.util.matching.Regex)] = Seq(
+      "exprId residue (#N)" -> "#\\d".r,
+      "identity hash residue (@hex)" -> "@[0-9a-fA-F]{4,}".r,
+      "lambda counter residue" -> "\\$\\$Lambda\\$?\\d".r,
+      "plan_id residue" -> "plan_id=\\d".r,
+      "core-count Repartition residue" -> "Repartition \\d".r,
+      "core-count RoundRobinPartitioning residue" ->
+        "RoundRobinPartitioning\\(\\d".r,
+      // Shuffle-partition counts inside cached physical fragments:
+      // no key's text carries these today (verified engine-wide); if
+      // one ever does, fail loudly so the count gets normalized
+      // instead of silently splitting fingerprints across envs.
+      "shuffle-partition residue (hashpartitioning)" ->
+        "hashpartitioning\\(".r,
+      "shuffle-partition residue (rangepartitioning)" ->
+        "rangepartitioning\\(".r,
+      // tmpdir/scratch paths differ per environment; input fixture
+      // paths (/root/testdata) are the contract and allowed. The
+      // cube DataSource's staged GENESIS fixtures are DETERMINISTIC
+      // absolute constants (plans/CubeOps.fixturePath — not
+      // java.io.tmpdir-derived, no PID/random component; verified
+      // stable builder-vs-driver in r16), so they're masked before
+      // the check: the rule targets RANDOM scratch paths.
+      "tmpdir path residue" -> "/tmp/".r)
+    val masked =
+      txt.replaceAll("/tmp/graft_cube_[A-Za-z0-9_.]+", "<cube-fixture>")
+    classes.flatMap { case (label, re) =>
+      re.findFirstIn(masked).map { m =>
+        val i = masked.indexOf(m)
+        val ctx = masked.substring(math.max(0, i - 40),
+          math.min(masked.length, i + 40)).replaceAll("\\s+", " ")
+        s"$label: …$ctx…"
+      }
+    }
+  }
+
+  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    val txt = normalizedPlanText(df)
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(txt.getBytes("UTF-8")).take(6)
       .map(b => f"$b%02x").mkString

@@ -16,7 +16,16 @@ package graft
   * An unannotated site fails the lint; so does planting one in a
   * query path (LintCollectSpec demonstrates red on a planted
   * unbounded collect). Comment-only mentions (scaladoc prose citing
-  * `.collect()`) are skipped by the leading `//`/`*` heuristic.
+  * the call) are skipped by the leading `//`/`*` heuristic.
+  *
+  * Files are read as UTF-8 EXPLICITLY and an unreadable file is a
+  * lint FAILURE, not an empty scan (r16 advice: `Source.fromFile`
+  * with the JVM-default charset — US-ASCII in a forked JVM on this
+  * POSIX-locale box — threw on every file's em-dashes and the
+  * catch-all turned each throw into "no lines", so the gate was
+  * vacuously green while scanning zero files). [[LintCollect.Scan]]
+  * carries the visited file/site counts so a silent-skip regression
+  * is itself testable (the spec pins files > 0 and sites > 0).
   *
   * No SparkSession — a plain source scan, milliseconds; runs with
   * [[LintBench]] at round close.
@@ -27,6 +36,14 @@ object LintCollect {
   val marker = "bounded-collect:"
 
   private val callRe = """\.collect(AsList)?\(\)""".r
+
+  /** Tree-scan result: failures plus how much was actually visited.
+    * `files` counts every .scala file read; `sites` counts every
+    * non-comment call-site line seen (annotated or not) — a green
+    * run with zero files or zero sites is a broken scan, not a clean
+    * tree, and the spec asserts both are nonzero.
+    */
+  final case class Scan(failures: Seq[String], files: Int, sites: Int)
 
   private def isCommentLine(s: String): Boolean = {
     val t = s.trim
@@ -40,11 +57,17 @@ object LintCollect {
       else {
         val window = lines.slice(math.max(0, i - 3), i + 1)
         if (window.exists(_.contains(marker))) None
-        else Some(s"$file:${i + 1}: .collect() without a " +
+        // Split literal so this error string is not itself a call
+        // site when the lint scans its own source (r16 advice #2).
+        else Some(s"$file:${i + 1}: " + ".collect" + "() without a " +
           s"'$marker <reason>' annotation — either the result is " +
           "bounded (say why) or this operator is not distributed")
       }
     }
+
+  /** Non-comment call-site lines, annotated or not — the visit count. */
+  private def siteCount(lines: IndexedSeq[String]): Int =
+    lines.count(ln => !isCommentLine(ln) && callRe.findFirstIn(ln).nonEmpty)
 
   private def scalaFiles(root: java.io.File): Seq[java.io.File] = {
     val here = Option(root.listFiles()).toSeq.flatten
@@ -52,24 +75,48 @@ object LintCollect {
       here.filter(_.isDirectory).flatMap(scalaFiles)
   }
 
-  def lintTree(root: java.io.File): Seq[String] =
-    scalaFiles(root).sortBy(_.getPath).flatMap { f =>
-      val lines =
-        try scala.io.Source.fromFile(f).getLines().toIndexedSeq
-        catch { case _: Throwable => IndexedSeq.empty[String] }
-      lintFile(f.getPath, lines)
+  def lintTree(root: java.io.File): Scan = {
+    var files = 0
+    var sites = 0
+    val failures = scalaFiles(root).sortBy(_.getPath).flatMap { f =>
+      val read =
+        try Right(java.nio.file.Files
+          .readString(f.toPath, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n", -1).toIndexedSeq)
+        catch { case e: Throwable => Left(e) }
+      read match {
+        case Left(e) =>
+          // An unreadable file is a FAILURE: silently skipping it is
+          // exactly the vacuous-green bug this rewrite removes.
+          Seq(s"${f.getPath}: unreadable as UTF-8 (${e.getClass.getName}: " +
+            s"${e.getMessage}) — the lint cannot vouch for a file it " +
+            "cannot read")
+        case Right(lines) =>
+          files += 1
+          sites += siteCount(lines)
+          lintFile(f.getPath, lines)
+      }
     }
+    Scan(failures, files, sites)
+  }
 
   def main(args: Array[String]): Unit = {
     val root = Seq("/root/repo/src/main/scala", "src/main/scala")
       .map(new java.io.File(_)).find(_.isDirectory)
       .getOrElse(sys.error("src/main/scala not found"))
-    val failures = lintTree(root)
-    if (failures.nonEmpty) {
-      failures.foreach(m => System.err.println(s"LINT_COLLECT FAIL: $m"))
+    val scan = lintTree(root)
+    if (scan.failures.nonEmpty) {
+      scan.failures.foreach(m => System.err.println(s"LINT_COLLECT FAIL: $m"))
       sys.exit(1)
     }
-    println("LINT_COLLECT OK: every main-source .collect() site carries " +
-      s"a '$marker' bounded-artifact annotation")
+    if (scan.files == 0 || scan.sites == 0) {
+      System.err.println(s"LINT_COLLECT FAIL: scan visited ${scan.files} " +
+        s"files / ${scan.sites} call sites — a zero count means the scan " +
+        "is broken, not that the tree is clean")
+      sys.exit(1)
+    }
+    println(s"LINT_COLLECT OK: ${scan.sites} main-source " + ".collect" +
+      s"() sites across ${scan.files} files all carry a '$marker' " +
+      "bounded-artifact annotation")
   }
 }

@@ -117,6 +117,48 @@ class LintBenchSpec extends AnyFunSuite with SparkSpec {
     assert(other != a1, "a different plan must fingerprint differently")
   }
 
+  test("fingerprints are core-count independent: an env-derived " +
+    "repartition width must not split fingerprints across environments") {
+    // r16 verdict #1: the builder's and the driver's JVMs run
+    // different local[N]; T.spread-style repartition(defaultParallelism)
+    // put that N into the plan text and 20 keys' committed quiet minima
+    // were discarded by the driver's loaded re-run. The normalizer now
+    // masks partition WIDTHS (the plan SHAPE still fingerprints).
+    import spark.implicits._
+    def build(n: Int) = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .repartition(n)
+      .filter(org.apache.spark.sql.functions.col("id") > 0)
+    assert(Bench.planFingerprint(build(8)) == Bench.planFingerprint(build(32)),
+      "8-core and 32-core spreads must fingerprint identically")
+    val noSpread = Seq((1L, "x")).toDF("id", "v")
+      .filter(org.apache.spark.sql.functions.col("id") > 0)
+    assert(Bench.planFingerprint(build(8)) != Bench.planFingerprint(noSpread),
+      "masking the width must not erase the Repartition node itself")
+  }
+
+  test("plan-text shape lint flags env-variant residue classes") {
+    assert(Bench.planTextShapeViolations("Filter (id#x > 0)").isEmpty)
+    assert(Bench.planTextShapeViolations("Repartition 32, true").nonEmpty,
+      "unmasked core count must be flagged")
+    assert(Bench.planTextShapeViolations(
+      "Exchange RoundRobinPartitioning(8), REPARTITION_BY_NUM").nonEmpty)
+    assert(Bench.planTextShapeViolations(
+      "Exchange hashpartitioning(k#x, 32)").nonEmpty,
+      "a cached shuffle fragment's partition count must be flagged " +
+        "so it gets normalized, not silently split fingerprints")
+    assert(Bench.planTextShapeViolations(
+      "Location: InMemoryFileIndex[file:/tmp/graft_stage_x]").nonEmpty,
+      "tmpdir scratch paths are env-variant")
+    assert(Bench.planTextShapeViolations(
+      "Location: InMemoryFileIndex[file:/root/testdata/sf0.1/x.parquet]")
+      .isEmpty, "input fixture paths are the contract, allowed")
+    assert(Bench.planTextShapeViolations(
+      "genesis-cube(/tmp/graft_cube_12411_mini.csv)").isEmpty,
+      "the cube DataSource's deterministic staged fixtures are allowed")
+    assert(Bench.planTextShapeViolations("Filter (id#1 > 0)").nonEmpty,
+      "raw exprIds mean the text was never normalized")
+  }
+
   test("an accepted-floor re-pin clears an adjudicated regression; " +
     "readings above the re-pinned floor + slack still drift") {
     val d = fresh()

@@ -55,9 +55,28 @@ class LintCollectSpec extends AnyFunSuite {
     assert(LintCollect.lintFile("E.scala", planted).nonEmpty)
   }
 
-  test("the current main tree is green") {
+  test("the current main tree is green AND the scan actually visited it") {
     val root = new java.io.File("/root/repo/src/main/scala")
-    val msgs = LintCollect.lintTree(root)
-    assert(msgs.isEmpty, msgs.mkString("\n"))
+    val scan = LintCollect.lintTree(root)
+    assert(scan.failures.isEmpty, scan.failures.mkString("\n"))
+    // r16 advice #3: the old green was vacuous — a charset bug made
+    // lintTree read zero files, so "no failures" proved nothing. Pin
+    // that the scan visited a tree-sized file count and saw the
+    // annotated call sites, so a silent-skip regression turns red.
+    assert(scan.files > 40, s"only ${scan.files} files visited — " +
+      "the main tree has ~50; a near-zero count means reads are failing")
+    assert(scan.sites >= 10, s"only ${scan.sites} call sites seen — " +
+      "the tree has 10+ annotated bounded-collect sites")
+  }
+
+  test("an unreadable file is a lint failure, not an empty scan") {
+    val dir = java.nio.file.Files.createTempDirectory("lintcollect").toFile
+    val bad = new java.io.File(dir, "Bad.scala")
+    // Invalid UTF-8: a lone 0xFF byte. Files.readString(UTF_8) throws.
+    java.nio.file.Files.write(bad.toPath, Array[Byte](0x76, 0x61, 0x6c,
+      0x20, 0xFF.toByte, 0x0a))
+    val scan = LintCollect.lintTree(dir)
+    assert(scan.failures.exists(_.contains("unreadable as UTF-8")),
+      scan.failures.mkString("\n"))
   }
 }
