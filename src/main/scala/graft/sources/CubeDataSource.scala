@@ -15,7 +15,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
+  GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -57,6 +58,11 @@ import graft.plans.CubeParser
   * granularity ([[SupportsPushDownFilters]]): cube identity IS the
   * file, so `filter(cube === x)` plans exactly the matching input
   * partitions — a point lookup over a 10⁵-cube corpus opens one file.
+  * `time` (equality/IN/range) and `measure` (equality/IN) predicates
+  * prune at READER granularity (r17, r16 verdict #4): off-year data
+  * records are skipped before any row is built and only the surviving
+  * measure slots of a record are emitted, so the common "one year,
+  * one statistic, every cube" query materializes exactly its answer.
   * Like parquet's pushdown this is best-effort: every filter is also
   * returned as residual, so Catalyst re-evaluates above the scan and
   * correctness never depends on the pruning.
@@ -120,32 +126,50 @@ private[sources] class CubeScanBuilder(paths: Seq[String])
     with SupportsPushDownFilters {
   private var required: StructType = CubeDataSource.schema
   private var cubeFilters: Seq[Filter] = Nil
+  private var rowFilters: Seq[Filter] = Nil
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  /** Accept `cube` equality/IN predicates for FILE pruning; return
-    * EVERY filter as residual (best-effort pushdown, the parquet
-    * pattern) so Catalyst re-evaluates above the scan and pruning can
-    * never change results.
+  /** Accept `cube` equality/IN predicates for FILE pruning, plus
+    * `time` range/equality/IN and `measure` equality/IN predicates for
+    * READER-level pruning (r17, r16 verdict #4): a data record whose
+    * time fails the predicate is skipped before any row is built, and
+    * only the predicate-surviving measures of a record are emitted —
+    * at a 10⁵-cube store a "2020 BEVSTD only" query then reads and
+    * discards nothing. Return EVERY filter as residual (best-effort
+    * pushdown, the parquet pattern) so Catalyst re-evaluates above the
+    * scan and pruning can never change results.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     cubeFilters = filters.collect {
       case f @ EqualTo("cube", _: String) => f: Filter
       case f @ In("cube", _) => f: Filter
     }.toSeq
+    rowFilters = filters.collect {
+      case f @ EqualTo("time", _: Int) => f: Filter
+      case f @ In("time", _) => f: Filter
+      case f @ GreaterThan("time", _: Int) => f: Filter
+      case f @ GreaterThanOrEqual("time", _: Int) => f: Filter
+      case f @ LessThan("time", _: Int) => f: Filter
+      case f @ LessThanOrEqual("time", _: Int) => f: Filter
+      case f @ EqualTo("measure", _: String) => f: Filter
+      case f @ In("measure", _) => f: Filter
+    }.toSeq
     filters
   }
-  override def pushedFilters(): Array[Filter] = cubeFilters.toArray
-  override def build(): Scan = new CubeScan(paths, required, cubeFilters)
+  override def pushedFilters(): Array[Filter] =
+    (cubeFilters ++ rowFilters).toArray
+  override def build(): Scan =
+    new CubeScan(paths, required, cubeFilters, rowFilters)
 }
 
 private[sources] class CubeScan(paths: Seq[String], required: StructType,
-    cubeFilters: Seq[Filter]) extends Scan with Batch {
+    cubeFilters: Seq[Filter], rowFilters: Seq[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"genesis-cube ${paths.size} path(s), ReadSchema: ${required.simpleString}" +
-      (if (cubeFilters.nonEmpty)
-        s", PushedFilters: ${cubeFilters.mkString("[", ", ", "]")}"
+      (if (cubeFilters.nonEmpty || rowFilters.nonEmpty)
+        s", PushedFilters: ${(cubeFilters ++ rowFilters).mkString("[", ", ", "]")}"
       else "")
 
   /** A file survives when its cube name (basename minus extension)
@@ -178,16 +202,17 @@ private[sources] class CubeScan(paths: Seq[String], required: StructType,
     files.map(f => CubeFilePartition(f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CubeReaderFactory(required)
+    new CubeReaderFactory(required, rowFilters)
 }
 
 private[sources] case class CubeFilePartition(path: String)
     extends InputPartition
 
-private[sources] class CubeReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+private[sources] class CubeReaderFactory(required: StructType,
+    rowFilters: Seq[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CubeFileReader(partition.asInstanceOf[CubeFilePartition].path, required)
+    new CubeFileReader(partition.asInstanceOf[CubeFilePartition].path,
+      required, rowFilters)
 }
 
 /** Executor-side reader for one cube file: pass 1 collects the K/D
@@ -198,8 +223,8 @@ private[sources] class CubeReaderFactory(required: StructType)
   * Two passes over a single cube file are cheap (cubes are
   * per-download sized) and keep memory at one line.
   */
-private[sources] class CubeFileReader(path: String, required: StructType)
-    extends PartitionReader[InternalRow] {
+private[sources] class CubeFileReader(path: String, required: StructType,
+    rowFilters: Seq[Filter]) extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(path)
   private val fs = hPath.getFileSystem(new Configuration())
@@ -234,6 +259,32 @@ private[sources] class CubeFileReader(path: String, required: StructType)
   private val dimAxes: Seq[(String, Int)] = layout.axes.zipWithIndex.tail
     .map { case (a, i) => (a, i + 1) }.sortBy(_._1)
 
+  /** Pushed `time` predicates as one conjunction over the parsed time
+    * token — evaluated BEFORE any row is built, so a year-filtered
+    * query never materializes off-year records. Filters stay residual
+    * above the scan, so an unhandled shape here is only a missed
+    * optimization, never a correctness risk. */
+  private def timeOk(t: Int): Boolean = rowFilters.forall {
+    case EqualTo("time", v: Int) => t == v
+    case In("time", vs) => vs.exists { case v: Int => t == v; case _ => false }
+    case GreaterThan("time", v: Int) => t > v
+    case GreaterThanOrEqual("time", v: Int) => t >= v
+    case LessThan("time", v: Int) => t < v
+    case LessThanOrEqual("time", v: Int) => t <= v
+    case _ => true
+  }
+
+  /** Measure slots surviving the pushed `measure` predicates — a
+    * record emits only these, computed once per file. */
+  private val measureSlots: Seq[Int] = {
+    def ok(m: String): Boolean = rowFilters.forall {
+      case EqualTo("measure", v: String) => m == v
+      case In("measure", vs) => vs.contains(m)
+      case _ => true
+    }
+    (0 until nMeasures).filter(i => ok(layout.measures(i)))
+  }
+
   private val data = open()
   private var pending: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
@@ -254,7 +305,7 @@ private[sources] class CubeFileReader(path: String, required: StructType)
         UTF8String.fromString(d._1): AnyRef).toArray[Any]),
       new GenericArrayData(dimAxes.map(d =>
         UTF8String.fromString(toks(d._2)): AnyRef).toArray[Any]))
-    (0 until nMeasures).iterator.map { i =>
+    measureSlots.iterator.map { i =>
       val v = toks(nAxes + 2 + 2 * i)
       val q = toks(nAxes + 3 + 2 * i)
       val row = new GenericInternalRow(required.length)
@@ -286,7 +337,8 @@ private[sources] class CubeFileReader(path: String, required: StructType)
       if (line == null) exhausted = true
       else {
         val toks = line.split(";", -1)
-        if (isData(toks)) pending = rowsOf(toks)
+        if (isData(toks) && timeOk(toks(nAxes + 1).toInt))
+          pending = rowsOf(toks)
       }
     }
     if (pending.hasNext) { current = pending.next(); true } else false

@@ -82,6 +82,54 @@ class CubeSourceSpec extends SparkSpec {
     assert(in.queryExecution.toRdd.getNumPartitions == 1 && in.count() == 6)
   }
 
+  test("time/measure predicates reach the reader and keep row parity " +
+    "with the unpushed path (r16 verdict #4)") {
+    // Area (two measures, 2020) plus AGS (one measure, 2019 AND 2020):
+    // together every predicate below both keeps and drops rows, so
+    // parity is tested with real discrimination on each side.
+    val df = spark.read.format("genesis-cube")
+      .load(CubeOps.ensureArea(), CubeOps.ensureAgs())
+    val all = df.collect().map(_.toSeq).toSet // unpushed reference
+    for ((pred, name) <- Seq(
+        (col("time") === 2020, "time ="),
+        (col("time") >= 2020, "time >="),
+        (col("time").isin(2019, 2020), "time IN"),
+        (col("measure") === "FLAECHE", "measure ="),
+        (col("measure").isin("BEVDICHTE", "zzz"), "measure IN"),
+        (col("time") === 2020 && col("measure") === "FLAECHE", "both"))) {
+      val pushed = df.filter(pred)
+      val plan = pushed.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [") &&
+        (plan.contains("time") || plan.contains("measure")),
+        s"$name must reach the scan description: $plan")
+      // Row parity: the pushed scan must emit exactly the rows the
+      // residual filter over the full read keeps (pruning is an
+      // optimization, never a semantics change).
+      val viaPush = pushed.collect().map(_.toSeq).toSet
+      assert(viaPush.subsetOf(all), s"$name emitted rows outside the table")
+      assert(viaPush == all.filter { r =>
+        val time = r(2).asInstanceOf[Int]
+        val measure = r(3).asInstanceOf[String]
+        name match {
+          case "time =" => time == 2020
+          case "time >=" => time >= 2020
+          case "time IN" => time == 2019 || time == 2020
+          case "measure =" => measure == "FLAECHE"
+          case "measure IN" => measure == "BEVDICHTE"
+          case "both" => time == 2020 && measure == "FLAECHE"
+        }
+      }, s"$name row parity broke")
+    }
+    // Planning with pushed row filters still runs zero Spark jobs.
+    val sc = spark.sparkContext
+    val group = s"cube-rowfilter-plan-${System.nanoTime()}"
+    sc.setJobGroup(group, "plan only")
+    df.filter(col("time") === 2020).queryExecution.toRdd.getNumPartitions
+    sc.clearJobGroup()
+    assert(sc.statusTracker.getJobIdsForGroup(group).isEmpty,
+      "planning with pushed time filters must not run driver jobs")
+  }
+
   test("null-token values parse to NULL with the flag kept, like the parser") {
     val dir = Files.createTempDirectory("cube_src_null")
     Files.writeString(dir.resolve("n.csv"), Seq(

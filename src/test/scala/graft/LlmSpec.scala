@@ -278,6 +278,29 @@ class LlmSpec extends SparkSpec {
       s"sampled-train recall $rSamp fell more than ε below full-train $rFull")
   }
 
+  test("sampled-query recall stays within ε of full recall — the 100 TB " +
+    "monitoring posture (r16 verdict #6)") {
+    // knn_recall's driver key evaluates EVERY query (exhaustive ground
+    // truth — affordable at sf, a corpus self-join at 100 TB). The
+    // production form samples queries with the deterministic md5 draw;
+    // both runs here are fully deterministic, so the proximity is a
+    // pinned number, not a flake. Also pins that the sample is real
+    // (fewer pairs) and non-degenerate (nonzero).
+    import graft.llm.LlmVector
+    def one(frac: Double) = {
+      val r = LlmVector.ivfRecall(spark, sf, queryFrac = frac).collect()(0)
+      graft.Pins.clearAll()
+      (r.getLong(0), r.getDouble(2))
+    }
+    val (nFull, rFull) = one(1.0)
+    val (nSamp, rSamp) = one(0.5)
+    assert(nSamp > 0 && nSamp < nFull,
+      s"the 0.5 sample must keep some and drop some pairs: $nSamp / $nFull")
+    assert(math.abs(rSamp - rFull) <= 0.15,
+      s"sampled recall $rSamp strayed more than ε from full $rFull " +
+        s"($nSamp of $nFull pairs)")
+  }
+
   test("multi-probe IVF: recall rises with nprobe; probing all cells IS brute force") {
     import spark.implicits._
     val dim = 8; val per = 40

@@ -35,6 +35,25 @@ class PlanSpec extends SparkSpec {
       s"the enrichment is join-free by design: $p")
   }
 
+  test("stream_funnel: one event-sized shuffle into the stateful fold, " +
+    "then user-sized aggregation — no join, no window sort") {
+    // The 100 TB shape (r17): events → ONE hashpartitioning exchange
+    // on user_id → TransformWithState (N longs of state per user) →
+    // stage agg over user-sized snapshots (its own small exchange).
+    // The batch win_funnel pays the same event-sized shuffle but then
+    // runs three window passes over it; the fold replaces those with
+    // a single pass. Terminal orderBy = presentation rangepartitioning.
+    val p = plan("stream_funnel", graft.streaming.StreamOps.queries)
+    assert(p.contains("TransformWithState"),
+      s"stateful funnel node missing: $p")
+    val keyExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyExchanges == 2,
+      s"stream_funnel wants exactly two hash exchanges (user_id fold + " +
+        s"stage agg), got $keyExchanges: $p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the funnel fold is join-free by design: $p")
+  }
+
   test("corpus_decontaminate: both joins broadcast the small side") {
     // The 100 TB shape: the benchmark's distinct shingle set is
     // eval-corpus-sized (tiny), so the overlap join must broadcast it

@@ -704,6 +704,209 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_asof: a HOT key's version state tracks the watermark " +
+    "window, not lifetime history (r16 verdict #7)") {
+    // One key, hundreds of versions across batches, watermark moving:
+    // after the anchor-preserving eviction runs, only versions at-or-
+    // after the anchor survive. Observable without state metrics via
+    // the keep-max tie-break rule: re-inserting an old time with a
+    // SMALLER tb is accepted only if that time was evicted. Floors
+    // stay correct throughout — eviction is lossless for in-watermark
+    // events.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Int, Long, Long, Timestamp)]
+      val base = ts("2024-01-01 00:00:00").getTime
+      def at(min: Long) = new Timestamp(base + min * 60000L)
+      val q = asofStream(in, "0 seconds").writeStream.format("memory")
+        .queryName("asof_hot_sink").outputMode(OutputMode.Append()).start()
+      try {
+        // Batch 1: 200 versions (minutes 0..199, tb = minute), plus an
+        // event at minute 199.5 → floors to version 199. Watermark
+        // after the batch = 199.5 min.
+        in.addData((0L until 200L).map(m => (1L, 0, m, 0L, at(m))) :+
+          ((1L, 1, 0L, 901L, new Timestamp(base + 199L * 60000L + 30000L))))
+        q.processAllAvailable()
+        // Batch 2: 200 more versions (minutes 200..399) + an event at
+        // minute 399.5. The batch-1 eviction pass (wm = 199.5) must
+        // have dropped versions 0..198, keeping anchor 199.
+        in.addData((200L until 400L).map(m => (1L, 0, m, 0L, at(m))) :+
+          ((1L, 1, 0L, 902L, new Timestamp(base + 399L * 60000L + 30000L))))
+        q.processAllAvailable()
+        // Batch 3: probe eviction — minute 100 re-inserted with tb=0
+        // is ACCEPTED only if the original (tb=100) was evicted; an
+        // event just after minute 100 then reads tb=0. The anchor
+        // itself must also have advanced past 199 by now (wm=399.5 →
+        // anchor 399), so re-inserting minute 199 with tb=0 is
+        // likewise accepted.
+        in.addData(
+          (1L, 0, 0L, 0L, at(100L)),
+          (1L, 0, 0L, 0L, at(199L)),
+          (1L, 1, 0L, 903L, new Timestamp(base + 100L * 60000L + 30000L)))
+        q.processAllAvailable()
+        val got = spark.table("asof_hot_sink").collect()
+          .map(r => r.getLong(1) ->
+            (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+        assert(got(901L) == Some(199L), s"hot-key floor drifted: $got")
+        assert(got(902L) == Some(399L), s"hot-key floor drifted: $got")
+        assert(got(903L) == Some(0L),
+          s"version 100 must have been evicted at wm=199.5 " +
+            s"(state would otherwise keep tb=100): $got")
+      } finally q.stop()
+    }
+  }
+
+  // ---- stream_funnel ([[StreamOps.FunnelProcessor]]) ----
+
+  /** Funnel input stream: (user_id, es, step, event_id). */
+  private def funnelOf(in: MemoryStream[(Long, Long, Int, Long)],
+      windowSec: Long = 86400L) =
+    StreamOps.funnelStream(
+      in.toDF().toDF("user_id", "es", "step", "event_id"), 3, windowSec)
+
+  test("stream_funnel: the stage-time vector bridges micro-batches — a " +
+    "batch-2 click measures against the batch-1 view; the per-step " +
+    "window and the order rule both gate") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Long, Int, Long)]
+      val q = funnelOf(in).writeStream.format("memory")
+        .queryName("funnel_sink").outputMode(OutputMode.Append()).start()
+      try {
+        // Batch 1, user 1: a click BEFORE any view (skipped — order
+        // rule), then the first view at es=1000.
+        in.addData((1L, 900L, 1, 1L), (1L, 1000L, 0, 2L))
+        q.processAllAvailable()
+        // Batch 2: user 1 clicks at 1500 (within 1000+86400 — counts,
+        // against the CARRIED view time) and purchases at 1000000
+        // (beyond 1500+86400 — window rule gates). User 2 has only a
+        // non-step event: enrolled at stage 0.
+        in.addData((1L, 1500L, 1, 3L), (1L, 1000000L, 2, 4L),
+          (2L, 1200L, -1, 5L))
+        q.processAllAvailable()
+        val got = spark.table("funnel_sink").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+        assert(got == Set((1L, 1L, Some(1000L)), (1L, 2L, Some(1000L)),
+          (2L, 0L, None)),
+          s"cross-batch funnel snapshots drifted: $got")
+      } finally q.stop()
+    }
+  }
+
+  test("stream_funnel: at-arrival semantics — a late view cannot " +
+    "retroactively qualify an already-seen click; a LATER click still " +
+    "advances") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Long, Int, Long)]
+      val q = funnelOf(in).writeStream.format("memory")
+        .queryName("funnel_late_sink").outputMode(OutputMode.Append()).start()
+      try {
+        // Batch 1: a click at es=500, no view yet — skipped at arrival.
+        in.addData((1L, 500L, 1, 1L))
+        q.processAllAvailable()
+        // Batch 2: the view arrives LATE (es=100 < 500). The batch
+        // fold would now count that click (t2=500); the stream's
+        // documented at-arrival contract does not revisit it — the
+        // stage stays 1 (same contract as AsofEnrichProcessor: late
+        // data corrects later events only).
+        in.addData((1L, 100L, 0, 2L))
+        q.processAllAvailable()
+        // Batch 3: a fresh click at es=600 qualifies against t1=100.
+        in.addData((1L, 600L, 1, 3L))
+        q.processAllAvailable()
+        val stages = spark.table("funnel_late_sink").collect()
+          .map(r => r.getLong(1)).toSeq.sorted
+        assert(stages == Seq(0L, 1L, 2L),
+          s"at-arrival progression drifted: $stages")
+      } finally q.stop()
+    }
+  }
+
+  test("stream_funnel: the stage vector survives a query RESTART from " +
+    "checkpoint") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Long, Int, Long)]
+      val out = java.nio.file.Files.createTempDirectory("funnel_restart_out")
+      val chk = java.nio.file.Files.createTempDirectory("funnel_restart_chk")
+      def start() = funnelOf(in).writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", chk.toString)
+        .outputMode(OutputMode.Append()).start()
+      val q1 = start()
+      try {
+        in.addData((1L, 1000L, 0, 1L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // A click arriving while the query is down: the restarted query
+      // must measure it against the RECOVERED view time — an empty
+      // recovery would leave the user at stage 1 (order rule).
+      in.addData((1L, 2000L, 1, 2L))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val got = spark.read.parquet(out.toString).collect()
+        .map(r => (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(got == Set((1L, Some(1000L)), (2L, Some(1000L))),
+        s"restart recovery drifted: $got")
+    }
+  }
+
+  test("stream_funnel: a time-ordered chunked replay over the real " +
+    "fixture equals the batch chained-window funnel") {
+    // The stream_asof replay pattern: the batch funnelTimes fold is
+    // the correctness reference; with arrivals in event-time order the
+    // single-pass fold computes the same fixpoint, so the FINAL
+    // snapshot per user (the max-stage emission — stages only grow,
+    // and t_first/secs are write-once) must agree exactly.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val steps = Seq("view", "click", "purchase")
+      val ev = T.events(spark, sf).select(col("user_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+        col("event_id"))
+      val ref = graft.operators.WindowOps.funnelTimes(
+          ev.select("user_id", "event_type", "es"), steps, 86400L)
+        .collect().map { r =>
+          val t1 = if (r.isNullAt(1)) None else Some(r.getLong(1))
+          val t2 = if (r.isNullAt(2)) None else Some(r.getLong(2))
+          val t3 = if (r.isNullAt(3)) None else Some(r.getLong(3))
+          val stage = Seq(t1, t2, t3).takeWhile(_.nonEmpty).length.toLong
+          r.getLong(0) -> ((stage, t1, t3.flatMap(t => t1.map(t - _))))
+        }.toMap
+      val stepIdx = steps.zipWithIndex.toMap
+      val rows = ev.collect().map(r => (r.getLong(0),
+          r.getLong(2), stepIdx.getOrElse(r.getString(1), -1), r.getLong(3)))
+        .sortBy(r => (r._2, r._4))
+      // Consecutive slices of the sorted log: cross-batch replay
+      // preserves the global time order, so no boundary care needed.
+      val n = rows.length
+      val chunks = Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+        rows.slice(2 * n / 3, n)).filter(_.nonEmpty)
+      val in = MemoryStream[(Long, Long, Int, Long)]
+      val q = funnelOf(in).writeStream.format("memory")
+        .queryName("funnel_replay_sink").outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+        val got = spark.table("funnel_replay_sink").collect()
+          .map(r => (r.getLong(0), (r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+          .groupBy(_._1).map { case (u, snaps) =>
+            u -> snaps.map(_._2).maxBy(_._1)
+          }
+        assert(got.size == ref.size,
+          s"user count drift: stream ${got.size} vs batch ${ref.size}")
+        val diff = ref.keys.filter(u => got.get(u) != ref.get(u)).take(5)
+        assert(diff.isEmpty,
+          s"stream/batch funnel drift on users $diff: " +
+            diff.map(u => s"$u: ${got.get(u)} vs ${ref.get(u)}").mkString("; "))
+      } finally q.stop()
+    }
+  }
+
   test("batch transformWithState equals the flatMapGroupsWithState fallback") {
     // stream_stateful's key runs the TWS form in batch (each group seen
     // once, empty initial state) — it must agree row-for-row with the
