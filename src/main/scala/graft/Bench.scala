@@ -53,8 +53,10 @@ object Bench {
     * tight floor is conservative, and LintBench.acceptedFloors is
     * their adjudication mechanism.
     */
-  private[graft] def normalizedPlanText(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.optimizedPlan.toString
+  private[graft] def normalizedPlanText(
+      df: org.apache.spark.sql.DataFrame,
+      maskEnvWidths: Boolean = true): String = {
+    val base = df.queryExecution.optimizedPlan.toString
       .replaceAll("#\\d+", "#x")
       .replaceAll("\\$\\$Lambda\\$?[0-9]*/0x[0-9a-fA-F]+", "\\$\\$Lambda")
       .replaceAll("@[0-9a-fA-F]{4,}", "@x")
@@ -63,23 +65,33 @@ object Bench {
       // subtrees print their Exchange with [plan_id=N]) would
       // otherwise fingerprint differently per run position.
       .replaceAll("plan_id=\\d+", "plan_id=x")
-      // ENVIRONMENT-derived partition counts (r16 verdict #1): the
-      // per-row-expensive spreads repartition to defaultParallelism,
-      // so the CORE COUNT enters the plan text — `Repartition N, true`
-      // in the logical tree and `RoundRobinPartitioning(N)` inside
-      // cached InMemoryRelation physical fragments. The builder's
-      // sweep JVM and the driver's bench JVM run different local[N],
-      // so exactly the 20 spread-carrying keys fingerprint-mismatched
-      // and the driver's loaded re-run discarded their quiet committed
-      // minima (+4.5 s on the official r16 artifact). Measured: with
-      // these two classes normalized, 8-core and 32-core sessions in
-      // different CWDs/tmpdirs produce byte-identical normalized text
-      // for all affected keys. A CODE change to a repartition count
-      // no longer invalidates priors — acceptable: the drift lint
-      // still catches a timing shift, and an env knob must never
-      // poison the merge.
-      .replaceAll("Repartition \\d+", "Repartition n")
-      .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(n)")
+    // ENVIRONMENT-derived partition counts (r16 verdict #1): the
+    // per-row-expensive spreads repartition to defaultParallelism,
+    // so the CORE COUNT enters the plan text — `Repartition N, true`
+    // in the logical tree and `RoundRobinPartitioning(N)` inside
+    // cached InMemoryRelation physical fragments. The builder's
+    // sweep JVM and the driver's bench JVM run different local[N],
+    // so exactly the 20 spread-carrying keys fingerprint-mismatched
+    // and the driver's loaded re-run discarded their quiet committed
+    // minima (+4.5 s on the official r16 artifact). Measured: with
+    // these two classes normalized, 8-core and 32-core sessions in
+    // different CWDs/tmpdirs produce byte-identical normalized text
+    // for all affected keys. A CODE change to a repartition count
+    // no longer invalidates priors — acceptable: the drift lint
+    // still catches a timing shift, and an env knob must never
+    // poison the merge. The r17-advice residual — a deliberate CODE
+    // change to a repartition count is fingerprint-INVISIBLE, so only
+    // the one-sided drift lint would notice — is covered by the
+    // WIDTH-SENSITIVE secondary fingerprint ([[widthFingerprint]]):
+    // recorded in FpDump output (never merged on, since it embeds the
+    // core count by construction), so a same-environment FpDump diff
+    // across code versions names exactly a width change.
+    if (maskEnvWidths)
+      base.replaceAll("Repartition \\d+", "Repartition n")
+        .replaceAll("RoundRobinPartitioning\\(\\d+\\)",
+          "RoundRobinPartitioning(n)")
+    else base
+  }
 
   /** Shape lint for the normalized plan text: token classes that vary
     * per JVM or per ENVIRONMENT and would silently poison the
@@ -127,12 +139,27 @@ object Bench {
     }
   }
 
-  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
-    val txt = normalizedPlanText(df)
+  private def hash6(txt: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(txt.getBytes("UTF-8")).take(6)
       .map(b => f"$b%02x").mkString
-  }
+
+  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): String =
+    hash6(normalizedPlanText(df))
+
+  /** Width-SENSITIVE variant: same normalization but with the
+    * environment-derived partition widths (`Repartition N` /
+    * `RoundRobinPartitioning(N)`) left intact. Never written to
+    * BENCH_DETAIL and never merged on — it embeds the session's core
+    * count, so it differs across environments by construction. Its one
+    * job (r17 advice): in a SAME-environment FpDump diff across code
+    * versions, a deliberate code change to a repartition count — which
+    * the merge fingerprint deliberately cannot see — shows up as a
+    * width-hash delta, so the change is at least visible evidence
+    * rather than relying solely on the one-sided drift lint.
+    */
+  private[graft] def widthFingerprint(df: org.apache.spark.sql.DataFrame): String =
+    hash6(normalizedPlanText(df, maskEnvWidths = false))
 
   /** Scrape a BENCH_DETAIL file's `"plans"` section (key → fingerprint
     * hex). Older-format files have no such section → empty map, which
@@ -148,13 +175,15 @@ object Bench {
       .map(m => m.group(1) -> m.group(2)).toMap
   }
 
-  /** Same-round min-merge with fingerprint invalidation. A prior
-    * reading survives only when (a) THIS run produced a real time for
-    * the key (current error sentinel always wins — broken ≠ fast),
-    * and (b) the prior file carries a fingerprint for the key equal
-    * to this run's (same plan text ⇒ same code measured). Exposed for
-    * LintBenchSpec: a mid-round implementation change must invalidate
-    * that key's prior minima while everything else still min-merges.
+  /** Fingerprint-guarded min-merge against ONE prior detail file. A
+    * prior reading survives only when (a) THIS run produced a real
+    * time for the key (current error sentinel always wins — broken ≠
+    * fast), and (b) the prior file carries a fingerprint for the key
+    * equal to this run's (same plan text ⇒ same code measured).
+    * Exposed for LintBenchSpec: a mid-round implementation change must
+    * invalidate that key's prior minima while everything else still
+    * min-merges. Used both same-round (re-runs merge into the round's
+    * own detail file) and cross-round (see [[seedFromPriors]]).
     */
   private[graft] def mergeDetail(
       current: Seq[(String, Double)],
@@ -176,6 +205,31 @@ object Bench {
             else math.min(v, usable.getOrElse(Double.MaxValue)))
     }
   }
+
+  /** Chain [[mergeDetail]] over several prior detail files — the
+    * round's own file first (same-round re-run merge), then the
+    * PREVIOUS round's (r17 verdict #1: cross-round seeding). Now that
+    * fingerprints are environment-stable (r17), a prior round's quiet
+    * minimum is valid evidence for exactly the keys whose plan text is
+    * byte-identical — a code change flips the fingerprint and rejects
+    * the carry automatically, the same guard the same-round merge
+    * already trusts. This makes the official board immune to a round
+    * of bad weather: r17's sweeps were all wave-hit and 200
+    * unchanged-fingerprint keys read a few ms above their r16 quiet
+    * minima (+3.5 s of pure ambient noise on the committed artifact).
+    * Only ONE round back is consulted: each round's file already
+    * carries its own seeded history forward, so the chain is
+    * transitive without scanning the whole archive, and a key whose
+    * plan changes then changes back within a round still re-seeds no
+    * further than evidence exists for.
+    */
+  private[graft] def seedFromPriors(
+      current: Seq[(String, Double)],
+      currentPlans: Map[String, String],
+      priorTexts: Seq[String],
+      declared: Set[String]): Seq[(String, Double)] =
+    priorTexts.foldLeft(current)((acc, txt) =>
+      mergeDetail(acc, currentPlans, txt, declared))
 
   /** Per-query minima across committed bench history — the noise floor
     * each new measurement is sanity-checked against. Sources, in trust
@@ -433,13 +487,19 @@ object Bench {
     // it), and only currently-declared keys survive the merge (a key
     // removed mid-round cannot linger as a stale lint hit).
     try {
-      val path = s"/root/repo/BENCH_DETAIL_r${currentRound()}.json"
-      val priorTxt = {
-        val f = new java.io.File(path)
+      val round = currentRound()
+      val path = s"/root/repo/BENCH_DETAIL_r$round.json"
+      def readIfExists(p: String): String = {
+        val f = new java.io.File(p)
         if (!f.exists()) ""
         else try scala.io.Source.fromFile(f).mkString
           catch { case _: Throwable => "" }
       }
+      val priorTxt = readIfExists(path)
+      // Cross-round seed (r17 verdict #1): the previous round's board
+      // is a valid prior for exactly the unchanged-fingerprint keys.
+      val prevRoundTxt =
+        readIfExists(s"/root/repo/BENCH_DETAIL_r${round - 1}.json")
       // An ERROR in the current run always wins the merge (r15 advice):
       // letting a prior run's positive time survive when THIS run's
       // reading is the -1 sentinel would show a key broken by a
@@ -451,8 +511,8 @@ object Bench {
       // can never be a faster reading of code that no longer exists.
       // The fingerprints written below are THIS run's, so the artifact
       // always describes the newest code.
-      val merged = mergeDetail(results, plans, priorTxt,
-          SparkEntry.queries.keySet)
+      val merged = seedFromPriors(results, plans,
+          Seq(priorTxt, prevRoundTxt), SparkEntry.queries.keySet)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val planJson = results.map { case (k, _) =>

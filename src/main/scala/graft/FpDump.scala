@@ -9,7 +9,14 @@ package graft
   * driver's loaded re-run discarded their quiet committed minima).
   *
   * Modes:
-  *   - no key args: one `name fingerprint` line per key (diff two runs).
+  *   - no key args: one `name fingerprint w:widthhash` line per key
+  *     (diff two runs). The second hash is [[Bench.widthFingerprint]]
+  *     — partition widths left IN (r17 advice #1): it differs across
+  *     environments by construction (it embeds the core count), but in
+  *     a same-environment diff across code versions it exposes a
+  *     deliberate repartition-width change that the merge fingerprint
+  *     deliberately masks. Diff the first column for merge decisions,
+  *     the second for width forensics.
   *   - key args: the FULL normalized plan text per named key — exactly
   *     [[Bench.normalizedPlanText]], the string the fingerprint hashes
   *     (r16 advice #4: this mode used to normalize `.canonicalized`
@@ -43,6 +50,7 @@ object FpDump {
             val shape = Bench.planTextShapeViolations(
               Bench.normalizedPlanText(df))
             Bench.planFingerprint(df) +
+              s" w:${Bench.widthFingerprint(df)}" +
               (if (shape.isEmpty) "" else shape.mkString(" SHAPE[", "; ", "]"))
           } catch { case e: Throwable => s"ERR:${e.getClass.getSimpleName}" }
         w.println(s"$name $fp")

@@ -73,18 +73,20 @@ object LintBench {
     // independent r16 solo minima in parentheses agree):
     //   knn_recall      1.370 (1.25)  vs r15 floor 0.733
     //   knn_pq_recall   1.532 (1.42)  vs 1.017
-    //   stream_curate   1.618 (1.42)  vs 1.042
-    //   stream_neardup  1.152 (1.10)  vs 0.664
     //   graph_pagerank  1.457 (1.49)  vs 1.199
     // None of these keys' plans changed since r15 (fingerprints match;
     // judge r16 confirmed); the r15 numbers were single anomalously
     // quiet sweeps, the same one-lucky-round pattern as ts_anomaly.
     // Pins sit at/below the ratio-corrected minima and below every
     // same-round sweep best, so they stay floors, not waivers.
+    // stream_curate (pinned 1.4) and stream_neardup (pinned 0.9) were
+    // part of this band but RECOVERED below their disputed r15 floors
+    // in r17 (0.747 / 0.471 on the min-merged board, after the r17
+    // spread-fingerprint stabilization let quiet readings survive the
+    // merge) — per this map's own contract their entries are removed
+    // (r17 verdict #3) so the drift tripwire re-arms at the true level.
     "knn_recall" -> 1.05,
     "knn_pq_recall" -> 1.45,
-    "stream_curate" -> 1.4,
-    "stream_neardup" -> 0.9,
     "graph_pagerank" -> 1.3
   )
 

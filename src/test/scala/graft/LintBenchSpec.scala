@@ -94,6 +94,33 @@ class LintBenchSpec extends AnyFunSuite with SparkSpec {
     assert(merged("c") == -1.0, "current error sentinel always wins")
   }
 
+  test("cross-round seed (r17 verdict #1): the previous round's reading " +
+    "survives only under a matching fingerprint; a changed plan rejects " +
+    "the carry and the error sentinel still always wins") {
+    // Same-round prior: both keys re-ran this round already.
+    val sameRound =
+      """{"queries":{"a":0.50,"b":0.45},""" +
+        """"plans":{"a":"aaaa11","b":"bbbb22"},""" +
+        """"summary":{"metric":"total","value":0.95}}"""
+    // Previous round's board: quieter readings for all three keys —
+    // but b's plan changed between rounds (its r-1 fingerprint is for
+    // code that no longer exists) and c errors THIS run.
+    val prevRound =
+      """{"queries":{"a":0.40,"b":0.30,"c":0.20},""" +
+        """"plans":{"a":"aaaa11","b":"ffff99","c":"cccc33"},""" +
+        """"summary":{"metric":"total","value":0.90}}"""
+    val current = Seq("a" -> 0.55, "b" -> 0.60, "c" -> -1.0)
+    val plans = Map("a" -> "aaaa11", "b" -> "bbbb22", "c" -> "cccc33")
+    val merged = Bench.seedFromPriors(current, plans,
+      Seq(sameRound, prevRound), Set("a", "b", "c")).toMap
+    assert(merged("a") == 0.40,
+      "unchanged fingerprint: the prior round's quiet minimum seeds the board")
+    assert(merged("b") == 0.45,
+      "changed fingerprint: the cross-round carry is rejected but the " +
+        "matching same-round prior still min-merges")
+    assert(merged("c") == -1.0, "current error sentinel always wins")
+  }
+
   test("min-merge: an old-format prior file (no plans section) cannot " +
     "prove what it measured — all prior readings are dropped") {
     val priorTxt = """{"queries":{"a":0.40},""" +
@@ -134,6 +161,14 @@ class LintBenchSpec extends AnyFunSuite with SparkSpec {
       .filter(org.apache.spark.sql.functions.col("id") > 0)
     assert(Bench.planFingerprint(build(8)) != Bench.planFingerprint(noSpread),
       "masking the width must not erase the Repartition node itself")
+    // The width-SENSITIVE secondary hash (r17 advice #1) sees exactly
+    // what the merge fingerprint masks: a width change — so a
+    // same-environment FpDump diff across code versions can name a
+    // deliberate repartition-count change.
+    assert(Bench.widthFingerprint(build(8)) != Bench.widthFingerprint(build(32)),
+      "the width hash must expose a repartition-width change")
+    assert(Bench.widthFingerprint(build(8)) == Bench.widthFingerprint(build(8)),
+      "same width, same code: the width hash is stable")
   }
 
   test("plan-text shape lint flags env-variant residue classes") {
