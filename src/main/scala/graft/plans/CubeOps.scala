@@ -258,6 +258,29 @@ object CubeOps {
         .orderBy("region", "dims_json", "time", "measure")
     }),
 
+    // End-to-end ETL macro (r18, r17 verdict #5): the reference's
+    // whole ingest chain replayed as ONE key — parse two revisions of
+    // the population cube plus the heterogeneous area cube
+    // ([[CubePipeline.parseAll]]), latest-revision-wins merge across
+    // the downloads ([[CubePipeline.latestRevision]]; area cells,
+    // present only in revision 1, survive trivially), then the
+    // nested-JSON fact-document build ([[CubePipeline.facts]]) — the
+    // export shape cube_serve serves one region of. cube_latest gates
+    // the merge and cube_serve the doc rendering; this key gates
+    // their COMPOSITION: the full download → dedup → document chain a
+    // catalog refresh runs. Scale shape: one ranked-window shuffle on
+    // the cell key + one nest-agg shuffle on the doc key — one
+    // shuffle per stage boundary, nothing driver-sized.
+    "cube_etl" -> ((s, _) => {
+      val rev1 = CubePipeline.parseAll(s,
+        Seq(ensureFixture() -> "12411", ensureArea() -> "area"))
+      val rev2 = CubePipeline.parseAll(s, Seq(ensureFixtureV2() -> "12411"))
+      CubePipeline.facts(
+          CubePipeline.latestRevision(Seq(rev1 -> 1, rev2 -> 2))
+            .drop("revision"))
+        .orderBy("cube", "region", "time", "doc")
+    }),
+
     // Revision diff (r9): added/removed/changed/unchanged per cell
     // between two revisions of the same cube — the incremental-sync
     // report a catalog updater emits before applying cube_latest's
@@ -502,6 +525,50 @@ object CubeOps {
          |SELECT cube, region, dims_json, t AS "time", measure, value, quality
          |FROM u WHERE region = '11' AND t = 2020
          |ORDER BY cube, dims_json, measure""".stripMargin,
+    // The cube_latest ranked merge feeding the cube_serve doc build:
+    // 12411 cells merged across both revisions (v2 wins 2020, adds
+    // 2021; 2019 and region 02 survive from v1), area cells straight
+    // from their only revision — then each cell group rendered to the
+    // same JSON doc strings the serve oracle pins byte-for-byte.
+    "cube_etl" ->
+      s"""WITH v1 AS (${duckDataOf(fixturePath)}),
+         |v2 AS (${duckDataOf(fixtureV2Path)}),
+         |area AS (${duckDataOf(areaPath)}),
+         |u AS (
+         |  SELECT 1 AS revision, c1 AS region, c2 AS ges,
+         |    CAST(c3 AS INT) AS t,
+         |    CASE WHEN c4 IN $duckNull THEN NULL
+         |         ELSE CAST(c4 AS DOUBLE) END AS value,
+         |    c5 AS quality
+         |  FROM v1
+         |  UNION ALL
+         |  SELECT 2, c1, c2, CAST(c3 AS INT),
+         |    CASE WHEN c4 IN $duckNull THEN NULL
+         |         ELSE CAST(c4 AS DOUBLE) END, c5
+         |  FROM v2),
+         |m AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY region, ges, t ORDER BY revision DESC) AS rn
+         |    FROM u) WHERE rn = 1),
+         |docs AS (
+         |  SELECT '12411' AS cube, region, t,
+         |    '{"region":"' || region || '","year":' || t ||
+         |    ',"dims":{"GES":"' || ges || '"},"measures":{"BEVSTD":{"value":'
+         |    || CAST(value AS VARCHAR) || ',"quality":"' || quality
+         |    || '"}}}' AS doc
+         |  FROM m
+         |  UNION ALL
+         |  SELECT 'area', c1, CAST(c2 AS INT),
+         |    '{"region":"' || c1 || '","year":' || c2 ||
+         |    ',"dims":{},"measures":{"BEVDICHTE":{"value":'
+         |    || CAST(CAST(c5 AS DOUBLE) AS VARCHAR) || ',"quality":"' || c6
+         |    || '"},"FLAECHE":{"value":'
+         |    || CAST(CAST(c3 AS DOUBLE) AS VARCHAR) || ',"quality":"' || c4
+         |    || '"}}}'
+         |  FROM area)
+         |SELECT cube, region, t AS "time", doc FROM docs
+         |ORDER BY cube, region, "time", doc""".stripMargin,
     "cube_latest" ->
       s"""WITH v1 AS (${duckDataOf(fixturePath)}),
          |v2 AS (${duckDataOf(fixtureV2Path)}),

@@ -151,6 +151,13 @@ private[sources] class CubeScanBuilder(paths: Seq[String])
       case f @ GreaterThanOrEqual("time", _: Int) => f: Filter
       case f @ LessThan("time", _: Int) => f: Filter
       case f @ LessThanOrEqual("time", _: Int) => f: Filter
+      // `measure` range predicates (>, <, BETWEEN) stay residual-only
+      // BY DESIGN (r17 verdict #6): measure names are a CATEGORICAL
+      // code vocabulary (BEVSTD, FLAECHE, …) — a lexicographic range
+      // over them has no query meaning, so accepting one here would
+      // add reader-side string-compare cost for zero pruning value.
+      // Do not "complete" this list with range cases; equality/IN is
+      // the whole useful algebra for this column.
       case f @ EqualTo("measure", _: String) => f: Filter
       case f @ In("measure", _) => f: Filter
     }.toSeq

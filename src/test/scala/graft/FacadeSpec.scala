@@ -46,7 +46,7 @@ class FacadeSpec extends SparkSpec {
     assert(Graft.ngramPairs(docs, 0.5, None).count() == 1)
   }
 
-  test("surface counts: 242 keys / 238 oracled — bump HERE plus README/SURVEY/Graft") {
+  test("surface counts: 244 keys / 240 oracled — bump HERE plus README/SURVEY/Graft") {
     // The tracked counts went stale three rounds running (r10 verdict
     // directive #5): this assertion is the single source of truth. A
     // new key fails it on purpose — update the expected counts here
@@ -54,9 +54,9 @@ class FacadeSpec extends SparkSpec {
     //   README.md          ("§2 is the operator contract: N keys, M …")
     //   SURVEY.md §2 totals ("Totals: N operator keys … M with …")
     //   Graft.scala         ("the N `SparkEntry.queries` keys")
-    assert(SparkEntry.queries.size == 242,
+    assert(SparkEntry.queries.size == 244,
       s"queries.size = ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 238,
+    assert(SparkEntry.oracleSql.size == 240,
       s"oracleSql.size = ${SparkEntry.oracleSql.size}")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: $orphans")

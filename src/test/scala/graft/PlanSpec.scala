@@ -37,21 +37,49 @@ class PlanSpec extends SparkSpec {
 
   test("stream_funnel: one event-sized shuffle into the stateful fold, " +
     "then user-sized aggregation — no join, no window sort") {
-    // The 100 TB shape (r17): events → ONE hashpartitioning exchange
-    // on user_id → TransformWithState (N longs of state per user) →
-    // stage agg over user-sized snapshots (its own small exchange).
-    // The batch win_funnel pays the same event-sized shuffle but then
-    // runs three window passes over it; the fold replaces those with
-    // a single pass. Terminal orderBy = presentation rangepartitioning.
+    // The 100 TB shape (r17, r18): events → ONE hashpartitioning
+    // exchange on user_id → TransformWithState (N longs of state per
+    // user) → latest-snapshot collapse per user (r18: its own
+    // exchange — the object boundary around the state op rebuilds the
+    // columns, so Catalyst can't prove the snapshots are still
+    // user_id-partitioned; USER-sized rows, never event rows) → stage
+    // agg (small exchange). The batch win_funnel pays the same
+    // event-sized shuffle but then runs three window passes over it;
+    // the fold replaces those with a single pass. Terminal orderBy =
+    // presentation rangepartitioning.
     val p = plan("stream_funnel", graft.streaming.StreamOps.queries)
     assert(p.contains("TransformWithState"),
       s"stateful funnel node missing: $p")
     val keyExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(keyExchanges == 2,
-      s"stream_funnel wants exactly two hash exchanges (user_id fold + " +
-        s"stage agg), got $keyExchanges: $p")
+    assert(keyExchanges == 3,
+      s"stream_funnel wants exactly three hash exchanges (user_id fold " +
+        s"+ snapshot collapse + stage agg), got $keyExchanges: $p")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       s"the funnel fold is join-free by design: $p")
+  }
+
+  test("stream_retention: one event-sized shuffle into the stateful " +
+    "set-union fold, then user/triangle-sized aggregation — no join, " +
+    "no window sort") {
+    // Same 100 TB shape as stream_funnel: events → ONE event-sized
+    // hashpartitioning exchange on user_id → TransformWithState
+    // (cohort + bitmask, words+2 longs per user) → latest-snapshot
+    // collapse (user-sized exchange) → triangle agg over exploded
+    // offsets (≤ 64·words rows per user; small exchange). The batch
+    // win_retention pays a distinct agg + a user window over the same
+    // shuffle; the fold replaces both with a single pass. Terminal
+    // orderBy = presentation rangepartitioning.
+    val p = plan("stream_retention", graft.streaming.StreamOps.queries)
+    assert(p.contains("TransformWithState"),
+      s"stateful retention node missing: $p")
+    val keyExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyExchanges == 3,
+      s"stream_retention wants exactly three hash exchanges (user_id " +
+        s"fold + snapshot collapse + triangle agg), got $keyExchanges: $p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the retention fold is join-free by design: $p")
+    assert(!p.contains("Window"),
+      s"no window pass — the fold replaces win_retention's user window: $p")
   }
 
   test("corpus_decontaminate: both joins broadcast the small side") {

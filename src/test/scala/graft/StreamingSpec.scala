@@ -907,6 +907,165 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream_funnel: epoch-zero-or-earlier rows are out of domain — " +
+    "they neither wedge a stage slot nor enroll their user") {
+    // r17 advice #2: 0 is the state vector's "not reached" sentinel,
+    // so an es <= 0 event could never fill a slot; funnelStream now
+    // filters the domain explicitly instead of silently diverging.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Long, Int, Long)]
+      val q = funnelOf(in).writeStream.format("memory")
+        .queryName("funnel_epoch_sink").outputMode(OutputMode.Append()).start()
+      try {
+        // User 1: an epoch-0 view (dropped — out of domain) then a
+        // valid click: no view seen ⇒ stage 0, but the user IS
+        // enrolled by the valid row. User 2: only a pre-epoch row —
+        // not enrolled at all (no snapshot).
+        in.addData((1L, 0L, 0, 1L), (1L, 500L, 1, 2L), (2L, -3L, -1, 3L))
+        q.processAllAvailable()
+        val got = spark.table("funnel_epoch_sink").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toSet
+        assert(got == Set(1L -> 0L),
+          s"epoch-domain filter drifted (user 2 must have no snapshot, " +
+            s"user 1 must sit at stage 0): $got")
+      } finally q.stop()
+    }
+  }
+
+  // ---- stream_retention ([[StreamOps.RetentionProcessor]]) ----
+
+  /** Retention input stream: (user_id, week). */
+  private def retentionOf(in: MemoryStream[(Long, Long)], words: Int = 1) =
+    StreamOps.retentionStream(in.toDF().toDF("user_id", "week"), words)
+
+  private def retentionSnaps(table: String) =
+    spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toList))
+
+  test("stream_retention: the (cohort, mask) state bridges micro-batches " +
+    "AND an out-of-order earlier week shifts the cohort down, re-basing " +
+    "every carried offset") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Long)]
+      val q = retentionOf(in).writeStream.format("memory")
+        .queryName("ret_sink").outputMode(OutputMode.Append()).start()
+      try {
+        // Batch 1: user 1 first seen at week 105, user 2 at week 100.
+        in.addData((1L, 105L), (2L, 100L))
+        q.processAllAvailable()
+        // Batch 2: user 1's week-100 activity arrives LATE (earlier
+        // than the carried cohort 105) — the set-union fold must
+        // shift the cohort to 100 and re-base the carried offset 0 to
+        // offset 5. User 2 returns in week 102 (plain carry).
+        in.addData((1L, 100L), (2L, 102L))
+        q.processAllAvailable()
+        val latest = retentionSnaps("ret_sink")
+          .groupBy(_._1).map { case (u, snaps) => u -> snaps.maxBy(_._2) }
+        assert(latest(1L)._3 == 100L && latest(1L)._4 == List(0L, 5L),
+          s"cohort shift drifted: ${latest(1L)}")
+        assert(latest(2L)._3 == 100L && latest(2L)._4 == List(0L, 2L),
+          s"plain cross-batch carry drifted: ${latest(2L)}")
+      } finally q.stop()
+    }
+  }
+
+  test("stream_retention: the (cohort, mask) state survives a query " +
+    "RESTART from checkpoint") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Long)]
+      val out = java.nio.file.Files.createTempDirectory("ret_restart_out")
+      val chk = java.nio.file.Files.createTempDirectory("ret_restart_chk")
+      def start() = retentionOf(in).writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", chk.toString)
+        .outputMode(OutputMode.Append()).start()
+      val q1 = start()
+      try {
+        in.addData((1L, 100L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // A return week arriving while the query is down: the restarted
+      // query must union it with the RECOVERED cohort + mask — an
+      // empty recovery would restart the cohort at 101.
+      in.addData((1L, 101L))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val latest = spark.read.parquet(out.toString).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toList))
+        .maxBy(_._1)
+      assert(latest == ((2L, 100L, List(0L, 1L))),
+        s"restart recovery drifted: $latest")
+    }
+  }
+
+  test("stream_retention: a week offset beyond the mask capacity FAILS " +
+    "the query rather than silently dropping the return week") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, Long)]
+      val q = retentionOf(in, words = 1).writeStream.format("memory")
+        .queryName("ret_cap_sink").outputMode(OutputMode.Append()).start()
+      try {
+        in.addData((1L, 100L))
+        q.processAllAvailable()
+        // Offset 100 >= 64: out of a 1-word mask's range. Silent drop
+        // would diverge from the batch triangle — the contract throws.
+        in.addData((1L, 200L))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(e.getMessage.contains("retention mask capacity") ||
+          Option(e.getCause).exists(_.getMessage != null) ,
+          s"unexpected failure: $e")
+      } finally q.stop()
+    }
+  }
+
+  test("stream_retention: a shuffled chunked replay over the real " +
+    "fixture equals the batch retention triangle — the fold is " +
+    "order-independent") {
+    // Stronger than the funnel's time-ordered replay: the retention
+    // fold is a set union, so even a REVERSED arrival order must
+    // converge to win_retention's triangle exactly.
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val weeks = T.events(spark, sf).select(col("user_id"),
+          expr("datediff(to_date(date_trunc('second', ts)), " +
+            "date '1970-01-05') div 7").cast("long").as("week"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ref = graft.operators.WindowOps.retentionTriangle(
+          spark.createDataFrame(weeks.toSeq.distinct)
+            .toDF("user_id", "week"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      // Reverse event-time order, split into 3 chunks.
+      val rows = weeks.reverse
+      val n = rows.length
+      val chunks = Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+        rows.slice(2 * n / 3, n)).filter(_.nonEmpty)
+      val in = MemoryStream[(Long, Long)]
+      val q = retentionOf(in).writeStream.format("memory")
+        .queryName("ret_replay_sink").outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+        val got = retentionSnaps("ret_replay_sink")
+          .groupBy(_._1).toSeq
+          .flatMap { case (_, snaps) =>
+            val s = snaps.maxBy(_._2) // latest snapshot per user
+            s._4.map(off => (s._3, off))
+          }
+          .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+        assert(got == ref,
+          s"stream/batch retention drift: ${got.toSeq.sorted.take(5)} vs " +
+            s"${ref.toSeq.sorted.take(5)}")
+      } finally q.stop()
+    }
+  }
+
   test("batch transformWithState equals the flatMapGroupsWithState fallback") {
     // stream_stateful's key runs the TWS form in batch (each group seen
     // once, empty initial state) — it must agree row-for-row with the
