@@ -87,7 +87,47 @@ object LintBench {
     // (r17 verdict #3) so the drift tripwire re-arms at the true level.
     "knn_recall" -> 1.05,
     "knn_pq_recall" -> 1.45,
-    "graph_pagerank" -> 1.3
+    "graph_pagerank" -> 1.3,
+    // text_langid (r18, r17 verdict #2): board history 1.126/1.562/
+    // 1.069/0.998/0.951/0.903/0.771(r15)/1.007/1.011 — the 0.771 is
+    // the SAME r15 anomalously-quiet-round trough as the d-k/s-band
+    // floors above (adjudicated 82cd8ca), and its r16→r17 fingerprint
+    // change is benign: exactly the 20 T.spread-carrying keys changed
+    // hashes when the r17 normalizer began masking `Repartition N`
+    // (commit 491a245) — langid's trigrams() spreads, no code change
+    // to the path since. r18 TimeKeys min-of-5 read 1.510 against a
+    // graph_triangles reference of 0.584 (quiet-era ~0.42: session
+    // ~1.4x inflated ⇒ ratio-corrected ~1.05-1.1), agreeing with the
+    // in-sweep 0.90-1.01 band. Pinned at 0.9 — at/below every
+    // non-r15 board reading — so the drift line re-arms at 1.2
+    // instead of tripping forever on the r15 trough.
+    "text_langid" -> 0.9,
+    // stream_funnel (r18): the floor legitimately rose 0.33 → ~0.70
+    // with a DELIBERATE plan change (r17 advice #4, commit bcdcbce) —
+    // the driver key now collapses to each user's latest snapshot
+    // before the stage agg so it stays exact in multi-batch runs; the
+    // collapse adds a user-sized exchange plus two aggregate stages
+    // whose fixed scheduling overhead dominates at sf0.1 (at real
+    // scale the extra exchange moves user-count rows, noise next to
+    // the event-sized fold). r18 evidence: sweep-1 wave-hit 0.847,
+    // sweep-2 trough 0.704; the old 0.33 belongs to the old plan
+    // (fingerprint changed, priors auto-invalidated). Pinned at 0.65
+    // — below every new-plan reading — so the r19 drift line arms at
+    // 0.95 instead of firing on the dead plan's floor.
+    "stream_funnel" -> 0.65,
+    // text_perplexity (r18): board history 1.304/1.344/1.735/1.041/
+    // 1.353/1.246/1.110/0.673(r16)/1.126/1.126 — the 0.673 is a
+    // single anomalously quiet r16 sweep (the t-band trough round;
+    // graph_triangles read 0.282 that round vs its usual ~0.40+),
+    // the same one-lucky-round pattern as ts_anomaly. No code change
+    // to the perplexity path since r11 and the fingerprint is
+    // unchanged r16→r17→r18. r18 TimeKeys min-of-5: 1.791 against a
+    // graph_triangles reference of 0.589 (~1.4x inflated session ⇒
+    // ratio-corrected ~1.28), agreeing with the 1.0-1.3 in-sweep
+    // band. Pinned at 1.0 — below every non-r16 board reading — so
+    // the drift line arms at 1.3 instead of tripping forever on the
+    // r16 trough.
+    "text_perplexity" -> 1.0
   )
 
   private val pair = """"([A-Za-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
