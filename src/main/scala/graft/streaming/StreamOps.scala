@@ -907,6 +907,40 @@ object StreamOps {
     * batch triangle). O(1) at any scale, no eviction needed; 100 TB
     * cost is the one user_id shuffle the input already pays.
     */
+  /** Pure core of [[RetentionProcessor.handleInputRows]]: carried
+    * (cohort, mask) state ∪ a batch's weeks → the updated (cohort,
+    * mask) plus the decoded sorted offsets. Decode the carried mask to
+    * absolute weeks, union, re-encode against the (possibly
+    * shifted-down) cohort. Factored out so PropertySpec can pin the
+    * fold algebra — a set union: commutative, idempotent, and
+    * therefore chunking/arrival-order independent — without a
+    * streaming harness; the key identifies the user in the
+    * capacity-overrun message only.
+    */
+  private[graft] def retentionMerge(prev: Option[(Long, Array[Long])],
+      newWeeks: IterableOnce[Long], words: Int,
+      key: Long): (Long, Array[Long], Array[Long]) = {
+    val weeks = scala.collection.mutable.SortedSet.empty[Long]
+    prev.foreach { case (cohort0, mask0) =>
+      var i = 0
+      while (i < mask0.length * 64) {
+        if (((mask0(i >> 6) >>> (i & 63)) & 1L) == 1L) weeks += cohort0 + i
+        i += 1
+      }
+    }
+    newWeeks.iterator.foreach(weeks += _)
+    val cohort = weeks.head
+    val mask = new Array[Long](words)
+    weeks.foreach { wk =>
+      val off = wk - cohort
+      require(off < words * 64L,
+        s"retention mask capacity exceeded for user $key: offset $off >= " +
+          s"${words * 64} weeks — size `words` to the corpus span")
+      mask((off >> 6).toInt) |= 1L << (off & 63)
+    }
+    (cohort, mask, weeks.iterator.map(_ - cohort).toArray)
+  }
+
   final class RetentionProcessor(words: Int)
       extends StatefulProcessor[Long, (Long, Long), RetentionOut] {
     require(words >= 1)
@@ -917,31 +951,12 @@ object StreamOps {
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, Long)],
         timerValues: TimerValues): Iterator[RetentionOut] = {
-      // Decode the carried mask to absolute weeks, union the batch's
-      // weeks, re-encode against the (possibly shifted-down) cohort.
-      val weeks = scala.collection.mutable.SortedSet.empty[Long]
       val prev = if (st.exists()) Some(st.get()) else None
-      prev.foreach { p =>
-        var i = 0
-        while (i < p.mask.length * 64) {
-          if (((p.mask(i >> 6) >>> (i & 63)) & 1L) == 1L) weeks += p.cohort + i
-          i += 1
-        }
-      }
-      rows.foreach(weeks += _._2)
-      val cohort = weeks.head
-      val mask = new Array[Long](words)
-      weeks.foreach { wk =>
-        val off = wk - cohort
-        require(off < words * 64L,
-          s"retention mask capacity exceeded for user $key: offset $off >= " +
-            s"${words * 64} weeks — size `words` to the corpus span")
-        mask((off >> 6).toInt) |= 1L << (off & 63)
-      }
+      val (cohort, mask, offsets) = retentionMerge(
+        prev.map(p => (p.cohort, p.mask)), rows.map(_._2), words, key)
       val seq = prev.map(_.seq).getOrElse(0L) + 1
       st.update(RetentionState(seq, cohort, mask))
-      Iterator.single(RetentionOut(key, seq, cohort,
-        weeks.iterator.map(_ - cohort).toArray))
+      Iterator.single(RetentionOut(key, seq, cohort, offsets))
     }
   }
 

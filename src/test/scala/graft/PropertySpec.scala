@@ -556,6 +556,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("retentionMerge: ANY chunking and arrival order of ANY week " +
+    "multiset folds to the same (cohort, offsets) — the set-union " +
+    "algebra behind stream_retention") {
+    import graft.streaming.StreamOps
+    // Random week multiset (duplicates deliberate — the bitmask must
+    // dedup), random chunk boundaries, random permutation.
+    val gen = for {
+      weeks <- Gen.nonEmptyListOf(Gen.choose(100L, 160L)) // ≤ 61 offsets
+      perm <- Gen.choose(0, 5)
+      cuts <- Gen.listOfN(2, Gen.choose(0, weeks.size))
+    } yield (weeks, perm, cuts.sorted)
+    forAllSeeded(gen, n = 10) { case (weeks, perm, Seq(c1, c2)) =>
+      // Deterministic permutation variants: identity, reverse, rotate.
+      val arranged = perm % 3 match {
+        case 0 => weeks
+        case 1 => weeks.reverse
+        case _ => weeks.drop(perm) ++ weeks.take(perm)
+      }
+      val chunks = Seq(arranged.slice(0, c1), arranged.slice(c1, c2),
+        arranged.slice(c2, arranged.size)).filter(_.nonEmpty)
+      val folded = chunks.foldLeft(Option.empty[(Long, Array[Long])]) {
+        (st, chunk) =>
+          val (cohort, mask, _) = StreamOps.retentionMerge(st, chunk, 1, 0L)
+          Some((cohort, mask))
+      }
+      val (cohort, _, offsets) = StreamOps.retentionMerge(folded, Nil, 1, 0L)
+      val ref = weeks.distinct.sorted
+      assert(cohort == ref.head && offsets.toList == ref.map(_ - ref.head),
+        s"fold drifted: ($cohort, ${offsets.toList}) vs $ref " +
+          s"(weeks=$weeks chunks=$chunks)")
+      // Idempotence: re-merging the whole multiset changes nothing.
+      val (c2nd, _, o2nd) = StreamOps.retentionMerge(folded, weeks, 1, 0L)
+      assert(c2nd == cohort && o2nd.toList == offsets.toList,
+        "re-merge must be idempotent")
+    }
+  }
+
   test("latestRevision ≡ per-cell highest-revision reference for ANY stack") {
     import graft.plans.CubePipeline
     // Random cells across 3 revisions; absent-from-newer cells must
