@@ -363,6 +363,22 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("cube_etl: one ranked-window shuffle (revision merge) + one " +
+    "nest-agg shuffle (doc build) — one shuffle per stage boundary, " +
+    "no join") {
+    // The r18 ingest macro (r17 verdict #5): parse → latestRevision →
+    // facts. The merge is cube_latest's single ranked window on the
+    // cell key; the doc build is ONE hash aggregate pair on the doc
+    // key. Terminal orderBy = presentation rangepartitioning.
+    val p = plan("cube_etl", graft.plans.CubeOps.queries)
+    assert(p.contains("Window"), s"revision-merge window missing: $p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"cube_etl wants exactly two hash exchanges (cell-key window + " +
+        s"doc-key nest agg): $p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the ingest chain is join-free: $p")
+  }
+
   test("join_skew_salted: the join exchange hashes on (key, salt)") {
     // The salt must actually reach the shuffle: the big side's exchange
     // partitions on (l_suppkey, __salt), spreading a hot suppkey over 8
