@@ -884,29 +884,6 @@ object StreamOps {
     */
   final case class RetentionState(seq: Long, cohort: Long, mask: Array[Long])
 
-  /** Streaming cohort retention (r18, r17 verdict #4) — the last batch
-    * window-family member (`win_retention`) with no streaming
-    * counterpart. Semantics per user (= [[graft.operators.WindowOps
-    * .retentionTriangle]]): cohort = min active week, and for every
-    * active week the offset (week − cohort) is marked once.
-    *
-    * Unlike the funnel — whose chained-window fixpoint is only exact
-    * under event-time-ordered arrival — the retention fold is a pure
-    * SET UNION: (cohort, mask) merged with new weeks is commutative
-    * and idempotent, so ANY arrival order converges to the batch
-    * triangle, including a batch-2 event EARLIER than the carried
-    * cohort (the cohort shifts down and every carried offset re-bases
-    * against it — spec'd in StreamingSpec). No per-call sorting is
-    * needed for the same reason, so the per-call buffer is just the
-    * decoded state (≤ 64·words offsets), never the row iterator.
-    *
-    * State per user = `words`+2 longs (the driver key's 1-word mask =
-    * 64 offset weeks ≈ 15 months of per-user tracking; size `words`
-    * to the corpus span — capacity overrun throws rather than
-    * silently dropping a return week, which would diverge from the
-    * batch triangle). O(1) at any scale, no eviction needed; 100 TB
-    * cost is the one user_id shuffle the input already pays.
-    */
   /** Pure core of [[RetentionProcessor.handleInputRows]]: carried
     * (cohort, mask) state ∪ a batch's weeks → the updated (cohort,
     * mask) plus the decoded sorted offsets. Decode the carried mask to
@@ -941,6 +918,31 @@ object StreamOps {
     (cohort, mask, weeks.iterator.map(_ - cohort).toArray)
   }
 
+  /** Streaming cohort retention (r18, r17 verdict #4) — the last batch
+    * window-family member (`win_retention`) with no streaming
+    * counterpart. Semantics per user (= [[graft.operators.WindowOps
+    * .retentionTriangle]]): cohort = min active week, and for every
+    * active week the offset (week − cohort) is marked once.
+    *
+    * Unlike the funnel — whose chained-window fixpoint is only exact
+    * under event-time-ordered arrival — the retention fold is a pure
+    * SET UNION ([[retentionMerge]]): (cohort, mask) merged with new
+    * weeks is commutative and idempotent, so ANY arrival order
+    * converges to the batch triangle, including a batch-2 event
+    * EARLIER than the carried cohort (the cohort shifts down and
+    * every carried offset re-bases against it — spec'd in
+    * StreamingSpec; the algebra itself is property-pinned in
+    * PropertySpec). No per-call sorting is needed for the same
+    * reason, so the per-call buffer is just the decoded state
+    * (≤ 64·words offsets), never the row iterator.
+    *
+    * State per user = `words`+2 longs (the driver key's 1-word mask =
+    * 64 offset weeks ≈ 15 months of per-user tracking; size `words`
+    * to the corpus span — capacity overrun throws rather than
+    * silently dropping a return week, which would diverge from the
+    * batch triangle). O(1) at any scale, no eviction needed; 100 TB
+    * cost is the one user_id shuffle the input already pays.
+    */
   final class RetentionProcessor(words: Int)
       extends StatefulProcessor[Long, (Long, Long), RetentionOut] {
     require(words >= 1)
