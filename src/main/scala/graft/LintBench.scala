@@ -109,12 +109,13 @@ object LintBench {
     // collapse adds a user-sized exchange plus two aggregate stages
     // whose fixed scheduling overhead dominates at sf0.1 (at real
     // scale the extra exchange moves user-count rows, noise next to
-    // the event-sized fold). r18 evidence: sweep-1 wave-hit 0.847,
-    // sweep-2 trough 0.704; the old 0.33 belongs to the old plan
-    // (fingerprint changed, priors auto-invalidated). Pinned at 0.65
-    // — below every new-plan reading — so the r19 drift line arms at
-    // 0.95 instead of firing on the dead plan's floor.
-    "stream_funnel" -> 0.65,
+    // the event-sized fold). r18 evidence: sweep readings 0.847
+    // (wave-hit) / 0.704 / 0.615 (trough); the old 0.33 belongs to
+    // the old plan (fingerprint changed, priors auto-invalidated).
+    // Pinned at 0.6 — below every new-plan reading — so the r19
+    // drift line arms at 0.9 instead of firing on the dead plan's
+    // floor.
+    "stream_funnel" -> 0.6,
     // text_perplexity (r18): board history 1.304/1.344/1.735/1.041/
     // 1.353/1.246/1.110/0.673(r16)/1.126/1.126 — the 0.673 is a
     // single anomalously quiet r16 sweep (the t-band trough round;
