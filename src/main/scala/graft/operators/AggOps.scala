@@ -3,7 +3,7 @@ package graft.operators
 import graft.T
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.Metadata
+import org.apache.spark.sql.types.{DecimalType, Metadata}
 
 /** §2.4 Aggregations. Reference analogue: fact building groups cube
   * cells by (region, time) and collects measures per statistic
@@ -20,20 +20,30 @@ object AggOps {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // TPC-H Q1 shape: multi-measure hash aggregate.
-    "agg_group" -> ((s, d) =>
+    // TPC-H Q1 shape: multi-measure hash aggregate. Money sums ride
+    // the scaled-long integer fast path (r18, guide §1.2/§2.3 — the
+    // corrMatrix recipe): the previous sum(DECIMAL(18,4)) program
+    // paid a BigDecimal round-trip per row per measure in the wide
+    // DECIMAL(28,4) buffers, and the revenue product left the compact
+    // decimal form per row too. Same exact values (2dp fixture, spec-
+    // pinned), whole stage now codegen-resident.
+    "agg_group" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val pc = T.scaledLong(col("l_extendedprice"), 2, "l_extendedprice")
+      val d2 = T.scaledLong(col("l_discount"), 2, "l_discount", maxScaled = 100L)
+      val q = col("l_quantity").cast("long")
       T.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          T.money(sum(T.dec(col("l_quantity")))).as("sum_qty"),
-          T.money(sum(T.dec(col("l_extendedprice")))).as("sum_base"),
-          T.money(sum(T.dec(col("l_extendedprice")) * (lit(1) - T.dec(col("l_discount")))))
-            .as("sum_disc_price"),
+          T.money(T.s128(q)).as("sum_qty"),
+          T.moneyScaled(T.s128(pc), 2).as("sum_base"),
+          T.moneyScaled(T.s128(pc * (lit(100L) - d2)), 4).as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
 
     "agg_distinct" -> ((s, d) =>
       T.orders(s, d)
@@ -175,37 +185,70 @@ object AggOps {
         .orderBy("region_name", "nation_name")
     }),
 
-    "agg_cube" -> ((s, d) =>
-      T.lineitem(s, d)
+    // CUBE over the pre-aggregated base grid, not the fact table
+    // (r18, guide §2.3 "aggregate before you shuffle"): Spark's cube
+    // EXPANDs each input row into one copy per grouping set (4× here)
+    // before the partial aggregate, so the fact table paid 4× the
+    // per-row hash/aggregate work. Summing to the (flag, status) base
+    // grid first — one plain fact-sized aggregate on the long fast
+    // path — leaves the Expand and both cube groupings operating on a
+    // ≤|flags×statuses|-row frame. sum/count are associative, so the
+    // regrouped sums are identical by construction. NULL-safety: the
+    // grid keys are the grouping keys themselves — fixture-non-null,
+    // and any NULL would collide with cube's own subtotal NULLs in
+    // BOTH forms identically (coalesce to 'ALL' happens after).
+    "agg_cube" -> ((s, d) => {
+      val grid = T.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("sq"),
+             count(lit(1)).as("cnt"))
+      grid
         .cube("l_returnflag", "l_linestatus")
-        .agg(T.money(sum(T.dec(col("l_quantity")))).as("sum_qty"),
-             count(lit(1)).as("n"))
+        .agg(T.money(sum(col("sq").cast(DecimalType(38, 0)))).as("sum_qty"),
+             sum(col("cnt")).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("sum_qty"), col("n"))
-        .orderBy("returnflag", "linestatus")),
+        .orderBy("returnflag", "linestatus")
+    }),
 
-    // Explicit grouping sets ((priority), (status)).
-    "agg_gsets" -> ((s, d) =>
-      T.orders(s, d)
+    // Explicit grouping sets ((priority), (status)) — over the
+    // pre-aggregated (priority, status) base grid, agg_cube's r18
+    // rationale: the Expand doubles input rows before the partial
+    // aggregate, so feed it |pri×st| grid rows, not the fact table;
+    // the base-grid money sum rides the scaled-long fast path.
+    "agg_gsets" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val grid = T.orders(s, d)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+             T.s128(T.scaledLong(col("o_totalprice"), 2, "o_totalprice"))
+               .as("sp"))
+      grid
         .groupingSets(
           Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
           col("o_orderpriority"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"),
-             T.money(sum(T.dec(col("o_totalprice")))).as("sum_price"))
+        .agg(sum(col("cnt")).as("n"),
+             T.moneyScaled(sum(col("sp")), 2).as("sum_price"))
         .select(
           coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
           coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
           col("n"), col("sum_price"))
-        .orderBy("pri", "st")),
+        .orderBy("pri", "st")
+    }),
 
+    // HAVING over a plain-long quantity sum (r18): l_quantity is
+    // integer-valued, so the wide-decimal buffer bought nothing —
+    // sum(long) stays compact/codegen and the predicate compares
+    // longs. (Long headroom: per-part qty sums reach ~2e13 at 100 TB
+    // row counts — 5 orders of magnitude under 2^63.)
     "agg_having" -> ((s, d) =>
       T.lineitem(s, d)
         .groupBy("l_partkey")
-        .agg(sum(T.dec(col("l_quantity"))).as("sum_qty_d"))
-        .filter(col("sum_qty_d") > 800)
-        .select(col("l_partkey"), T.money(col("sum_qty_d")).as("sum_qty"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty_l"))
+        .filter(col("sum_qty_l") > 800)
+        .select(col("l_partkey"), T.money(col("sum_qty_l")).as("sum_qty"))
         .orderBy("l_partkey")),
 
     // argmax/argmin with an explicit (value, key) struct so ties break
@@ -229,8 +272,11 @@ object AggOps {
     // recombines. Decimal values keep the re-associated sums exact, so
     // salting is answer-INVARIANT: the oracle is the plain GROUP BY.
     "agg_skew_salted" -> ((s, d) =>
+      // Integer quantity on a plain-long buffer (r18 — agg_group's
+      // note): the salted partial sums re-associate exactly in long
+      // just as they did in decimal (both are exact integers).
       Skew.saltedSumCount(T.lineitem(s, d), "l_returnflag",
-          T.dec(col("l_quantity")), salt = 8)
+          col("l_quantity").cast("long"), salt = 8)
         .select(col("l_returnflag"),
           T.money(col("sum_v")).as("sum_qty"), col("n"))
         .orderBy("l_returnflag")),
@@ -412,29 +458,38 @@ object AggOps {
     // One pushed-down scan, one two-phase hash aggregate over a
     // 4-group key; every money sum exact-decimal then rounded at the
     // emit (§7.5).
-    "macro_pricing" -> ((s, d) =>
+    // Money sums on the scaled-long fast path (r18 — see agg_group):
+    // seven wide-decimal buffers and two per-row decimal products
+    // became long math + Sum128 limbs; the charge product
+    // pc·(100−d2)·(100+t2) sits at scale 6, ≤ ~2^37 per row — far
+    // inside the 2^62 limb bound at any corpus size. Exact avgs keep
+    // the sum÷count form on the SAME exact sums (descaled decimal →
+    // double image, bit-identical to the previous decimal program).
+    "macro_pricing" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val pc = T.scaledLong(col("l_extendedprice"), 2, "l_extendedprice")
+      val d2 = T.scaledLong(col("l_discount"), 2, "l_discount", maxScaled = 100L)
+      val t2 = T.scaledLong(col("l_tax"), 2, "l_tax", maxScaled = 100L)
+      val q = col("l_quantity").cast("long")
+      val n = count(lit(1)).cast("double")
       T.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          T.money(sum(T.dec(col("l_quantity")))).as("sum_qty"),
-          T.money(sum(T.dec(col("l_extendedprice")))).as("sum_base"),
-          T.money(sum(T.dec(col("l_extendedprice")) *
-            (lit(1) - T.dec(col("l_discount"))))).as("sum_disc"),
-          T.money(sum(T.dec(col("l_extendedprice")) *
-            (lit(1) - T.dec(col("l_discount"))) *
-            (lit(1) + T.dec(col("l_tax"))))).as("sum_charge"),
-          // Averages as exact-decimal sum ÷ count on the double images
-          // (a raw double avg drifts with partition order; the
-          // determinism sweep would catch it — agg_weighted's rule).
-          round(sum(T.dec(col("l_quantity"))).cast("double") /
-            count(lit(1)).cast("double"), 6).as("avg_qty"),
-          round(sum(T.dec(col("l_extendedprice"))).cast("double") /
-            count(lit(1)).cast("double"), 6).as("avg_price"),
-          round(sum(T.dec(col("l_discount"))).cast("double") /
-            count(lit(1)).cast("double"), 6).as("avg_disc"),
+          T.money(T.s128(q)).as("sum_qty"),
+          T.moneyScaled(T.s128(pc), 2).as("sum_base"),
+          T.moneyScaled(T.s128(pc * (lit(100L) - d2)), 4).as("sum_disc"),
+          T.moneyScaled(T.s128(pc * (lit(100L) - d2) * (lit(100L) + t2)), 6)
+            .as("sum_charge"),
+          // Averages as exact sum ÷ count on the double images (a raw
+          // double avg drifts with partition order; the determinism
+          // sweep would catch it — agg_weighted's rule).
+          round(T.s128(q).cast("double") / n, 6).as("avg_qty"),
+          round((T.s128(pc) / lit(100L)).cast("double") / n, 6).as("avg_price"),
+          round((T.s128(d2) / lit(100L)).cast("double") / n, 6).as("avg_disc"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag", "l_linestatus")),
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
 
     // Bitmap distinct counting (r9): EXACT distinct over a bounded id
     // domain via fixed-width bitmaps — the roaring/bitmap-index shape
@@ -483,19 +538,25 @@ object AggOps {
     // per output row on their double images — both engines divide the
     // same two doubles, so the quotient is bit-identical (IEEE), then
     // round(·, 6) for the emit.
-    "agg_weighted" -> ((s, d) =>
+    // Scaled-long fast path (r18 — agg_group's rationale): the
+    // price·quantity product is cents·integer (scale 2, ≤ ~2^30 per
+    // row), so numerator and denominator both ride Sum128 limbs and
+    // the per-row decimal multiply disappears.
+    "agg_weighted" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val pc = T.scaledLong(col("l_extendedprice"), 2, "l_extendedprice")
+      val q = col("l_quantity").cast("long")
       T.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          T.money(sum(T.dec(col("l_extendedprice")) * T.dec(col("l_quantity"))))
-            .as("sum_wx"),
-          T.money(sum(T.dec(col("l_quantity")))).as("sum_w"),
+          T.moneyScaled(T.s128(pc * q), 2).as("sum_wx"),
+          T.money(T.s128(q)).as("sum_w"),
           round(
-            sum(T.dec(col("l_extendedprice")) * T.dec(col("l_quantity")))
-              .cast("double") /
-              sum(T.dec(col("l_quantity"))).cast("double"),
+            (T.s128(pc * q) / lit(100L)).cast("double") /
+              T.s128(q).cast("double"),
             6).as("wavg_price"))
-        .orderBy("l_returnflag")),
+        .orderBy("l_returnflag")
+    }),
 
     // Wilson 95% confidence interval per group (r12): the proportion
     // estimate every quality dashboard and A/B readout needs NEXT TO
@@ -708,8 +769,16 @@ object AggOps {
       customer: DataFrame, nation: DataFrame, region: DataFrame,
       supplier: DataFrame, region0: String = "EUROPE",
       maxPartSize: Int = 15): DataFrame = {
-    val rev = T.dec(col("l_extendedprice")) *
-      (lit(1) - T.dec(col("l_discount")))
+    // Scaled-long revenue (r18 — agg_group's rationale): cents ×
+    // (100 − discount·100) at scale 4 rides Sum128 limbs instead of a
+    // per-row wide-decimal product + DECIMAL(28,4) buffers; the join
+    // then shuffles one LONG instead of a decimal. Descale BEFORE the
+    // double images so share's quotient is bit-identical to the
+    // decimal program at any magnitude.
+    graft.functions.VectorExpressions.register(lineitem.sparkSession)
+    val rev4 = T.scaledLong(col("l_extendedprice"), 2, "l_extendedprice") *
+      (lit(100L) - T.scaledLong(col("l_discount"), 2, "l_discount",
+        maxScaled = 100L))
     val joined = lineitem
       .join(part.filter(col("p_size") < maxPartSize).select("p_partkey"),
         col("l_partkey") === col("p_partkey"))
@@ -730,7 +799,7 @@ object AggOps {
         col("n_name").as("s_nation"))), Seq("s_nationkey"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("o_year")
     joined.groupBy(col("o_year"), col("s_nation"))
-      .agg(sum(rev).as("nrev"))
+      .agg((T.s128(rev4) / lit(10000L)).as("nrev"))
       .withColumn("trev", sum(col("nrev")).over(w))
       .select(col("o_year"), col("s_nation"),
         T.money(col("nrev")).as("nation_revenue"),
@@ -923,15 +992,22 @@ object AggOps {
     * construction. O(n log n) in the sort, no driver state.
     */
   def giniIndex(df: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("g").orderBy(col("value"), col("tie"))
+    // Scaled-long moments (r18 — corrMatrix's recipe): the rank-
+    // weighted sum ran a BigDecimal multiply per row plus two wide
+    // buffers; x4 < 2^31 (guarded) keeps rn·x4 inside the Sum128 limb
+    // contract for rank counts to 2^31. Descale at the per-group emit
+    // so the double images match the decimal program's exactly.
     val ranked = df
       .withColumn("rn", row_number().over(w))
-      .withColumn("x", T.dec(col("value")))
+      .withColumn("x4",
+        T.scaledLong(col("value"), 4, "value", maxScaled = 1L << 31))
     val m = ranked.groupBy("g").agg(
       count(lit(1)).as("n"),
-      sum(col("x")).as("s"),
-      sum(col("rn") * col("x")).as("a"))
+      (T.s128(col("x4")) / lit(10000L)).as("s"),
+      (T.s128(col("rn") * col("x4")) / lit(10000L)).as("a"))
     val (nd, sd, ad) =
       (col("n").cast("double"), col("s").cast("double"),
         col("a").cast("double"))

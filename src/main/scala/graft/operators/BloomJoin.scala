@@ -137,14 +137,18 @@ object BloomJoin {
     // and the result is exactly the plain join's — false positives are
     // shuffle waste, not wrong rows.
     "join_bloom" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
       val sel = T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
       val probe = reduceProbe(T.lineitem(s, d), "l_orderkey", sel,
         "o_orderkey")
       probe.join(sel, col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_returnflag")
+        // Revenue on scaled longs (r18 — AggOps.agg_group's rationale).
         .agg(count(lit(1)).as("n_items"),
-          T.money(sum(T.dec(col("l_extendedprice")) *
-            (lit(1) - T.dec(col("l_discount"))))).as("revenue"))
+          T.moneyScaled(T.s128(
+            T.scaledLong(col("l_extendedprice"), 2, "l_extendedprice") *
+              (lit(100L) - T.scaledLong(col("l_discount"), 2, "l_discount",
+                maxScaled = 100L))), 4).as("revenue"))
         .orderBy("l_returnflag")
     })
   )

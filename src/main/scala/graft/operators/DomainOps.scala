@@ -206,7 +206,8 @@ object DomainOps {
       T.events(s, d)
         .groupBy("user_id")
         .pivot("event_type", eventTypes)
-        .agg(T.money(sum(T.dec(col("value")))))
+        // long cents in the buffers (r18 — AggOps.agg_group's rationale)
+        .agg(T.moneyLong(sum(T.scaledLong(col("value"), 4, "value")), 4))
         .orderBy("user_id")),
 
     // Wide→long melt: the pivot's inverse (Spark `unpivot`). Round-trips
@@ -217,7 +218,7 @@ object DomainOps {
       val wide = T.events(s, d)
         .groupBy("user_id")
         .pivot("event_type", eventTypes)
-        .agg(T.money(sum(T.dec(col("value")))))
+        .agg(T.moneyLong(sum(T.scaledLong(col("value"), 4, "value")), 4))
       wide.unpivot(Array(col("user_id")), eventTypes.map(col).toArray,
           "event_type", "sum_value")
         .filter(col("sum_value").isNotNull)
@@ -476,22 +477,34 @@ object DomainOps {
     // rescale, and let a 1e-6 representation drift flip a
     // boundary-sitting adiff ≤ 0.01 differently per engine.
     "dq_reconcile" -> ((s, d) => {
-      val charge = T.dec(col("l_extendedprice")) *
-        (lit(1) - T.dec(col("l_discount")))
+      // Scaled-long money math end to end (r18, guide §1.2/§2.3 —
+      // agg_group's rationale): the per-order charge sum is cents ×
+      // (100 − d2) at scale 4 in a PLAIN LONG buffer (an order has a
+      // bounded line count, so the per-group sum sits ~9 orders of
+      // magnitude under 2^63 at any corpus size — the corpus-wide
+      // rollup below is count/flag-only), the join shuffles a long
+      // instead of a decimal, and the |diff| ≤ 0.01 gate compares
+      // integers (≤ 100 at scale 4). Values identical to the decimal
+      // program: 2dp fixture, every step exact (spec-pinned).
+      val charge4 =
+        T.scaledLong(col("l_extendedprice"), 2, "l_extendedprice") *
+          (lit(100L) - T.scaledLong(col("l_discount"), 2, "l_discount",
+            maxScaled = 100L))
       val computed = T.lineitem(s, d)
-        .groupBy(col("l_orderkey")).agg(sum(charge).as("computed"))
+        .groupBy(col("l_orderkey")).agg(sum(charge4).as("computed4"))
       T.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),
-          T.dec(col("o_totalprice")).as("header"))
+          (T.scaledLong(col("o_totalprice"), 2, "o_totalprice") * lit(100L))
+            .as("header4"))
         .join(computed, col("o_orderkey") === col("l_orderkey"), "left")
-        .withColumn("adiff", abs(col("header") - col("computed")))
+        .withColumn("adiff4", abs(col("header4") - col("computed4")))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
-          sum(when(col("adiff") <= 0.01, 1L).otherwise(0L))
+          sum(when(col("adiff4") <= 100L, 1L).otherwise(0L))
             .as("n_matched"),
-          sum(when(col("computed").isNull, 1L).otherwise(0L))
+          sum(when(col("computed4").isNull, 1L).otherwise(0L))
             .as("n_missing_facts"),
-          T.money(max(col("adiff"))).as("max_abs_diff"))
+          T.moneyScaled(max(col("adiff4")), 4).as("max_abs_diff"))
         .orderBy("o_orderstatus")
     })
   )

@@ -14,16 +14,29 @@ object FilterOps {
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q6 shape: conjunctive range + between + inequality, then an
-    // exact decimal revenue sum (order-independent → hash-stable).
-    "filter_conj" -> ((s, d) =>
+    // exact revenue sum (order-independent → hash-stable) on the
+    // scaled-long fast path (r18 — AggOps.agg_group's rationale):
+    // cents · discount·100 at scale 4 through Sum128 limbs replaces
+    // the per-row decimal product + wide decimal buffer.
+    "filter_conj" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
       T.lineitem(s, d)
         .filter(
           col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
           col("l_shipdate") <  lit("1999-01-01").cast("timestamp") &&
           col("l_discount").between(0.03, 0.07) &&
           col("l_quantity") < 24)
-        .agg(T.money(sum(T.dec(col("l_extendedprice")) * T.dec(col("l_discount"))))
-          .as("revenue"))),
+        .agg(
+          // sum128 evaluates empty → 0 where SQL sum gives NULL; this
+          // is a GLOBAL aggregate (always one output row), so keep the
+          // SQL semantics explicit for an empty match set.
+          when(count(lit(1)) === 0L, lit(null).cast("double"))
+            .otherwise(T.moneyScaled(T.s128(
+              T.scaledLong(col("l_extendedprice"), 2, "l_extendedprice") *
+                T.scaledLong(col("l_discount"), 2, "l_discount",
+                  maxScaled = 100L)), 4))
+            .as("revenue"))
+    }),
 
     "filter_in" -> ((s, d) =>
       T.orders(s, d)
@@ -44,14 +57,25 @@ object FilterOps {
         .orderBy(asc_nulls_first("rf"), asc("l_orderkey"), asc("l_linenumber"))
     }),
 
-    // Computed projection; decimal arithmetic is exact per-row, then
-    // rounded to double for the final projection (house rule, T.money).
+    // Computed projection; exact per-row money math on scaled longs
+    // (r18 — AggOps.agg_group's rationale, but PER ROW: the previous
+    // form ran a wide-decimal multiply + HALF_UP round through
+    // BigDecimal for every row of the biggest table). rev4 is the
+    // exact 4dp-scaled revenue; (rev4 + 50) div 100 is HALF_UP to
+    // cents for non-negative values (property-pinned ≡ the decimal
+    // round in OperatorSemanticsSpec), and cents/100.0 is one
+    // correctly-rounded IEEE division — the same double the decimal
+    // program's cast produced.
     "project_expr" -> ((s, d) =>
       T.lineitem(s, d)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          T.money(T.dec(col("l_extendedprice")) * (lit(1) - T.dec(col("l_discount"))))
-            .as("revenue"))
+          (T.scaledLong(col("l_extendedprice"), 2, "l_extendedprice") *
+            (lit(100L) - T.scaledLong(col("l_discount"), 2, "l_discount",
+              maxScaled = 100L))).as("rev4"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (expr("(rev4 + 50L) div 100L") / lit(100.0)).as("revenue"))
         .orderBy("l_orderkey", "l_linenumber", "revenue"))
   )
 

@@ -44,24 +44,34 @@ object JoinOps {
 
     // Broadcast hash join pinned explicitly — the dim-table lookup
     // shape (reference: metadata joins). Fact side never shuffles.
-    "join_broadcast" -> ((s, d) =>
+    "join_broadcast" -> ((s, d) => {
+      // Revenue on the scaled-long fast path (r18 — AggOps.agg_group's
+      // rationale): long cents math + Sum128 limbs instead of per-row
+      // wide-decimal products and DECIMAL(28,4) buffers.
+      graft.functions.VectorExpressions.register(s)
+      val rev4 = T.scaledLong(col("l_extendedprice"), 2, "l_extendedprice") *
+        (lit(100L) - T.scaledLong(col("l_discount"), 2, "l_discount",
+          maxScaled = 100L))
       T.lineitem(s, d)
         .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_items"),
-             T.money(sum(T.dec(col("l_extendedprice")) *
-                         (lit(1) - T.dec(col("l_discount"))))).as("revenue"))
-        .orderBy("p_brand")),
+             T.moneyScaled(T.s128(rev4), 4).as("revenue"))
+        .orderBy("p_brand")
+    }),
 
     // Sort-merge pinned for the big-big join: spill-safe at any scale.
-    "join_smj" -> ((s, d) =>
+    "join_smj" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
       T.lineitem(s, d)
         .hint("merge")
         .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
-             T.money(sum(T.dec(col("l_quantity")))).as("sum_qty"))
-        .orderBy("o_orderpriority")),
+             // integer-quantity sum on long limbs (r18 — agg_group's note)
+             T.money(T.s128(col("l_quantity").cast("long"))).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
 
     // Left outer: keep customers with zero matches (count = 0).
     "join_left" -> ((s, d) =>
@@ -255,13 +265,18 @@ object JoinOps {
     // broadcast at this scale and hide the salted exchange PlanSpec
     // audits). Salting relocates rows, no arithmetic crosses salt
     // groups → answer-invariant; the oracle is the plain join.
-    "join_skew_salted" -> ((s, d) =>
+    "join_skew_salted" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
       Skew.saltedJoin(T.lineitem(s, d), "l_suppkey",
           T.supplier(s, d).hint("shuffle_hash"), "s_suppkey", salt = 8)
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_items"),
-          T.money(sum(T.dec(col("l_extendedprice")))).as("gross"))
-        .orderBy("s_nationkey")),
+          // cents on Sum128 limbs (r18 — AggOps.agg_group's rationale)
+          T.moneyScaled(T.s128(
+            T.scaledLong(col("l_extendedprice"), 2, "l_extendedprice")), 2)
+            .as("gross"))
+        .orderBy("s_nationkey")
+    }),
 
     // Null-safe equi-join (r9): `<=>` treats NULL as a JOINABLE value
     // (NULL matches NULL, exactly one way) — the dimension-lookup
@@ -298,6 +313,7 @@ object JoinOps {
     // fact side shuffles once on orderkey; every dimension side stays
     // broadcast-sized.
     "join_star" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
       val li = T.lineitem(s, d); val o = T.orders(s, d)
       val c = T.customer(s, d); val su = T.supplier(s, d)
       val n = T.nation(s, d); val r = T.region(s, d)
@@ -309,8 +325,11 @@ object JoinOps {
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
-        .agg(T.money(sum(T.dec(col("l_extendedprice")) *
-            (lit(1) - T.dec(col("l_discount"))))).as("revenue"),
+        // Revenue on scaled longs (r18 — AggOps.agg_group's rationale).
+        .agg(T.moneyScaled(T.s128(
+            T.scaledLong(col("l_extendedprice"), 2, "l_extendedprice") *
+              (lit(100L) - T.scaledLong(col("l_discount"), 2, "l_discount",
+                maxScaled = 100L))), 4).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(desc("revenue"), col("n_name"))
     }),

@@ -58,7 +58,11 @@ object TimeSeries {
         col("value"))
       val daily = e.groupBy("user_id", "day_s")
         .agg(count(lit(1)).as("n_events"),
-          T.money(sum(T.dec(col("value")))).as("day_v"))
+          // long cents in the buffer (r18 — AggOps.agg_group's
+          // rationale; a per-(user, day) cents sum is bounded far
+          // under 2^63 at any corpus size)
+          T.moneyLong(sum(T.scaledLong(col("value"), 4, "value")), 4)
+            .as("day_v"))
       val w = Window.partitionBy("user_id").orderBy("day_s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       denseGrid(daily, "user_id", "day_s", 86400L)
@@ -90,7 +94,8 @@ object TimeSeries {
         unix_timestamp(date_trunc("day", col("ts"))).as("day_s"),
         col("value"))
       val daily = e.groupBy("user_id", "day_s")
-        .agg(T.money(sum(T.dec(col("value")))).as("day_v"))
+        .agg(T.moneyLong(sum(T.scaledLong(col("value"), 4, "value")), 4)
+          .as("day_v")) // scaled longs (r18 — ts_resample's note)
       val back = Window.partitionBy("user_id").orderBy("day_s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val fwd = Window.partitionBy("user_id").orderBy("day_s")
@@ -158,12 +163,20 @@ object TimeSeries {
     // order. Hour rows per type ≤ 24 — the collect is bounded profile
     // state, never data-sized.
     "ts_seasonality" -> ((s, d) => {
+      // Scaled-long moments (r18 — AggOps.corrMatrix's recipe): the
+      // per-row decimal square + two wide buffers become long math on
+      // Sum128 limbs; descale at the ≤24-rows-per-type hourly emit so
+      // every downstream double image is the exact value the decimal
+      // program produced. v2 < 2^31 guard keeps v2² inside the limb
+      // contract.
+      graft.functions.VectorExpressions.register(s)
+      val v4 = T.scaledLong(col("value"), 4, "value", maxScaled = 1L << 31)
       val hourly = T.events(s, d)
         .groupBy(col("event_type"),
           hour(col("ts")).cast("long").as("h"))
         .agg(count(lit(1)).as("n"),
-          sum(T.dec(col("value"))).as("sv"),
-          sum(T.dec(col("value")) * T.dec(col("value"))).as("sv2"))
+          (T.s128(v4) / lit(10000L)).as("sv"),
+          (T.s128(v4 * v4) / lit(100000000L)).as("sv2"))
       hourly.groupBy("event_type")
         .agg(sum("n").as("nt"),
           sum("sv").as("svt"), sum("sv2").as("sv2t"),
@@ -204,18 +217,24 @@ object TimeSeries {
       val e = T.events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
         .withColumn("rn", row_number().over(w))
-        .withColumn("csum", sum(T.dec(col("value"))).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // Long-cents running sum (r18 — AggOps.agg_group's rationale):
+        // the window buffer stays a compact long; the double image
+        // cast(long)/100.0 is bit-identical to the decimal cast while
+        // the prefix cents stay below 2^53 (any per-user series).
+        .withColumn("csum",
+          sum(T.scaledLongSigned(col("value"), 4, "value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       // tsum re-aggregates the values (NOT max(csum): a negative value
-      // would make the running sum non-monotonic) — exact decimal, so
-      // it equals the rn=n csum bit-for-bit.
+      // would make the running sum non-monotonic) — exact, so it
+      // equals the rn=n csum bit-for-bit.
       val tot = e.groupBy("user_id")
-        .agg(max("rn").as("n"), sum(T.dec(col("value"))).as("tsum"))
+        .agg(max("rn").as("n"),
+          sum(T.scaledLongSigned(col("value"), 4, "value")).as("tsum"))
       e.join(tot, "user_id")
         .filter(col("rn") < col("n"))
         .withColumn("delta", abs(
-          col("csum").cast("double") / col("rn").cast("double") -
-            (col("tsum") - col("csum")).cast("double") /
+          col("csum").cast("double") / lit(10000.0) / col("rn").cast("double") -
+            (col("tsum") - col("csum")).cast("double") / lit(10000.0) /
               (col("n") - col("rn")).cast("double")))
         .withColumn("rk", row_number().over(
           Window.partitionBy("user_id")
@@ -399,29 +418,44 @@ object TimeSeries {
     */
   def ewmaCapped(df: DataFrame,
       w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    // 2^-j as exact decimal literals, j = 0..7.
-    val pow2 = (0 to 7).map(j =>
-      lit(BigDecimal(1) / BigDecimal(BigInt(1) << j))
-        .cast(DecimalType(9, 7)))
-    val zero = lit(BigDecimal(0)).cast(DecimalType(9, 7))
+    // Scaled-long coefficient math (r18 — AggOps.agg_group's
+    // rationale, per-row window form): 2^-j·10^7 is an exact long for
+    // j ≤ 7, value is exact cents, so each term is one long multiply
+    // where the decimal form ran a BigDecimal multiply per row per
+    // lag (8×). The scale-11 row sum (10^7 coef × 10^4 value) is the
+    // identical rational as the old scale-11 decimal sum;
+    // (x + 5·10^6) div 10^7 is HALF_UP to 4dp for non-negative sums
+    // (ScaledMoneySpec pins the rounding identity), and /10000.0 is
+    // one correctly-rounded IEEE division — the same double the
+    // decimal round + cast produced. Magnitude: v4 < 2^31 (guarded)
+    // ⇒ term ≤ 10^7·2^31 ≈ 2^54, eight terms < 2^57 — plain long
+    // arithmetic, no limbs needed per row.
+    val c7 = (0 to 7).map(j => lit(10000000L >> j))
+    val zero = lit(0L)
     val rn = col("rn")
     // coef_j: the oldest surviving term (rn == j+1) takes 2^-j so the
     // row's weights telescope to 1; interior terms take 2^-(j+1); j=7
     // keeps 2^-7 for ALL rn >= 8 (the cap).
     def coef(j: Int) =
-      if (j == 7) when(rn >= 8, pow2(7)).otherwise(zero)
-      else when(rn === j + 1, pow2(j))
-        .when(rn > j + 1, pow2(j + 1)).otherwise(zero)
-    val terms = (0 to 7).map(j =>
-      coef(j) * coalesce(col(s"l$j"), lit(BigDecimal(0))
-        .cast(DecimalType(18, 4))))
+      if (j == 7) when(rn >= 8, c7(7)).otherwise(zero)
+      else when(rn === j + 1, c7(j))
+        .when(rn > j + 1, c7(j + 1)).otherwise(zero)
+    val terms = (0 to 7).map(j => coef(j) * coalesce(col(s"l$j"), lit(0L)))
     df.withColumn("rn", row_number().over(w))
       .withColumns(
         (0 to 7).map(j => s"l$j" ->
-          lag(T.dec(col("value")), j).over(w)).toMap)
-      .withColumn("ewma", round(terms.reduce(_ + _), 4).cast("double"))
-      .drop((0 to 7).map(j => s"l$j"): _*)
+          lag(T.scaledLongSigned(col("value"), 4, "value",
+            maxAbsScaled = 1L << 31), j).over(w)).toMap)
+      .withColumn("ewma11", terms.reduce(_ + _))
+      // Sign-aware HALF_UP (round half away from zero — BigDecimal's
+      // HALF_UP, which the decimal round used) to 4dp, then one
+      // correctly-rounded IEEE division to the double image.
+      .withColumn("ewma",
+        when(col("ewma11") >= 0,
+          expr("(ewma11 + 5000000L) div 10000000L"))
+          .otherwise(-expr("(-ewma11 + 5000000L) div 10000000L")) /
+          lit(10000.0))
+      .drop((0 to 7).map(j => s"l$j") :+ "ewma11": _*)
   }
 
   /** Append `rn` and the trailing `width`-row exact median / min / max
@@ -568,9 +602,14 @@ object TimeSeries {
     val wAll = w.partitionBy("user_id")
     val wOrd = w.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val wRun = wOrd.rowsBetween(Long.MinValue, 0)
-    val mean = sum(T.dec(col("value"))).over(wAll).cast("double") /
+    // Long-cents window sums (r18 — AggOps.agg_group's rationale);
+    // cast(long)/100.0 is the same correctly-rounded double image the
+    // decimal cast produced while the cents stay below 2^53.
+    val mean = (sum(T.scaledLongSigned(col("value"), 4, "value")).over(wAll)
+        .cast("double") / lit(10000.0)) /
       count(lit(1)).over(wAll).cast("double")
-    val q = sum(T.dec(col("value"))).over(wRun).cast("double") -
+    val q = (sum(T.scaledLongSigned(col("value"), 4, "value")).over(wRun)
+        .cast("double") / lit(10000.0)) -
       row_number().over(wOrd).cast("double") * mean
     // least/greatest with 0 add the virtual Q₀ = 0 of the empty
     // prefix — without it the identity with the max(0, S + x − μ)
@@ -642,8 +681,9 @@ object TimeSeries {
       .partitionBy("user_id")
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val mean = sum(T.dec(col("value"))).over(wAll).cast("double") /
-      count(lit(1)).over(wAll).cast("double")
+    val mean = (sum(T.scaledLongSigned(col("value"), 4, "value")).over(wAll)
+        .cast("double") / lit(10000.0)) /
+      count(lit(1)).over(wAll).cast("double") // scaled longs (r18)
     val signed = df
       .withColumn("mean", mean)
       .filter(col("value") =!= col("mean"))

@@ -53,7 +53,13 @@ object WindowOps {
         .orderBy("o_custkey", "rn")
     }),
 
-    // Running aggregate, row frame pinned to a unique order.
+    // Running aggregate, row frame pinned to a unique order. The
+    // running sum rides a plain-LONG cents buffer (r18 — AggOps.
+    // agg_group's scaled-long rationale, per-frame form): the
+    // DECIMAL(28,4) window buffer paid a BigDecimal round-trip per
+    // row; a per-customer lifetime total in cents sits ~6 orders of
+    // magnitude under 2^63 at any sane corpus. Exact, then descaled
+    // at the emit.
     "win_running" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(asc("o_orderdate"), asc("o_orderkey"))
@@ -61,7 +67,9 @@ object WindowOps {
       T.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
           T.dstr(col("o_orderdate")).as("order_date"),
-          T.money(sum(T.dec(col("o_totalprice"))).over(w)).as("running_total"))
+          T.moneyLong(
+            sum(T.scaledLong(col("o_totalprice"), 2, "o_totalprice")).over(w),
+            2).as("running_total"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -85,7 +93,10 @@ object WindowOps {
         .withColumn("epoch_s", unix_timestamp(col("ts")))
         .select(col("user_id"), col("event_id"),
           col("epoch_s"),
-          T.money(sum(T.dec(col("value"))).over(w)).as("trailing_1d"))
+          // Long cents in the frame buffer (r18 — win_running's note).
+          T.moneyLong(
+            sum(T.scaledLong(col("value"), 4, "value")).over(w), 4)
+            .as("trailing_1d"))
         .orderBy("user_id", "event_id")
     }),
 

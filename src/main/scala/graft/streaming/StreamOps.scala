@@ -1029,7 +1029,10 @@ object StreamOps {
       T.events(s, d)
         .groupBy(window(tsec, "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-             T.money(sum(T.dec(col("value")))).as("sum_value"))
+             // long cents in the buffer (r18 — AggOps.agg_group's
+             // rationale; a per-(window, type) cents sum is bounded)
+             T.moneyLong(sum(T.scaledLong(col("value"), 4, "value")), 4)
+               .as("sum_value"))
         .select(T.tstr(col("w.start")).as("win_start"), col("event_type"),
                 col("n"), col("sum_value"))
         .orderBy("win_start", "event_type")),
