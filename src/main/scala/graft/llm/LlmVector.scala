@@ -215,7 +215,12 @@ object LlmVector {
           < lit(f"$th%016x"))
       }
     t
-      .join(approx.select(col("v1"), col("v2"), lit(1L).as("hit")),
+      // shuffle_hash build on the approx side (guide §3.1): both sides
+      // are k-bounded per query (≤ 3·|queries| rows of three longs), so
+      // a per-partition hash build is safe at any scale and skips the
+      // SMJ's per-side sort of both 3k-row frames.
+      .join(approx.select(col("v1"), col("v2"), lit(1L).as("hit"))
+          .hint("shuffle_hash"),
         Seq("v1", "v2"), "left")
       .agg(count(lit(1)).as("n_pairs"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))

@@ -712,20 +712,31 @@ object TimeSeries {
       w: org.apache.spark.sql.expressions.WindowSpec,
       maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 8, s"maxLag must be in [1, 8]: $maxLag")
-    val x = T.dec(col("value"))
+    // Scaled-long moments (r18 — AggOps.corrMatrix's recipe): 6·maxLag
+    // wide-decimal buffers and 4·maxLag per-row decimal products become
+    // long math on Sum128 limbs (x4 < 2^31 guarded ⇒ every product
+    // < 2^62). Each sum descales ONCE PER GROUP to the exact decimal
+    // the old program aggregated, so every double image below is
+    // bit-identical. NULL lag heads: sum128 adds 0 where sum skipped
+    // NULL — same sums; the n=0 empty-lag case still emits NULL acf
+    // through the same nullif(0, 0) path on both forms.
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val x = T.scaledLong(col("value"), 4, "value", maxScaled = 1L << 31)
     val lagged = df
       .withColumn("x", x)
       .withColumns((1 to maxLag).map(k =>
         s"y$k" -> lag(x, k).over(w)).toMap)
+    def s128(c: org.apache.spark.sql.Column) = T.s128(c)
     val aggs = (1 to maxLag).flatMap { k =>
       val y = col(s"y$k")
       Seq(
         count(y).as(s"n$k"),
-        sum(when(y.isNotNull, col("x"))).as(s"sx$k"),
-        sum(y).as(s"sy$k"),
-        sum(when(y.isNotNull, col("x") * col("x"))).as(s"sxx$k"),
-        sum(y * y).as(s"syy$k"),
-        sum(col("x") * y).as(s"sxy$k"))
+        (s128(when(y.isNotNull, col("x"))) / lit(10000L)).as(s"sx$k"),
+        (s128(y) / lit(10000L)).as(s"sy$k"),
+        (s128(when(y.isNotNull, col("x") * col("x"))) / lit(100000000L))
+          .as(s"sxx$k"),
+        (s128(y * y) / lit(100000000L)).as(s"syy$k"),
+        (s128(col("x") * y) / lit(100000000L)).as(s"sxy$k"))
     }
     val m = lagged.groupBy(entity).agg(aggs.head, aggs.tail: _*)
     def acf(k: Int) = {
