@@ -23,13 +23,21 @@ import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, LongType}
   * stage stays inside WholeStageCodegen, and the exact range is
   * 2^124 ≈ 2.1e37 — decimal(38)-class headroom with long-add costs.
   *
-  * Contract: input is LongType, every value in [0, 2^62) — the limb
-  * carry assumes non-negative addends (one carry bit per add). NULLs
-  * add 0 and an empty group evaluates to 0 (NOT NULL — callers that
-  * need SQL's all-null → NULL semantics keep plain sum). The final
-  * value materializes once per group as DECIMAL(38,0) =
-  * hi·2^62 + lo. Bit-equality with a BigInt fold is property-pinned
-  * in PropertySpec, including forced carries.
+  * Contract: input is LongType, every value in (−2^62, 2^62) —
+  * SIGNED addends are exact (r18; formerly documented non-negative,
+  * but the algebra never needed that): with t = lo + x the update
+  * writes hi += t >> 62 (ARITHMETIC shift) and lo = t & (2^62 − 1),
+  * and (t >> 62)·2^62 + (t & mask) = t for every long t, so the
+  * invariant value = hi·2^62 + lo is preserved for negative x too —
+  * lo stays in [0, 2^62) and hi carries the sign (a borrow is just a
+  * negative carry). t cannot overflow: lo < 2^62 and |x| < 2^62 keep
+  * t in (−2^62, 2^63). NULLs add 0 and an empty group evaluates to 0
+  * (NOT NULL — callers that need SQL's all-null → NULL semantics
+  * keep plain sum or count-guard the emit). The final value
+  * materializes once per group as DECIMAL(38,0) = hi·2^62 + lo
+  * (negative hi descends through the decimal cast exactly).
+  * Bit-equality with a BigInt fold is property-pinned in
+  * PropertySpec, including forced carries and signed borrows.
   */
 case class Sum128(child: Expression) extends DeclarativeAggregate
     with UnaryLike[Expression] {
@@ -51,8 +59,9 @@ case class Sum128(child: Expression) extends DeclarativeAggregate
     Seq(Literal(0L), Literal(0L))
 
   // lo' = (lo + x) & (2^62 − 1); hi' = hi + ((lo + x) >> 62).
-  // lo < 2^62 and x < 2^62, so lo + x < 2^63 — no long overflow, and
-  // the shift extracts exactly the one possible carry.
+  // lo ∈ [0, 2^62) and |x| < 2^62, so lo + x ∈ (−2^62, 2^63) — no
+  // long overflow, and the arithmetic shift extracts the one possible
+  // carry (−1, 0 or +1; −1 is the borrow of a signed addend).
   override lazy val updateExpressions: Seq[Expression] = {
     val x = If(IsNull(child), Literal(0L), child)
     val t = Add(lo, x)

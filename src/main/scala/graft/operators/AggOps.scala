@@ -172,6 +172,14 @@ object AggOps {
       // joined columns carry; without it the rollup's Expand duplicates
       // those tagged attributes and DetectAmbiguousSelfJoin rejects the
       // plan ("Column r_name, n_name are ambiguous").
+      // r18 wave-3 NEGATIVE experiment (recorded in
+      // OPTIMIZATION_r18.md): pre-aggregating to the (region, nation)
+      // grid before the rollup (agg_cube's §2.3 shape) A/B'd +0.12 s
+      // worse — customer is dimension-sized, so two extra stage
+      // boundaries cost more than the Expand×3 saves at any SF where
+      // this key is planning/stage-bound. The Expand-over-input form
+      // stays; revisit only if the rollup input ever becomes a fact
+      // stream (then agg_cube's measured −72% applies).
       c.join(n, col("c_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .select(col("r_name").as("r_name", Metadata.empty),
@@ -388,16 +396,17 @@ object AggOps {
     // aggregate. Built-in regr_slope/regr_r2 accumulate in DOUBLES, so
     // their results are partition-order-dependent (and engine-drifty);
     // here the five MOMENT SUMS (Σx, Σx², Σy, Σy², Σxy) are exact
-    // DECIMAL aggregates — associative, order-free — and all downstream
+    // signed scaled-long Sum128 aggregates (r18 wave 3; see
+    // [[linregFit]]) — associative, order-free — and all downstream
     // math is a fixed per-group scalar expression tree on identical
     // inputs, hence bit-identical on any engine with binary64. Same
     // map-side-combining two-phase hash aggregate as any sum; x is
     // centered on a constant epoch so x² stays well inside the exact
-    // DECIMAL(37) product range. The oracle replays the identical tree.
+    // limb product range. The oracle replays the identical tree.
     "agg_linreg" -> ((s, d) => {
       val x = (unix_timestamp(col("ts")) - lit(1704067200L))
       linregFit(T.events(s, d).select(col("event_type").as("g"),
-          x.cast("decimal(18,0)").as("x"), T.dec(col("value")).as("y")))
+          x.as("x"), col("value").as("y")))
         .select(col("g").as("event_type"), col("n"),
           col("slope"), col("intercept"), col("r2"))
         .orderBy("event_type")
@@ -594,24 +603,39 @@ object AggOps {
     // odd-user cohorts — the A/B readout next to agg_wilson's
     // proportion CI (means with unequal variances, the default safe
     // test; pooled-variance Student assumes equal spread). ONE
-    // aggregate takes both cohorts' exact-decimal moments via
+    // aggregate takes both cohorts' exact conditional moments via
     // conditional sums (no second scan, no join); every downstream op
     // (+,−,×,÷,sqrt) is correctly rounded so the identical double
     // program is bit-equal cross-engine (the agg_wilson rationale);
     // nullif guards the zero-pooled-spread and n≤1 edges into NULL on
     // both sides.
+    // Scaled-long moments (r18 wave 3; agg_group's rationale): value
+    // is exactly-2dp (ScaledMoneySpec-pinned fixture contract), so
+    // v*100 rides Sum128 limbs (squares at scale 4, <= ~2^32 per row)
+    // instead of four wide-decimal buffers with a per-row BigDecimal
+    // product. The decimal descale at the per-group emit is exact
+    // (<= 4 true dp, division scale 6), so the double images feeding
+    // the t program are bit-identical to the decimal original's; the
+    // count guards restore SQL's empty-cohort NULL (sum128 of an
+    // all-NULL cohort evaluates to 0, not NULL).
     "agg_ttest" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
       val aSide = col("user_id") % 2 === 0
+      val v2 = T.scaledLong(col("value"), 2, "value")
       val g = T.events(s, d).groupBy("event_type").agg(
         sum(when(aSide, 1L).otherwise(0L)).as("n_a"),
-        sum(when(aSide, T.dec(col("value")))).as("sa"),
-        sum(when(aSide, T.dec(col("value")) * T.dec(col("value")))).as("ssa"),
+        T.s128(when(aSide, v2)).as("sa2"),
+        T.s128(when(aSide, v2 * v2)).as("ssa4"),
         sum(when(!aSide, 1L).otherwise(0L)).as("n_b"),
-        sum(when(!aSide, T.dec(col("value")))).as("sb"),
-        sum(when(!aSide, T.dec(col("value")) * T.dec(col("value")))).as("ssb"))
+        T.s128(when(!aSide, v2)).as("sb2"),
+        T.s128(when(!aSide, v2 * v2)).as("ssb4"))
       val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
-      val (sa, ssa) = (col("sa").cast("double"), col("ssa").cast("double"))
-      val (sb, ssb) = (col("sb").cast("double"), col("ssb").cast("double"))
+      val sa = when(col("n_a") > 0, (col("sa2") / lit(100L)).cast("double"))
+      val ssa = when(col("n_a") > 0,
+        (col("ssa4") / lit(10000L)).cast("double"))
+      val sb = when(col("n_b") > 0, (col("sb2") / lit(100L)).cast("double"))
+      val ssb = when(col("n_b") > 0,
+        (col("ssb4") / lit(10000L)).cast("double"))
       val va = (ssa - sa * sa / na) / nullif(na - lit(1.0), lit(0.0))
       val vb = (ssb - sb * sb / nb) / nullif(nb - lit(1.0), lit(0.0))
       val (wa, wb) = (va / na, vb / nb)
@@ -925,8 +949,14 @@ object AggOps {
     * listed categories, k counts categories present in the group,
     * f_stat NULL when k ≤ 1 or the within-spread is zero.
     *
-    * All moments (per-category n/Σx/Σx²) are exact DECIMAL from ONE
-    * map-side-combining aggregate; the between term
+    * All moments (per-category n/Σx/Σx²) are exact scaled-long
+    * Sum128 sums from ONE map-side-combining aggregate (r18 wave 3 —
+    * [[graft.Tables.scaledLong]]'s rationale): `value` is quantized
+    * HALF_UP at 2 decimals (the metric scale — identity for any
+    * ≤2dp input, which the fixture contract pins), squares ride at
+    * scale 4, and the per-group decimal descale is exact (≤4 true
+    * dp, division scale 6), so every double image below is
+    * bit-identical to the previous wide-decimal program's; the between term
     * Σ_c s_c²/n_c − S²/N and the within term Σ_c ss_c − Σ_c s_c²/n_c
     * are then fixed double chains whose term ORDER is the `cats`
     * order — written out explicitly so both engines fold identically
@@ -938,13 +968,14 @@ object AggOps {
   def oneWayF(df: DataFrame, cats: Seq[String]): DataFrame = {
     require(cats.size >= 2 && cats.size <= 8,
       s"need 2..8 categories, got ${cats.size}")
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val v2 = T.scaledLong(col("value"), 2, "value")
     val moments = cats.zipWithIndex.flatMap { case (c, i) =>
       val in = col("cat") === lit(c)
       Seq(
         sum(when(in, 1L).otherwise(0L)).as(s"n$i"),
-        sum(when(in, T.dec(col("value")))).as(s"s$i"),
-        sum(when(in, T.dec(col("value")) * T.dec(col("value"))))
-          .as(s"ss$i"))
+        T.s128(when(in, v2)).as(s"s$i"),
+        T.s128(when(in, v2 * v2)).as(s"ss$i"))
     }
     val m = df.filter(col("cat").isin(cats.map(lit): _*))
       .groupBy("g").agg(moments.head, moments.tail: _*)
@@ -955,16 +986,17 @@ object AggOps {
       when(col(s"n$i") > 0, 1L).otherwise(0L)))
     // Σ_c s_c²/n_c on double images, absent categories as literal 0.0
     val between = chain(cats.indices.map { i =>
-      val sd = col(s"s$i").cast("double")
+      val sd = (col(s"s$i") / lit(100L)).cast("double")
       val nd = col(s"n$i").cast("double")
       when(col(s"n$i") > 0, sd * sd / nd).otherwise(lit(0.0))
     })
     // coalesce(decimal, int-0) resolves to the decimal type; decimal
     // addition is exact, so the chain order is immaterial here
-    val ssTot = chain(cats.indices.map(i =>
-      coalesce(col(s"ss$i"), lit(0))))
-    val sTot = chain(cats.indices.map(i =>
-      coalesce(col(s"s$i"), lit(0))))
+    // sum128 of an absent category is already 0 (never NULL), so the
+    // old coalesce fences are unnecessary; the scaled integer chains
+    // are exact decimal adds and descale ONCE per group.
+    val ssTot = chain(cats.indices.map(i => col(s"ss$i"))) / lit(10000L)
+    val sTot = chain(cats.indices.map(i => col(s"s$i"))) / lit(100L)
     val nd = nTot.cast("double")
     val kd = kEff.cast("double")
     val ssb = greatest(between - sTot.cast("double") *
@@ -1122,27 +1154,53 @@ object AggOps {
   }
 
   /** Per-group ordinary-least-squares fit over `df("g", "x", "y")`
-    * (x, y DECIMAL): one map-side-combining aggregate takes the six
-    * exact-decimal raw moments (n, Σx, Σx², Σy, Σy², Σxy) — one
+    * (x integral-valued with |x| < 2^28, y numeric — quantized
+    * HALF_UP at `yScale` decimals, identity for any input with at
+    * most `yScale` true decimals): one map-side-combining aggregate
+    * takes the six exact raw moments (n, Σx, Σx², Σy, Σy², Σxy) — one
     * shuffle of six numbers per group at any scale — then slope /
     * intercept / r² come from the closed-form normal equations, each
     * moment cast to double ONCE so the arithmetic is a fixed short
-    * double program both engines replay identically. Decimal moments
-    * make the distributed sum partition-order-exact; only the final
-    * division is floating. Contracts spec'd in PropertySpec (≡ a
-    * local BigDecimal fold + centered-formula reference). */
-  def linregFit(df: DataFrame): DataFrame = {
+    * double program both engines replay identically.
+    *
+    * Scaled-long moments (r18 wave 3 — [[graft.Tables.scaledLong]]'s
+    * rationale): the five sums ride SIGNED Sum128 limbs (x and the
+    * x·y cross term carry sign; Sum128's carry algebra is
+    * sign-exact, property-pinned) instead of wide-decimal buffers
+    * with two per-row BigDecimal multiplies. Magnitude guards
+    * (|x| < 2^28, |y·10^yScale| < 2^30) keep every per-row product
+    * inside the ±2^62 limb bound; 2·yScale ≤ 6 keeps the per-group
+    * decimal descale exact, so each moment's double image is
+    * bit-identical to the previous decimal program's. The moments
+    * stay partition-order-exact; only the final division is
+    * floating. NULL x/y are not supported (sum128 adds 0 where SQL
+    * sum skips — callers pass non-null measures). Contracts spec'd
+    * in PropertySpec (≡ a local BigDecimal fold + centered-formula
+    * reference). */
+  def linregFit(df: DataFrame, yScale: Int = 2): DataFrame = {
+    require(yScale >= 0 && 2 * yScale <= 6,
+      s"linregFit: yScale must satisfy 0 <= 2*yScale <= 6, got $yScale")
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val xRaw = col("x").cast("long")
+    val xl = when(abs(xRaw) >= lit(1L << 28),
+      raise_error(lit("linregFit: |x| outside [0, 2^28)"))).otherwise(xRaw)
+    val ys = T.scaledLongSigned(col("y"), yScale, "y",
+      maxAbsScaled = 1L << 30)
     val m = df.groupBy("g").agg(
       count(lit(1)).as("n"),
-      sum(col("x")).as("sx"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y")).as("sy"),
-      sum(col("y") * col("y")).as("syy"),
-      sum(col("x") * col("y")).as("sxy"))
+      T.s128(xl).as("sx"),
+      T.s128(xl * xl).as("sxx"),
+      T.s128(ys).as("sy"),
+      T.s128(ys * ys).as("syy"),
+      T.s128(xl * ys).as("sxy"))
+    val yDiv = math.pow(10, yScale).toLong
+    val yyDiv = yDiv * yDiv
     val nD = col("n").cast("double")
-    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
-    val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
-    val sxyD = col("sxy").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = (col("sy") / lit(yDiv)).cast("double")
+    val sxxD = col("sxx").cast("double")
+    val syyD = (col("syy") / lit(yyDiv)).cast("double")
+    val sxyD = (col("sxy") / lit(yDiv)).cast("double")
     val num = nD * sxyD - sxD * syD
     val den = nD * sxxD - sxD * sxD
     m.select(col("g"), col("n"),

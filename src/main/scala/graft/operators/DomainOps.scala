@@ -369,17 +369,30 @@ object DomainOps {
 
     // 3-level hierarchical rollup over the joined region tree — the
     // AGS Land→Kreis→Gemeinde prefix aggregation analogue.
+    // The balance sum rides SIGNED scaled-long Sum128 limbs (r18
+    // wave 3: c_acctbal is exactly-2dp but signed — min −999.85;
+    // Sum128's carry algebra is sign-exact, property-pinned) instead
+    // of a wide-decimal buffer under the 4× Expand, and the money
+    // emit descales once per output row. NEGATIVE experiment, same
+    // wave: pre-aggregating to the (region, nation, segment) grid
+    // BEFORE the rollup (agg_cube's §2.3 shape) A/B'd +0.09 s WORSE
+    // here — customer is dimension-sized, so the two extra stage
+    // boundaries cost more than the Expand×4 saves; unlike agg_cube,
+    // whose Expand multiplies the lineitem FACT stream. Kept as the
+    // known alternative if this rollup ever sits on a fact table.
     "region_rollup" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
       val c = T.customer(s, d); val n = T.nation(s, d); val r = T.region(s, d)
       c.join(n, col("c_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .select(col("r_name").as("r_name", Metadata.empty),
                 col("n_name").as("n_name", Metadata.empty),
                 col("c_mktsegment").as("c_mktsegment", Metadata.empty),
-                col("c_acctbal").as("c_acctbal", Metadata.empty))
+                T.scaledLongSigned(col("c_acctbal"), 2, "c_acctbal")
+                  .as("bal2", Metadata.empty))
         .rollup(col("r_name"), col("n_name"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_cust"),
-             T.money(sum(T.dec(col("c_acctbal")))).as("sum_bal"))
+             T.moneyScaled(T.s128(col("bal2")), 2).as("sum_bal"))
         .select(
           coalesce(col("r_name"), lit("ALL")).as("region_name"),
           coalesce(col("n_name"), lit("ALL")).as("nation_name"),

@@ -550,8 +550,19 @@ object TimeSeries {
   def crossCorr(df: DataFrame, typeA: String, typeB: String,
       maxLag: Int): DataFrame = {
     require(maxLag >= 0 && maxLag <= 8, s"maxLag must be in [0, 8]: $maxLag")
-    def d19(c: org.apache.spark.sql.Column) =
-      c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    // Per-bucket counts are longs; the Pearson moments ride Sum128
+    // limbs over plain long products (r18 wave 3 — the corrMatrix
+    // recipe at scale 0: integer moments need no descale, so each
+    // image below is the exact integer's correctly-rounded double,
+    // identical to the previous DECIMAL(19,0)-sum images). The
+    // static guard keeps a*a / a*b inside the 2^62 limb bound for
+    // per-bucket counts to 2^31 — any hour with more events than
+    // that raises loudly instead of corrupting a limb.
+    def g31(c: org.apache.spark.sql.Column) =
+      when(c >= lit(1L << 31),
+        raise_error(lit("crossCorr: per-bucket count >= 2^31")))
+        .otherwise(c)
     val f = df
       .select(expr("unix_timestamp(date_trunc('second', ts)) div 3600")
         .as("h"), col("event_type"))
@@ -563,13 +574,14 @@ object TimeSeries {
         lit(k.toLong)): _*)))
       .select(col("k"), (col("h") + col("k")).as("hj"), col("a"))
       .join(f.select(col("h").as("hj"), col("b")), Seq("hj"))
+    val (ga, gb) = (g31(col("a")), g31(col("b")))
     val m = lagged.groupBy("k").agg(
       count(lit(1)).as("n"),
-      sum(d19(col("a"))).as("sa"),
-      sum(d19(col("b"))).as("sb"),
-      sum(d19(col("a")) * d19(col("a"))).as("saa"),
-      sum(d19(col("b")) * d19(col("b"))).as("sbb"),
-      sum(d19(col("a")) * d19(col("b"))).as("sab"))
+      T.s128(ga).as("sa"),
+      T.s128(gb).as("sb"),
+      T.s128(ga * ga).as("saa"),
+      T.s128(gb * gb).as("sbb"),
+      T.s128(ga * gb).as("sab"))
     val n = col("n").cast("double")
     val (sa, sb) = (col("sa").cast("double"), col("sb").cast("double"))
     val (saa, sbb, sab) = (col("saa").cast("double"),

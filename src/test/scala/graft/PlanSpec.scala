@@ -357,6 +357,27 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("region_rollup / agg_rollup: one Expand into one aggregation " +
+    "pair, one hash shuffle; the money sum rides sum128") {
+    // r18 wave 3: the Expand-over-input rollup shape is the MEASURED
+    // winner here (pre-aggregating to the base grid first A/B'd
+    // +0.1 s worse — customer is dimension-sized, so the extra stage
+    // boundaries cost more than the Expand multiplier; see
+    // OPTIMIZATION_r18.md). Pin it so neither an accidental second
+    // shuffle nor a per-level multi-pass rewrite sneaks in, and pin
+    // region_rollup's signed scaled-long balance sum.
+    for ((key, ops) <- Seq(
+        "region_rollup" -> graft.operators.DomainOps.queries,
+        "agg_rollup" -> graft.operators.AggOps.queries)) {
+      val p = plan(key, ops)
+      assert("Expand".r.findAllIn(p).size >= 1, s"$key: $p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$key: $p")
+    }
+    val p = plan("region_rollup", graft.operators.DomainOps.queries)
+    assert(p.contains("graft_sum128"), p)
+  }
+
   test("cube_latest: revision merge is ONE ranked-window shuffle") {
     val p = plan("cube_latest", graft.plans.CubeOps.queries)
     assert(p.contains("Window"), p)

@@ -2080,6 +2080,12 @@ class PropertySpec extends SparkSpec {
       .map(_ ++ Seq(("x", 0L, 1.0), ("x", 2L, 2.0), ("x", 1L, 3.0),
         ("x", 3L, 4.0), ("y", 0L, 1.0), ("y", 2L, 2.0), ("y", 1L, 3.0),
         ("y", 3L, 4.0)))
+    // The /16 generator emits up-to-4dp values on purpose: the key
+    // quantizes `value` HALF_UP at 2 decimals (the r18 scaled-long
+    // contract, identity for the exactly-2dp events fixture), so the
+    // reference applies the same quantization before its centered
+    // math — >2dp data exercises the quantization path itself.
+    def q2(v: Double): Double = math.floor(v * 100 + 0.5) / 100
     forAllSeeded(rowGen) { rows =>
       val dir = java.nio.file.Files.createTempDirectory("ttest").toString
       rows.zipWithIndex
@@ -2093,8 +2099,8 @@ class PropertySpec extends SparkSpec {
           r.getDouble(5), r.getDouble(6))))
         .toMap
       rows.groupBy(_._1).foreach { case (et, rs) =>
-        val as = rs.filter(_._2 % 2 == 0).map(_._3)
-        val bs = rs.filter(_._2 % 2 != 0).map(_._3)
+        val as = rs.filter(_._2 % 2 == 0).map(r => q2(r._3))
+        val bs = rs.filter(_._2 % 2 != 0).map(r => q2(r._3))
         def mv(xs: Seq[Double]) = {
           val m = xs.sum / xs.size
           (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
@@ -2159,6 +2165,12 @@ class PropertySpec extends SparkSpec {
       c <- Gen.oneOf(cats :+ "zz") // 'zz' must be ignored entirely
       v <- Gen.choose(0, 1600).map(_ / 16.0)
     } yield (g, c, v))
+    // The /16 generator emits up-to-4dp values on purpose: oneWayF
+    // quantizes `value` HALF_UP at 2 decimals (the r18 scaled-long
+    // contract, identity for the <=2dp fixtures), so the reference
+    // applies the same quantization before its centered math --
+    // driving >2dp data exercises the quantization path itself.
+    def q2(v: Double): Double = math.floor(v * 100 + 0.5) / 100
     forAllSeeded(rowGen) { rows =>
       val got = graft.operators.AggOps.oneWayF(
           rows.toDF("g", "cat", "value"), cats)
@@ -2166,7 +2178,8 @@ class PropertySpec extends SparkSpec {
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
           if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
         .toMap
-      rows.filter(r => cats.contains(r._2)).groupBy(_._1).foreach {
+      rows.filter(r => cats.contains(r._2))
+          .map(r => (r._1, r._2, q2(r._3))).groupBy(_._1).foreach {
         case (g, rs) =>
           val byCat = rs.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
           val n = rs.size; val k = byCat.size
@@ -2329,6 +2342,38 @@ class PropertySpec extends SparkSpec {
     forAllSeeded(gen) { rows =>
       val got = rows.toDF("g", "x")
         .repartition(7) // force merge of several partial buffers
+        .groupBy("g")
+        .agg(call_function("graft_sum128", col("x")).as("s"))
+        .collect()
+        .map(r => r.getString(0) -> r.getDecimal(1).toBigInteger.toString)
+        .toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => BigInt(r._2)).sum.toString
+      }
+      assert(got == want, s"got $got, want $want")
+    }
+  }
+
+  test("graft_sum128 ≡ BigInt fold for SIGNED longs, borrows included") {
+    // r18: the limb algebra is sign-exact — with t = lo + x the
+    // update's (t >> 62)·2^62 + (t & mask) = t identity holds for
+    // NEGATIVE t too (arithmetic shift), so hi just absorbs a −1
+    // borrow. This pin drives mixed-sign values near ±2^61 so both
+    // carries and borrows fire on almost every add and on merges of
+    // shuffled partials (repartition(7)), plus sign-flip runs whose
+    // partial sums cross zero repeatedly. Exact BigInt fold as the
+    // reference, asserted on the DECIMAL(38,0) string — bit-exact,
+    // negative totals included.
+    val gen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b")
+      near <- Gen.oneOf(true, false)
+      neg <- Gen.oneOf(true, false)
+      k <- Gen.choose(0L, 1000000L)
+    } yield (g, (if (near) (1L << 61) + k else k) * (if (neg) -1L else 1L)))
+    graft.functions.VectorExpressions.register(spark)
+    forAllSeeded(gen) { rows =>
+      val got = rows.toDF("g", "x")
+        .repartition(7)
         .groupBy("g")
         .agg(call_function("graft_sum128", col("x")).as("s"))
         .collect()
