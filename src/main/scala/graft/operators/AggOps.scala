@@ -174,7 +174,7 @@ object AggOps {
       // plan ("Column r_name, n_name are ambiguous").
       // r18 wave-3 NEGATIVE experiment (recorded in
       // OPTIMIZATION_r18.md): pre-aggregating to the (region, nation)
-      // grid before the rollup (agg_cube's §2.3 shape) A/B'd +0.12 s
+      // grid before the rollup (agg_cube's §2.3 shape) A/B'd +0.19 s
       // worse — customer is dimension-sized, so two extra stage
       // boundaries cost more than the Expand×3 saves at any SF where
       // this key is planning/stage-bound. The Expand-over-input form
