@@ -42,29 +42,18 @@ object LintBench {
     * remove it when the measured floor drops back under.
     */
   val acceptedFloors: Map[String, Double] = Map(
-    // corpus_curate: r12→r13 quiet floor rose 1.69 → ~1.9-2.05 s; r11
-    // adjudication (SURVEY §6: CacheManager planning tax + in-loop
-    // conf economics) re-pinned ~1.9 s as the honest post-fix floor.
-    // The pre-r11 1.69 s history would otherwise trip the two-round
-    // drift trigger forever.
-    "corpus_curate" -> 1.9,
-    // ts_anomaly: in-sweep spread has been 1.31/1.54/1.87/1.03/1.44/
-    // 1.40 across r9-r14 — the r12 1.03 is a single lucky round, not
-    // a floor, and it made the r13/r14 1.4 s readings read as drift.
-    // Adjudicated r14: solo quiet TimeKeys min is 0.93 (reference
-    // graph_triangles 1.24 in-session), no code touched
-    // TimeSeries.anomaly since r11 — the key's honest in-sweep floor
-    // is ~1.2 with ±0.2 spread.
-    "ts_anomaly" -> 1.2,
-    // graph_components / knn_recall: the same one-lucky-round pattern,
-    // adjudicated r14. Components in-sweep history r9-r14 is
-    // 2.26/1.60/1.55/1.19/1.49/1.53 — every round but r12 sits at
-    // 1.5-2.3 and no code touched the component loop since its r11
-    // checkpoint-economics fix (judged done in r13). knn_recall reads
-    // 1.39/0.62/0.98/0.97 — the 0.62 is r12's anomalously quiet
-    // sweep; the key's cost is the brute-force ground-truth side and
-    // is stable at ~0.95-1.0.
-    "graph_components" -> 1.3,
+    // REMOVED r18 (the map's own contract — "remove it when the
+    // measured floor drops back under" — applied with the r17-verdict
+    // #3 playbook, now that cross-round fingerprint seeding makes
+    // board minima durable): corpus_curate (pinned 1.9, r18 board
+    // 1.165 vs older cross-round min 1.125), ts_anomaly (1.2 → 1.082
+    // vs 1.027), graph_components (1.3 → 1.171 vs 0.974), knn_recall
+    // (1.05 → 0.792 vs 0.622), knn_pq_recall (1.45 → 1.082 vs 0.997).
+    // Each r18 board reading sits UNDER its older cross-round minimum
+    // + the 0.3 drift slack, and the r19+ boards inherit the r18
+    // minima on fingerprint match, so the re-armed tripwire cannot
+    // fire on today's plans — it re-arms at the true level exactly as
+    // the contract intends.
     // The r16→r17 d-k/s-band adjudication (r16 verdict #2): five keys'
     // r15 floors proved unreproducible on a quiet box two rounds
     // running. Evidence, r17 TimeKeys min-of-5 at sf0.1 bracketed by
@@ -84,9 +73,13 @@ object LintBench {
     // in r17 (0.747 / 0.471 on the min-merged board, after the r17
     // spread-fingerprint stabilization let quiet readings survive the
     // merge) — per this map's own contract their entries are removed
-    // (r17 verdict #3) so the drift tripwire re-arms at the true level.
-    "knn_recall" -> 1.05,
-    "knn_pq_recall" -> 1.45,
+    // (r17 verdict #3) so the drift tripwire re-arms at the true
+    // level; knn_recall and knn_pq_recall followed in r18 (quiet
+    // sweeps caught 0.792 / 1.082 — the recallOf shuffled-hash join
+    // landed this round and the r18 trough confirmed the band's cost
+    // was partly ambient after all). graph_pagerank stays: r17/r18
+    // boards read 1.45 with an unchanged fingerprint — above the
+    // disputed 1.199 r15 trough, the one-lucky-round pattern intact.
     "graph_pagerank" -> 1.3,
     // text_langid (r18, r17 verdict #2): board history 1.126/1.562/
     // 1.069/0.998/0.951/0.903/0.771(r15)/1.007/1.011 — the 0.771 is
