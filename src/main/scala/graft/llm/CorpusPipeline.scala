@@ -744,11 +744,13 @@ object CorpusPipeline {
     // 12+7+1+15+1 = 36 on the right.
     require(num <= 1000000 && den <= 1000000,
       s"num/den must be ≤ 1e6 (DECIMAL(7,0) budget), got $num/$den")
+    // STATIC raise message (r18 — T.scaledLong's lesson): the error
+    // branch never executes on in-contract data, but a concat +
+    // value-cast expression tree compiles into every call site's
+    // generated code.
     def bounded(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(c.isNull || c < 0 || c > 999999999999L,
-        raise_error(concat(
-          lit(s"ppsSample: $weightCol outside [0, 1e12): "),
-          coalesce(c.cast("string"), lit("NULL")))))
+        raise_error(lit(s"ppsSample: $weightCol outside [0, 1e12)")))
         .otherwise(c.cast("decimal(12,0)"))
     val maxW = df.agg(max(col(weightCol)).as("max_w"))
     val two48 = lit(281474976710656L).cast("decimal(15,0)")

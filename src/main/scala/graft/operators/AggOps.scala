@@ -887,25 +887,21 @@ object AggOps {
     // it now errors loudly, per row, on the codegen path. NULLs pass
     // through unchanged (three-valued when(); sum128 treats them as
     // every Spark sum does).
-    import org.apache.spark.sql.types.{DecimalType, LongType}
-    val f = math.pow(10, scale).toLong
-    def xc(c: String) = {
-      val v = (col(c).cast(DecimalType(18, scale)) * lit(f)).cast(LongType)
-      // The DECIMAL(18, scale) cast is LOSSY in non-ANSI mode: a value
-      // above ~10^(18-scale) becomes NULL, which would make the range
-      // guard below three-valued-NULL and the row silently fall through
-      // as a dropped NULL (r12 advice). Guard the cast itself first:
-      // raw non-null + scaled null can only mean overflow → error.
-      when(col(c).isNotNull && v.isNull,
-        raise_error(concat(
-          lit(s"corrMatrix: $c does not fit DECIMAL(18, $scale): "),
-          col(c).cast("string"))))
-        .when(v < 0L || v >= 2147483648L,
-          raise_error(concat(
-            lit(s"corrMatrix: $c scaled by 10^$scale outside [0, 2^31): "),
-            v.cast("string"))))
-        .otherwise(v)
-    }
+    // Quantization rides [[T.scaledLong]] (r18): the original xc here
+    // scaled through cast(DECIMAL(18,scale)) × 10^scale — a
+    // non-compact decimal multiply per row per column — and raised
+    // with concat(name, cast(value)) guards whose expression trees
+    // bloat the generated code (both measured as regressions when the
+    // shared helper was extracted in wave 1; this call site simply
+    // predated the helper). Same HALF_UP longs for any ≤ scale-dp
+    // input under 2^50 (the losslessness contract ScaledMoneySpec
+    // pins), same loud raise on negative/too-large values — the
+    // 2^31 bound keeps every cross product under Sum128's 2^62 limb,
+    // and a value too big for the old DECIMAL(18,scale) cast lands in
+    // the same raise via the long-cast saturation.
+    def xc(c: String) =
+      T.scaledLong(col(c), scale, s"corrMatrix.$c",
+        maxScaled = 2147483648L)
     val scaled = df.select(col("g") +:
       cols.map { case (c, _) => xc(c).as(s"x_$c") }: _*)
     // graft_sum128: two-long-limb exact sums on the codegen fast path
