@@ -103,10 +103,19 @@ object TimeSeries {
       val obsDay = when(col("day_v").isNotNull, col("day_s"))
       denseGrid(daily, "user_id", "day_s", 86400L)
         .join(daily, Seq("user_id", "day_s"), "left")
-        .withColumn("pv", last(col("day_v"), ignoreNulls = true).over(back))
-        .withColumn("ps", last(obsDay, ignoreNulls = true).over(back))
-        .withColumn("nv", first(col("day_v"), ignoreNulls = true).over(fwd))
-        .withColumn("ns", first(obsDay, ignoreNulls = true).over(fwd))
+        // All four flank columns in ONE select (r18): the previous
+        // withColumn chain made each window expression depend on the
+        // prior projection, which defeated CollapseWindow — the plan
+        // carried THREE stacked Window operators with the obsDay
+        // argument projected twice. The four expressions are mutually
+        // independent and share one (user_id | day_s) spec, so a
+        // single select fuses them into one Window pass (frames are
+        // per-expression); same expressions, same values.
+        .select(col("user_id"), col("day_s"), col("day_v"),
+          last(col("day_v"), ignoreNulls = true).over(back).as("pv"),
+          last(obsDay, ignoreNulls = true).over(back).as("ps"),
+          first(col("day_v"), ignoreNulls = true).over(fwd).as("nv"),
+          first(obsDay, ignoreNulls = true).over(fwd).as("ns"))
         .select(col("user_id"), col("day_s"),
           date_format(timestamp_seconds(col("day_s")), "yyyy-MM-dd")
             .as("day"),
@@ -395,10 +404,20 @@ object TimeSeries {
         T.events(s, d).select(col("user_id"), col("event_id"),
           col("ts"), col("value")),
         Window.partitionBy("user_id").orderBy("ts", "event_id"))
+      // lag over the SAME (ts, event_id) spec the ewma window sorted
+      // by — rn is row_number over exactly that order, so ordering by
+      // rn is the identical total order but used to cost a second
+      // per-branch Sort pass (r18; values unchanged by construction).
+      // And r feeds TWO consumers (the fence aggregate and the final
+      // join), so without a checkpoint the whole events→ewma→resid
+      // window pipeline planned and EXECUTED twice — the before-plan
+      // carries the duplicated branch verbatim (the assocRules /
+      // text_perplexity multi-consumer lesson, applied here in r18).
       val r = ew.withColumn("resid",
           col("value") - lag(col("ewma"), 1).over(
-            Window.partitionBy("user_id").orderBy("rn")))
+            Window.partitionBy("user_id").orderBy("ts", "event_id")))
         .filter(col("resid").isNotNull)
+        .localCheckpoint(false)
       val f = r.groupBy("user_id").agg(
         expr("percentile(resid, 0.25D)").as("q1"),
         expr("percentile(resid, 0.75D)").as("q3"))
